@@ -1,0 +1,252 @@
+"""Layer-0 ISA tests: variant table, encoding round-trips, ABIs, assembler."""
+
+import pytest
+
+from era_zk_evm_tpu.isa import abi, assembler, encoding, opcodes, params
+from era_zk_evm_tpu.isa.opcodes import (
+    Condition, Opcode, OperandMode, RetOp, UMAOp, VARIANTS, variant_index,
+)
+
+
+class TestVariantTable:
+    def test_table_fits_encoding(self):
+        assert opcodes.NUM_VARIANTS < (1 << encoding.VARIANT_BITS)
+
+    def test_indices_are_dense_and_unique(self):
+        assert [v.index for v in VARIANTS] == list(range(opcodes.NUM_VARIANTS))
+
+    def test_every_family_present(self):
+        fams = {v.opcode for v in VARIANTS}
+        assert fams == set(Opcode)
+
+    def test_masking_targets(self):
+        panic = opcodes.get_variant(opcodes.PANIC_VARIANT_INDEX)
+        assert panic.opcode is Opcode.RET and panic.sub == RetOp.PANIC
+        assert not panic.flag0  # not to_label
+        nop = opcodes.get_variant(opcodes.NOP_VARIANT_INDEX)
+        assert nop.opcode is Opcode.NOP
+        assert nop.src0_mode is OperandMode.FULL_REG
+        assert nop.dst0_mode is OperandMode.FULL_REG
+
+    def test_out_of_range_variant_is_explicit_panic(self):
+        v = opcodes.get_variant(2047)
+        assert v.is_explicit_panic
+
+    def test_predicates(self):
+        v = opcodes.get_variant(variant_index(Opcode.FAR_CALL, opcodes.FarCallOp.MIMIC))
+        assert v.requires_kernel
+        v = opcodes.get_variant(variant_index(Opcode.LOG, opcodes.LogOp.STORAGE_WRITE))
+        assert not v.allowed_in_static
+        v = opcodes.get_variant(variant_index(Opcode.UMA, UMAOp.FAT_POINTER_READ,
+                                              OperandMode.REG_OR_IMM_REG))
+        assert v.src0_can_be_pointer
+        v = opcodes.get_variant(variant_index(Opcode.UMA, UMAOp.HEAP_READ,
+                                              OperandMode.REG_OR_IMM_REG))
+        assert not v.src0_can_be_pointer
+
+    def test_swap_and_set_flags_resolution(self):
+        idx = variant_index(Opcode.SUB, 0, OperandMode.FULL_REG, OperandMode.FULL_REG,
+                            flag0=True, flag1=True)
+        v = opcodes.get_variant(idx)
+        assert v.set_flags and v.swap_operands
+        idx = variant_index(Opcode.ADD, 0, OperandMode.FULL_REG, OperandMode.FULL_REG,
+                            flag0=True)
+        assert opcodes.get_variant(idx).set_flags
+
+    def test_prices(self):
+        rich = variant_index(Opcode.ADD, 0, OperandMode.FULL_ABS_STACK,
+                             OperandMode.FULL_REG, flag0=False)
+        cheap = variant_index(Opcode.ADD, 0, OperandMode.FULL_REG,
+                              OperandMode.FULL_REG, flag0=False)
+        assert opcodes.get_variant(rich).price == params.RICH_ADDRESSING_OPCODE_ERGS
+        assert opcodes.get_variant(cheap).price == params.AVERAGE_OPCODE_ERGS
+
+    def test_table_arrays_consistent(self):
+        arrs = opcodes.table_arrays()
+        for v in VARIANTS:
+            assert arrs["opcode"][v.index] == int(v.opcode)
+            assert arrs["price"][v.index] == v.price
+            assert arrs["swap_operands"][v.index] == v.swap_operands
+        # out-of-range indices alias INVALID
+        assert arrs["is_explicit_panic"][2047]
+
+
+class TestEncoding:
+    def test_roundtrip(self):
+        for v in (VARIANTS[0], VARIANTS[100], VARIANTS[-1]):
+            raw = encoding.encode(v.index, Condition.NE, 3, 4, 5, 6, 0xBEEF, 0x1234)
+            dec, idx = encoding.parse_preliminary(raw)
+            assert idx == v.index
+            assert dec.variant.index == v.index
+            assert dec.condition is Condition.NE
+            assert (dec.src0_reg, dec.src1_reg, dec.dst0_reg, dec.dst1_reg) == (3, 4, 5, 6)
+            assert (dec.imm0, dec.imm1) == (0xBEEF, 0x1234)
+
+    def test_mask_into_panic_and_nop(self):
+        dec, _ = encoding.parse_preliminary(
+            encoding.encode(variant_index(Opcode.ADD), Condition.EQ, 1, 2, 3, 4, 7, 9))
+        dec.mask_into_panic()
+        assert dec.variant.opcode is Opcode.RET and dec.variant.sub == RetOp.PANIC
+        assert dec.imm0 == 0 and dec.src0_reg == 0
+
+        dec, _ = encoding.parse_preliminary(
+            encoding.encode(variant_index(Opcode.ADD), Condition.EQ, 1, 2, 3, 4, 7, 9))
+        dec.mask_into_nop()
+        assert dec.variant.opcode is Opcode.NOP
+        assert dec.variant.src0_mode is OperandMode.FULL_REG
+
+    def test_split_pc_and_subword_select(self):
+        assert encoding.split_pc(0) == (0, 0)
+        assert encoding.split_pc(7) == (1, 3)
+        instrs = [0x1111_0000_AAAA_0001, 0x2222_0000_BBBB_0002,
+                  0x3333_0000_CCCC_0003, 0x4444_0000_DDDD_0004]
+        word = encoding.code_word_from_instructions(instrs)
+        for i, ins in enumerate(instrs):
+            assert encoding.instruction_from_code_word(word, i) == ins
+        # sub_pc 0 must be the most significant 8 bytes
+        assert (word >> 192) == instrs[0]
+
+    def test_special_encodings(self):
+        dec, _ = encoding.parse_preliminary(encoding.nop_encoding())
+        assert dec.variant.opcode is Opcode.NOP
+        assert dec.condition is Condition.ALWAYS
+        dec, _ = encoding.parse_preliminary(encoding.exception_revert_encoding())
+        assert dec.variant.opcode is Opcode.RET and dec.variant.sub == RetOp.PANIC
+
+
+class TestABI:
+    def test_fat_pointer_roundtrip(self):
+        p = abi.FatPointer(offset=7, memory_page=9, start=1000, length=64)
+        assert abi.FatPointer.from_u256(p.to_u256()) == p
+        # offset occupies the low 32 bits (uma.rs:335-343 evidence)
+        assert p.to_u256() & 0xFFFFFFFF == 7
+
+    def test_fat_pointer_validation(self):
+        ok = abi.FatPointer(0, 0, 100, 50)
+        assert ok.validate(as_fresh=True) == abi.FatPointerValidationException.NONE
+        bad = abi.FatPointer(0, 0, (1 << 32) - 10, 100)
+        assert bad.validate(False) & abi.FatPointerValidationException.DEREF_BEYOND_HEAP_RANGE
+        nonzero_off = abi.FatPointer(5, 0, 0, 50)
+        assert nonzero_off.validate(True) & abi.FatPointerValidationException.OFFSET_NOT_ZERO_WHEN_FRESH
+        assert nonzero_off.validate(False) == abi.FatPointerValidationException.NONE
+        assert abi.FatPointer(5, 0, 0, 5).validate_as_slice()
+        assert not abi.FatPointer(5, 0, 0, 5).validate_in_bounds()
+        assert abi.FatPointer(4, 0, 0, 5).validate_in_bounds()
+
+    def test_erase_metadata(self):
+        val = abi.FatPointer(offset=3, memory_page=4, start=5, length=6).to_u256() \
+            | (0xDEAD << 200)
+        erased = abi.erase_fat_pointer_metadata(val)
+        p = abi.FatPointer.from_u256(erased)
+        assert p.offset == 3 and p.memory_page == 0 and p.start == 0 and p.length == 0
+        assert (erased >> 200) & 0xFFFF == 0xDEAD  # high bits survive
+
+    def test_far_call_abi_roundtrip(self):
+        a = abi.FarCallABI(
+            memory_quasi_fat_pointer=abi.FatPointer(0, 0, 64, 32),
+            ergs_passed=12345,
+            shard_id=1,
+            forwarding_mode=abi.ForwardingMode.USE_AUX_HEAP,
+            constructor_call=True,
+            to_system=True,
+        )
+        assert abi.FarCallABI.from_u256(a.to_u256()) == a
+
+    def test_ret_and_near_call_abis(self):
+        r = abi.RetABI(abi.FatPointer(0, 0, 10, 20), abi.ForwardingMode.FORWARD_FAT_POINTER)
+        assert abi.RetABI.from_u256(r.to_u256()) == r
+        n = abi.NearCallABI(999)
+        assert abi.NearCallABI.from_u256(n.to_u256()) == n
+
+    def test_precompile_abi_roundtrip(self):
+        p = abi.PrecompileCallABI(1, 2, 3, 4, 5, 6, 7)
+        assert abi.PrecompileCallABI.from_u256(p.to_u256()) == p
+
+    def test_versioned_hash(self):
+        words = [123, 456]
+        h = abi.code_hash_for_bytecode(words)
+        vh = abi.VersionedCodeHash.try_from_u256(h)
+        assert vh is not None
+        assert vh.code_length_in_words == 2
+        assert vh.marker == params.CODE_AT_REST_MARKER
+        assert vh.serialize_to_stored() == h
+        # wrong version byte is rejected
+        assert abi.VersionedCodeHash.try_from_u256(h ^ (0xFF << 248)) is None
+
+
+class TestAssembler:
+    def test_simple_program(self):
+        words = assembler.assemble("""
+            add 1, r0, r1
+            add 2, r0, r2
+            add! r1, r2, r3
+            ret r0
+        """)
+        assert len(words) == 4
+        dec, _ = encoding.parse_preliminary(words[0])
+        assert dec.variant.opcode is Opcode.ADD
+        assert dec.variant.src0_mode is OperandMode.FULL_IMM16
+        assert dec.imm0 == 1 and dec.dst0_reg == 1
+        dec, _ = encoding.parse_preliminary(words[2])
+        assert dec.variant.set_flags
+
+    def test_labels_and_conditions(self):
+        words = assembler.assemble("""
+            start:
+            sub! r1, r2, r0
+            jump.if_eq @done
+            jump @start
+            done:
+            ret r0
+        """)
+        dec, _ = encoding.parse_preliminary(words[1])
+        assert dec.condition is Condition.EQ
+        assert dec.imm0 == 3
+        dec, _ = encoding.parse_preliminary(words[2])
+        assert dec.imm0 == 0
+
+    def test_stack_modes(self):
+        words = assembler.assemble("""
+            add r1, r0, stack+=[1]
+            add stack-=[1], r0, r2
+            add stack[5], r0, r3
+            add stack-[2], r0, r4
+            add code[1], r0, r5
+        """)
+        modes = []
+        for w in words:
+            dec, _ = encoding.parse_preliminary(w)
+            modes.append((dec.variant.src0_mode, dec.variant.dst0_mode))
+        assert modes[0][1] is OperandMode.FULL_STACK_PUSH_POP
+        assert modes[1][0] is OperandMode.FULL_STACK_PUSH_POP
+        assert modes[2][0] is OperandMode.FULL_ABS_STACK
+        assert modes[3][0] is OperandMode.FULL_STACK_OFFSET
+        assert modes[4][0] is OperandMode.FULL_CODE_PAGE
+
+    def test_code_word_packing(self):
+        cw = assembler.assemble_to_code_words("nop\n" * 5)
+        assert len(cw) == 2
+        tail = encoding.instruction_from_code_word(cw[1], 3)
+        dec, _ = encoding.parse_preliminary(tail)
+        assert dec.variant.is_explicit_panic
+
+    def test_uma_and_calls(self):
+        words = assembler.assemble("""
+            ld.h r1, r2
+            ld.h.inc r1, r2, r3
+            st.h r1, r2
+            near_call r1, @f, @h
+            f:
+            ret r1
+            h:
+            panic
+        """)
+        dec, _ = encoding.parse_preliminary(words[1])
+        assert dec.variant.opcode is Opcode.UMA and dec.variant.flag0
+        assert dec.dst1_reg == 3
+        dec, _ = encoding.parse_preliminary(words[3])
+        assert dec.imm0 == 4 and dec.imm1 == 5
+
+    def test_bad_register_raises(self):
+        with pytest.raises(assembler.AsmError):
+            assembler.assemble("add r99, r0, r1")
