@@ -164,43 +164,54 @@ def _classify_operand(tok: str, labels) -> tuple[str, OperandMode | None, int, i
     return "imm", None, 0, _int_or_label(tok, labels)
 
 
-def assemble(source: str) -> list[int]:
-    """Assemble to a list of 64-bit instruction words."""
-    # pass 1: labels
-    lines: list[str] = []
-    labels: dict[str, int] = {}
-    for raw in source.splitlines():
-        line = raw.split(";", 1)[0].strip()
-        if not line:
-            continue
-        while ":" in line:
-            name, _, rest = line.partition(":")
-            labels[name.strip()] = len(lines) + sum(1 for _ in ())
-            line = rest.strip()
-            if not line:
-                break
-        if line:
-            lines.append(line)
-    # label addresses must be recomputed against instruction indices; redo
-    labels.clear()
+def _parse_source(source: str):
+    """-> (instruction lines, labels, data words).
+
+    `.word <int>` lines define 256-bit constants appended to the code pages
+    after the instruction stream; a label on a `.word` resolves to the WORD
+    index usable as `code[@name]`.
+    """
     idx = 0
     stripped: list[str] = []
+    labels: dict[str, int] = {}
+    data_entries: list[tuple[str | None, int]] = []
+    pending_label: str | None = None
     for raw in source.splitlines():
         line = raw.split(";", 1)[0].strip()
         if not line:
             continue
         while ":" in line and _looks_like_label(line):
             name, _, rest = line.partition(":")
-            labels[name.strip()] = idx
+            pending_label = name.strip()
+            labels[pending_label] = idx  # provisional: instruction index
             line = rest.strip()
-        if line:
-            stripped.append(line)
-            idx += 1
+        if not line:
+            continue
+        if line.startswith(".word"):
+            value = int(line.split(None, 1)[1], 0)
+            assert 0 <= value < (1 << 256)
+            data_entries.append((pending_label, value))
+            if pending_label is not None:
+                del labels[pending_label]  # re-bound to a data index below
+            pending_label = None
+            continue
+        pending_label = None
+        stripped.append(line)
+        idx += 1
 
-    out: list[int] = []
-    for line in stripped:
-        out.append(_assemble_line(line, labels))
-    return out
+    n_code_words = -(-len(stripped) // params.OPCODES_PER_WORD) if stripped else 0
+    data_words: list[int] = []
+    for i, (name, value) in enumerate(data_entries):
+        if name is not None:
+            labels[name] = n_code_words + i
+        data_words.append(value)
+    return stripped, labels, data_words
+
+
+def assemble(source: str) -> list[int]:
+    """Assemble to a list of 64-bit instruction words (ignores .word data)."""
+    stripped, labels, _ = _parse_source(source)
+    return [_assemble_line(line, labels) for line in stripped]
 
 
 def _looks_like_label(line: str) -> bool:
@@ -342,16 +353,19 @@ def _assemble_line(line: str, labels: dict[str, int]) -> int:
 def assemble_to_code_words(source: str) -> list[int]:
     """Assemble and pack into BE 32-byte code words (4 instructions each).
 
-    Pads the tail with explicit-panic encodings so a runaway pc traps.
+    Pads the instruction tail with explicit-panic encodings so a runaway pc
+    traps, then appends `.word` constant data words.
     """
     from .encoding import encode as _enc
     from .opcodes import INVALID_VARIANT_INDEX
 
-    instructions = assemble(source)
+    stripped, labels, data_words = _parse_source(source)
+    instructions = [_assemble_line(line, labels) for line in stripped]
     pad = _enc(INVALID_VARIANT_INDEX)
     while len(instructions) % params.OPCODES_PER_WORD:
         instructions.append(pad)
-    return [
+    words = [
         code_word_from_instructions(instructions[i:i + params.OPCODES_PER_WORD])
         for i in range(0, len(instructions), params.OPCODES_PER_WORD)
     ]
+    return words + data_words
