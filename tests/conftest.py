@@ -1,15 +1,22 @@
 """Test configuration: force JAX onto CPU with an 8-device virtual mesh.
 
-Real-TPU execution is exercised by bench.py / the driver, not the unit suite;
-tests must validate multi-chip sharding without multi-chip hardware
-(see the build brief), hence the virtual device count.
+The image's sitecustomize registers the `axon` PJRT plugin (the tunneled real
+TPU chip) and makes it the default backend regardless of JAX_PLATFORMS, so the
+env var alone is not enough — `jax.config.update` after import is.  Unit tests
+must not run on the tunnel (eager dispatch over it is pathologically slow) and
+need 8 virtual CPU devices to exercise multi-chip sharding without multi-chip
+hardware.  bench.py is the only entry point that talks to the real chip.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
