@@ -270,6 +270,9 @@ def _assemble_line(line: str, labels: dict[str, int]) -> int:
     if op is Opcode.UMA and uma_inc and len(operands) == len(sig) + 1:
         sig = sig + ("d0",) if UMAOp(sub) in (UMAOp.HEAP_WRITE, UMAOp.AUX_HEAP_WRITE) \
             else sig + ("d1",)
+    # `ret.to_label r1, @label` carries the label in imm0
+    if op is Opcode.RET and to_label and len(operands) == len(sig) + 1:
+        sig = sig + ("dst_label",)
     if len(operands) != len(sig):
         # allow trailing-operand elision for eh labels
         if not (len(sig) > len(operands) and all(s in ("eh",) for s in sig[len(operands):])):

@@ -1,0 +1,864 @@
+"""The flagship model: a batched, branchless, lockstep EraVM interpreter.
+
+One fused cycle-step program advances B independent transaction contexts at
+once (SURVEY.md §7 architecture stance).  Where the reference branches, this
+computes every opcode family masked and merges by select — the reference's own
+decode stage already *masks* instructions into panic/nop instead of branching
+(cycle.rs:187-217), which is exactly the SIMD formulation this leans into.
+
+Cycle-step structure mirrors the reference pipeline 1:1 for conformance
+(decode → addressing → src read → dispatch → writeback; 4-slot timestamp
+discipline), but the dataflow is pure array ops: gathers for code fetch /
+table lookup / operand reads, u256 limb kernels for the ALU, scatters for
+writebacks, with the two expensive units (512-bit multiply, 256-step divide)
+gated behind batch-wide `lax.cond` so their cost is only paid on cycles where
+some lane needs them.
+
+Round-1 device subset: NOP/ADD/SUB/MUL/DIV/JUMP/CONTEXT/SHIFT/BINOP/PTR/
+NEAR_CALL/RET/UMA(heap+aux+fat-pointer-to-own-pages).  LOG and FAR_CALL raise
+`lane_error` (golden model covers them; device support lands with the storage
+table + code bank layers).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..isa import params
+from ..isa.encoding import (
+    exception_revert_encoding, VARIANT_MASK,
+)
+from ..isa.opcodes import (
+    Condition, ContextOp, NOP_VARIANT_INDEX, Opcode, OperandMode,
+    PANIC_VARIANT_INDEX, PtrOp, RetOp, ShiftOp, UMAOp, table_arrays,
+)
+from ..ops import u256
+from .state import CS, BatchedVmState, VmConfig
+
+U32 = jnp.uint32
+I32 = jnp.int32
+BOOL = jnp.bool_
+U16_MASK = jnp.uint32(0xFFFF)
+U32_MAX = jnp.uint32(0xFFFFFFFF)
+
+_PANIC_ENC = exception_revert_encoding()
+assert _PANIC_ENC < (1 << 32)
+
+
+def _tables():
+    arrs = table_arrays()
+    return {k: jnp.asarray(v) for k, v in arrs.items()}
+
+
+def _take(tab, idx):
+    return jnp.take(tab, idx.astype(I32), axis=0)
+
+
+def _sel(mask, a, b):
+    """where with mask broadcast over trailing dims."""
+    extra = a.ndim - mask.ndim
+    m = mask.reshape(mask.shape + (1,) * extra)
+    return jnp.where(m, a, b)
+
+
+def _gather_rows(arr, idx):
+    """arr[B, N, ...] gathered at per-lane idx[B] -> [B, ...]."""
+    B = arr.shape[0]
+    return arr[jnp.arange(B), idx.astype(I32)]
+
+
+def _scatter_rows(arr, idx, values, mask):
+    """Masked per-lane row write: arr[b, idx[b]] = values[b] where mask[b]."""
+    B = arr.shape[0]
+    old = arr[jnp.arange(B), idx.astype(I32)]
+    new = _sel(mask, values, old)
+    return arr.at[jnp.arange(B), idx.astype(I32)].set(new)
+
+
+def _addr_is_kernel(addr5):
+    """uint32[B,5] 160-bit address < 2^16?"""
+    high_zero = jnp.all(addr5[:, 1:] == 0, axis=1)
+    return (addr5[:, 0] < (1 << 16)) & high_zero
+
+
+def _addr_to_u256(addr5):
+    B = addr5.shape[0]
+    return jnp.concatenate(
+        [addr5, jnp.zeros((B, 3), dtype=U32)], axis=1)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def cycle_step(state: BatchedVmState, config: VmConfig) -> BatchedVmState:
+    tab = _tables()
+    B = config.batch
+    D = config.max_depth
+    lanes = jnp.arange(B)
+
+    frozen = state.done  # freeze lanes that had already ended
+    lane_error = state.lane_error
+
+    depth = state.depth
+    scal = _gather_rows(state.cs_scalars, depth)        # [B, F]
+    this_addr = _gather_rows(state.cs_this_address, depth)
+    msg_sender = _gather_rows(state.cs_msg_sender, depth)
+    code_addr = _gather_rows(state.cs_code_address, depth)
+    frame_u128 = _gather_rows(state.cs_context_u128, depth)
+
+    pc = scal[:, CS["pc"]]
+    code_page = scal[:, CS["code_page"]]
+    ergs0 = scal[:, CS["ergs_remaining"]]
+    flags_word = scal[:, CS["flags_word"]]
+    is_static = (flags_word & 1).astype(BOOL)
+    is_local_frame = ((flags_word >> 1) & 1).astype(BOOL)
+    base_page = scal[:, CS["base_memory_page"]]
+    heap_bound0 = scal[:, CS["heap_bound"]]
+    aux_bound0 = scal[:, CS["aux_heap_bound"]]
+
+    # ------------------------------------------------------------------
+    # Fetch (cycle.rs:45-129): super-pc cache + pending-exception override
+    # ------------------------------------------------------------------
+    pending = state.pending_exception
+    super_pc = pc >> 2
+    sub_pc = pc & 3
+    pages_differ = code_page != state.previous_code_page
+    code_read_needed = (~pending) & (pages_differ | (super_pc != state.previous_super_pc))
+
+    super_clamped = jnp.minimum(super_pc, config.code_words - 1).astype(I32)
+    fetched = state.code[lanes, super_clamped]          # [B, 8]
+    lane_error = lane_error | (code_read_needed & (super_pc >= config.code_words))
+
+    code_word = _sel(code_read_needed, fetched, state.previous_code_word)
+    new_prev_code_word = code_word
+    new_prev_super_pc = jnp.where(code_read_needed | pending,
+                                  super_pc, state.previous_super_pc)
+    new_prev_code_page = code_page  # set unconditionally (cycle.rs:49)
+
+    # instruction at sub_pc: sub_pc 0 = most significant 8 bytes
+    lo_idx = (6 - 2 * sub_pc).astype(I32)
+    insn_lo = code_word[lanes, lo_idx]
+    insn_hi = code_word[lanes, lo_idx + 1]
+    insn_lo = jnp.where(pending, jnp.uint32(_PANIC_ENC & 0xFFFFFFFF), insn_lo)
+    insn_hi = jnp.where(pending, jnp.uint32(_PANIC_ENC >> 32), insn_hi)
+    new_pending = jnp.zeros_like(pending)  # cleared when consumed
+
+    # ------------------------------------------------------------------
+    # Decode + exception masking (cycle.rs:134-217)
+    # ------------------------------------------------------------------
+    raw_variant = insn_lo & VARIANT_MASK
+    condition = (insn_lo >> 11) & 7
+    src0_reg = (insn_lo >> 16) & 0xF
+    src1_reg = (insn_lo >> 20) & 0xF
+    dst0_reg = (insn_lo >> 24) & 0xF
+    dst1_reg = (insn_lo >> 28) & 0xF
+    imm0 = insn_hi & U16_MASK
+    imm1 = (insn_hi >> 16) & U16_MASK
+
+    price = _take(tab["price"], raw_variant)
+    invalid = _take(tab["is_explicit_panic"], raw_variant)
+    requires_kernel = _take(tab["requires_kernel"], raw_variant)
+    allowed_in_static = _take(tab["allowed_in_static"], raw_variant)
+
+    not_enough = ergs0 < price
+    ergs1 = jnp.where(not_enough, 0, ergs0 - price)
+
+    is_kernel = _addr_is_kernel(this_addr)
+    callstack_full = depth >= params.VM_MAX_STACK_DEPTH
+    mask_panic = invalid | not_enough | (requires_kernel & ~is_kernel) \
+        | (~allowed_in_static & is_static) | callstack_full
+
+    lt_f, eq_f, gt_f = state.flags[:, 0], state.flags[:, 1], state.flags[:, 2]
+    cond_table = jnp.stack([
+        jnp.ones_like(lt_f),            # ALWAYS
+        gt_f,                           # GT
+        lt_f,                           # LT
+        eq_f,                           # EQ
+        gt_f | eq_f,                    # GE
+        lt_f | eq_f,                    # LE
+        ~eq_f,                          # NE
+        gt_f | lt_f,                    # GT_OR_LT
+    ], axis=1)                          # [B, 8]
+    cond_met = cond_table[lanes, condition.astype(I32)]
+    mask_nop = (~cond_met) & (~mask_panic)
+
+    variant = jnp.where(mask_panic, PANIC_VARIANT_INDEX,
+                        jnp.where(mask_nop, NOP_VARIANT_INDEX, raw_variant))
+    zeroed = mask_panic | mask_nop
+    src0_reg = jnp.where(zeroed, 0, src0_reg)
+    src1_reg = jnp.where(zeroed, 0, src1_reg)
+    dst0_reg = jnp.where(zeroed, 0, dst0_reg)
+    dst1_reg = jnp.where(zeroed, 0, dst1_reg)
+    imm0 = jnp.where(zeroed, 0, imm0)
+    imm1 = jnp.where(zeroed, 0, imm1)
+
+    opcode = _take(tab["opcode"], variant)
+    sub_variant = _take(tab["sub"], variant)
+    src0_mode = _take(tab["src0_mode"], variant)
+    dst0_mode = _take(tab["dst0_mode"], variant)
+    set_flags = _take(tab["set_flags"], variant)
+    swap_operands = _take(tab["swap_operands"], variant)
+    vflag0 = _take(tab["flag0"], variant)
+    vflag1 = _take(tab["flag1"], variant)
+    src0_can_ptr = _take(tab["src0_can_be_pointer"], variant)
+    src1_can_ptr = _take(tab["src1_can_be_pointer"], variant)
+
+    def read_reg(idx):
+        val = state.regs[lanes, jnp.maximum(idx.astype(I32) - 1, 0)]
+        tag = state.reg_ptr[lanes, jnp.maximum(idx.astype(I32) - 1, 0)]
+        nz = idx > 0
+        return _sel(nz, val, jnp.zeros_like(val)), tag & nz
+
+    # ------------------------------------------------------------------
+    # Operand addressing (mem_ops.rs:14-125)
+    # ------------------------------------------------------------------
+    M = OperandMode
+    sp0 = scal[:, CS["sp"]]
+    src0_reg_val, src0_reg_tag = read_reg(src0_reg)
+    vaddr0 = ((src0_reg_val[:, 0] & U16_MASK) + imm0) & U16_MASK
+    src0_pushpop = src0_mode == M.FULL_STACK_PUSH_POP
+    src0_stack_off = src0_mode == M.FULL_STACK_OFFSET
+    src0_abs = src0_mode == M.FULL_ABS_STACK
+    src0_code = src0_mode == M.FULL_CODE_PAGE
+    sp1 = jnp.where(src0_pushpop, (sp0 - vaddr0) & U16_MASK, sp0)
+    src0_loc = jnp.where(src0_pushpop, sp1,
+                jnp.where(src0_stack_off, (sp1 - vaddr0) & U16_MASK, vaddr0))
+    src0_is_stack_mem = src0_pushpop | src0_stack_off | src0_abs
+
+    dst0_reg_val, _ = read_reg(dst0_reg)
+    vaddr1 = ((dst0_reg_val[:, 0] & U16_MASK) + imm1) & U16_MASK
+    dst0_pushpop = dst0_mode == M.FULL_STACK_PUSH_POP
+    dst0_stack_off = dst0_mode == M.FULL_STACK_OFFSET
+    dst0_abs = dst0_mode == M.FULL_ABS_STACK
+    sp2 = jnp.where(dst0_pushpop, (sp1 + vaddr1) & U16_MASK, sp1)
+    dst0_loc = jnp.where(dst0_pushpop, sp1,
+                jnp.where(dst0_stack_off, (sp2 - vaddr1) & U16_MASK, vaddr1))
+    dst0_is_stack_mem = dst0_pushpop | dst0_stack_off | dst0_abs
+
+    is_nop_op = opcode == Opcode.NOP
+    do_src0_mem_read = (src0_is_stack_mem | src0_code) & ~is_nop_op
+
+    stack_idx = jnp.minimum(src0_loc, config.stack_words - 1).astype(I32)
+    stack_val = state.stack[lanes, stack_idx]
+    stack_tag = state.stack_ptr_tag[lanes, stack_idx]
+    code_idx = jnp.minimum(src0_loc, config.code_words - 1).astype(I32)
+    code_val = state.code[lanes, code_idx]
+    lane_error = lane_error | (do_src0_mem_read & src0_is_stack_mem
+                               & (src0_loc >= config.stack_words))
+    lane_error = lane_error | (do_src0_mem_read & src0_code
+                               & (src0_loc >= config.code_words))
+
+    src0_mem_val = _sel(src0_code, code_val, stack_val)
+    src0_mem_tag = jnp.where(src0_code, False, stack_tag) & do_src0_mem_read
+
+    use_reg = (src0_mode == M.REG_ONLY) | (src0_mode == M.FULL_REG) \
+        | (src0_mode == M.REG_OR_IMM_REG)
+    use_imm = (src0_mode == M.FULL_IMM16) | (src0_mode == M.REG_OR_IMM_IMM)
+    src0 = _sel(use_reg, src0_reg_val,
+                _sel(use_imm, u256.from_u32_scalar(imm0), src0_mem_val))
+    src0_tag = jnp.where(use_reg, src0_reg_tag,
+                         jnp.where(use_imm, False, src0_mem_tag))
+    src1, src1_tag = read_reg(src1_reg)
+
+    src0, src1 = (_sel(swap_operands, src1, src0),
+                  _sel(swap_operands, src0, src1))
+    src0_tag, src1_tag = (jnp.where(swap_operands, src1_tag, src0_tag),
+                          jnp.where(swap_operands, src0_tag, src1_tag))
+
+    new_pc_lin = (pc + 1) & U16_MASK
+
+    # pointer-taint erasure (cycle.rs:374-396): clear page/start/length limbs
+    def erase(val, tag, can_ptr):
+        do = tag & ~can_ptr & ~is_kernel
+        erased = val.at[:, 1:4].set(0)
+        return _sel(do, erased, val), tag & ~do
+
+    src0, src0_tag = erase(src0, src0_tag, src0_can_ptr)
+    src1, src1_tag = erase(src1, src1_tag, src1_can_ptr)
+
+    # ==================================================================
+    # Opcode semantics (masked, all families)
+    # ==================================================================
+    OP = Opcode
+    is_add = opcode == OP.ADD
+    is_sub = opcode == OP.SUB
+    is_mul = opcode == OP.MUL
+    is_div = opcode == OP.DIV
+    is_jump = opcode == OP.JUMP
+    is_ctx = opcode == OP.CONTEXT
+    is_shift = opcode == OP.SHIFT
+    is_binop = opcode == OP.BINOP
+    is_ptr = opcode == OP.PTR
+    is_near_call = opcode == OP.NEAR_CALL
+    is_ret = opcode == OP.RET
+    is_uma = opcode == OP.UMA
+    unsupported = (opcode == OP.LOG) | (opcode == OP.FAR_CALL)
+    lane_error = lane_error | unsupported
+
+    sum_val, carry = u256.add(src0, src1)
+    diff_val, borrow = u256.sub(src0, src1)
+
+    def mul_unit(_):
+        return u256.mul_full(src0, src1)
+
+    mul_lo, mul_hi = jax.lax.cond(
+        jnp.any(is_mul), mul_unit,
+        lambda _: (jnp.zeros_like(src0), jnp.zeros_like(src0)), None)
+
+    def div_unit(_):
+        return u256.div_mod(src0, src1)
+
+    div_q, div_r = jax.lax.cond(
+        jnp.any(is_div), div_unit,
+        lambda _: (jnp.zeros_like(src0), jnp.zeros_like(src0)), None)
+    div_by_zero = u256.is_zero(src1)
+
+    shift_amount = src1[:, 0] & 0xFF  # low 8 bits of src1 (shift.rs:44)
+
+    def shift_unit(_):
+        n = shift_amount
+        res_shl = u256.shl(src0, n)
+        res_shr = u256.shr(src0, n)
+        res_rol = u256.rol(src0, n)
+        res_ror = u256.ror(src0, n)
+        s = sub_variant
+        return _sel(s == ShiftOp.SHL, res_shl,
+               _sel(s == ShiftOp.SHR, res_shr,
+               _sel(s == ShiftOp.ROL, res_rol, res_ror)))
+
+    shift_val = jax.lax.cond(jnp.any(is_shift), shift_unit,
+                             lambda _: jnp.zeros_like(src0), None)
+
+    binop_val = _sel(sub_variant == 0, src0 ^ src1,
+                _sel(sub_variant == 1, src0 & src1, src0 | src1))
+
+    # ---------------- context (context.rs) ----------------
+    ctx_sub = sub_variant
+    meta = jnp.zeros((B, 8), dtype=U32)
+    meta = meta.at[:, 0].set(state.ergs_per_pubdata)
+    meta = meta.at[:, 2].set(heap_bound0)
+    meta = meta.at[:, 3].set(aux_bound0)
+    shard_this = scal[:, CS["shard_ids"]] & 0xFF
+    shard_caller = (scal[:, CS["shard_ids"]] >> 8) & 0xFF
+    shard_code = (scal[:, CS["shard_ids"]] >> 16) & 0xFF
+    meta = meta.at[:, 7].set(shard_this | (shard_caller << 8) | (shard_code << 16))
+    u128_as_u256 = jnp.concatenate(
+        [frame_u128, jnp.zeros((B, 4), dtype=U32)], axis=1)
+    ctx_val = _sel(ctx_sub == ContextOp.THIS, _addr_to_u256(this_addr),
+              _sel(ctx_sub == ContextOp.CALLER, _addr_to_u256(msg_sender),
+              _sel(ctx_sub == ContextOp.CODE_ADDRESS, _addr_to_u256(code_addr),
+              _sel(ctx_sub == ContextOp.META, meta,
+              _sel(ctx_sub == ContextOp.ERGS_LEFT, u256.from_u32_scalar(ergs1),
+              _sel(ctx_sub == ContextOp.SP, u256.from_u32_scalar(sp2),
+                   u128_as_u256))))))
+    ctx_writes_dst = is_ctx & (ctx_sub <= ContextOp.GET_CONTEXT_U128)
+    ctx_set_u128 = is_ctx & (ctx_sub == ContextOp.SET_CONTEXT_U128)
+    ctx_set_pubdata = is_ctx & (ctx_sub == ContextOp.SET_ERGS_PER_PUBDATA_BYTE)
+    ctx_inc_tx = is_ctx & (ctx_sub == ContextOp.INCREMENT_TX_NUMBER)
+
+    new_context_u128 = _sel(ctx_set_u128, src0[:, :4], state.context_u128)
+    new_ergs_per_pubdata = jnp.where(ctx_set_pubdata, src0[:, 0],
+                                     state.ergs_per_pubdata)
+    new_tx_number = jnp.where(ctx_inc_tx, (state.tx_number + 1) & U16_MASK,
+                              state.tx_number)
+
+    # ---------------- ptr ops (ptr.rs) ----------------
+    ptr_sub = sub_variant
+    fp_offset = src0[:, 0]
+    fp_length = src0[:, 3]
+    src1_low32 = src1[:, 0]
+    src1_ge_2_32 = jnp.any(src1[:, 1:] != 0, axis=1)
+    ptr_basic_panic = is_ptr & (~src0_tag | src1_tag)
+    ptr_addsub = is_ptr & (ptr_sub <= PtrOp.SUB)
+    ptr_range_panic = ptr_addsub & src1_ge_2_32
+    new_off_add = fp_offset + src1_low32
+    add_of = new_off_add < fp_offset
+    new_off_sub = fp_offset - src1_low32
+    sub_uf = fp_offset < src1_low32
+    ptr_off_panic = is_ptr & (
+        ((ptr_sub == PtrOp.ADD) & add_of) | ((ptr_sub == PtrOp.SUB) & sub_uf))
+    src1_low128_nz = jnp.any(src1[:, :4] != 0, axis=1)
+    ptr_pack_panic = is_ptr & (ptr_sub == PtrOp.PACK) & src1_low128_nz
+    new_len = fp_length - src1_low32
+    shrink_uf = fp_length < src1_low32
+    ptr_shrink_panic = is_ptr & (ptr_sub == PtrOp.SHRINK) & shrink_uf
+    ptr_panic = ptr_basic_panic | ptr_range_panic | ptr_off_panic \
+        | ptr_pack_panic | ptr_shrink_panic
+
+    ptr_result = src0
+    ptr_result = ptr_result.at[:, 0].set(jnp.where(
+        ptr_sub == PtrOp.ADD, new_off_add,
+        jnp.where(ptr_sub == PtrOp.SUB, new_off_sub, src0[:, 0])))
+    ptr_result = ptr_result.at[:, 3].set(jnp.where(
+        ptr_sub == PtrOp.SHRINK, new_len, ptr_result[:, 3]))
+    pack_result = jnp.concatenate([src0[:, :4], src1[:, 4:]], axis=1)
+    ptr_result = _sel(ptr_sub == PtrOp.PACK, pack_result, ptr_result)
+    ptr_writes = is_ptr & ~ptr_panic
+
+    # ---------------- UMA (uma.rs) ----------------
+    uma_sub = sub_variant
+    uma_is_heap = is_uma & ((uma_sub == UMAOp.HEAP_READ) | (uma_sub == UMAOp.HEAP_WRITE))
+    uma_is_aux = is_uma & ((uma_sub == UMAOp.AUX_HEAP_READ) | (uma_sub == UMAOp.AUX_HEAP_WRITE))
+    uma_is_ptr_read = is_uma & (uma_sub == UMAOp.FAT_POINTER_READ)
+    uma_is_read = is_uma & ((uma_sub == UMAOp.HEAP_READ)
+                            | (uma_sub == UMAOp.AUX_HEAP_READ)) | uma_is_ptr_read
+    uma_is_write = is_uma & ~uma_is_read
+    uma_increment = is_uma & vflag0.astype(BOOL)
+
+    u_offset = src0[:, 0]
+    u_page_field = src0[:, 1]
+    u_start = src0[:, 2]
+    u_length = src0[:, 3]
+
+    heap_page = base_page + 2
+    aux_page = base_page + 3
+
+    uma_exc_not_ptr = uma_is_ptr_read & ~src0_tag
+    ptr_in_bounds = u_offset < u_length
+    uma_skip_oob_ptr = uma_is_ptr_read & ~ptr_in_bounds
+    src0_gt_max = jnp.any(src0[:, 1:] != 0, axis=1) \
+        | (u_offset > jnp.uint32(params.MAX_OFFSET_TO_DEREF))
+    uma_exc_deref = (uma_is_heap | uma_is_aux) & src0_gt_max
+    src_byte_off = jnp.where(uma_is_ptr_read, u_start + u_offset, u_offset)
+
+    incremented = u_offset + 32
+    increment_of = incremented < u_offset
+    uma_exc_incr = is_uma & increment_of
+
+    # heap growth (uma.rs:152-217)
+    cur_bound = jnp.where(uma_is_heap, heap_bound0, aux_bound0)
+    growth_uf = incremented < cur_bound
+    growth = jnp.where(growth_uf, 0, incremented - cur_bound)
+    growth = jnp.where(uma_is_heap | uma_is_aux, growth, 0)
+    new_heap_bound_u = jnp.where(uma_is_heap & ~growth_uf, incremented, heap_bound0)
+    new_aux_bound_u = jnp.where(uma_is_aux & ~growth_uf, incremented, aux_bound0)
+
+    uma_cost = growth * params.MEMORY_GROWTH_ERGS_PER_BYTE
+    uma_cost = jnp.where(uma_exc_deref, U32_MAX, uma_cost)
+    uma_cost = jnp.where(is_uma, uma_cost, 0)
+    uma_no_ergs = ergs1 < uma_cost
+    ergs2 = jnp.where(uma_no_ergs, 0, ergs1 - uma_cost)
+
+    uma_set_panic = is_uma & (uma_exc_not_ptr | uma_exc_deref | uma_exc_incr
+                              | (is_uma & uma_no_ergs))
+    uma_skip_mem = uma_skip_oob_ptr | uma_set_panic
+
+    word0 = (src_byte_off >> 5).astype(U32)
+    word1 = word0 + 1
+    unalign = src_byte_off & 31
+    is_unaligned = unalign != 0
+
+    # arena select: ptr reads must target the current frame's own pages
+    ptr_page_is_heap = uma_is_ptr_read & (u_page_field == heap_page)
+    ptr_page_is_aux = uma_is_ptr_read & (u_page_field == aux_page)
+    lane_error = lane_error | (uma_is_ptr_read & ~uma_skip_mem
+                               & ~(ptr_page_is_heap | ptr_page_is_aux))
+    use_heap_arena = uma_is_heap | ptr_page_is_heap
+    use_aux_arena = uma_is_aux | ptr_page_is_aux
+
+    do_mem = is_uma & ~uma_skip_mem
+    hw_err = do_mem & use_heap_arena & (word1 >= config.heap_words)
+    aw_err = do_mem & use_aux_arena & (word1 >= config.aux_heap_words)
+    lane_error = lane_error | hw_err | aw_err
+
+    h_idx0 = jnp.minimum(word0, config.heap_words - 1).astype(I32)
+    h_idx1 = jnp.minimum(word1, config.heap_words - 1).astype(I32)
+    a_idx0 = jnp.minimum(word0, config.aux_heap_words - 1).astype(I32)
+    a_idx1 = jnp.minimum(word1, config.aux_heap_words - 1).astype(I32)
+    w0_heap = state.heap[lanes, h_idx0]
+    w1_heap = state.heap[lanes, h_idx1]
+    w0_aux = state.aux_heap[lanes, a_idx0]
+    w1_aux = state.aux_heap[lanes, a_idx1]
+    w0 = _sel(do_mem, _sel(use_heap_arena, w0_heap, w0_aux),
+              jnp.zeros((B, 8), dtype=U32))
+    w1 = _sel(do_mem & is_unaligned, _sel(use_heap_arena, w1_heap, w1_aux),
+              jnp.zeros((B, 8), dtype=U32))
+
+    una_bits = unalign * 8
+    read_val = u256.shl(w0, una_bits) | u256.shr(w1, 256 - una_bits)
+    # fat-pointer tail cleanup (uma.rs:305-320)
+    beyond_uf = incremented < u_length
+    beyond = jnp.where(beyond_uf | uma_skip_mem, 0, incremented - u_length) & 31
+    bb = beyond * 8
+    read_val_ptr = u256.shl(u256.shr(read_val, bb), bb)
+    read_val = _sel(uma_is_ptr_read, read_val_ptr, read_val)
+
+    sv = src1
+    keep_hi_bits = (32 - unalign) * 8  # word_0_lowest_bytes * 8
+    new_w0 = u256.shl(u256.shr(w0, keep_hi_bits), keep_hi_bits) \
+        | u256.shr(sv, una_bits)
+    new_w1 = u256.shr(u256.shl(w1, una_bits), una_bits) \
+        | u256.shl(sv, keep_hi_bits)
+
+    uma_do_write = uma_is_write & ~uma_skip_mem
+    uma_do_read_mem = is_uma & ~uma_skip_mem
+
+    incremented_src0 = src0.at[:, 0].set(incremented)
+
+    # ---------------- near call (near_call.rs) ----------------
+    nc_abi = src0[:, 0]
+    nc_pass_all = (nc_abi == 0) | (nc_abi > ergs2)
+    nc_passed = jnp.where(nc_pass_all, ergs2, nc_abi)
+    nc_left = jnp.where(nc_pass_all, 0, ergs2 - nc_abi)
+
+    # ---------------- ret (ret.rs) ----------------
+    ret_sub = sub_variant
+    ret_is_panic0 = is_ret & (ret_sub == RetOp.PANIC)
+    ret_src0 = _sel(ret_is_panic0, jnp.zeros_like(src0), src0)
+    ret_src0_tag = src0_tag & ~ret_is_panic0
+    r_off = ret_src0[:, 0]
+    r_page = ret_src0[:, 1]
+    r_start = ret_src0[:, 2]
+    r_len = ret_src0[:, 3]
+    r_mode = (ret_src0[:, 7] >> 8) & 0xFF
+    r_mode = jnp.where(r_mode > 2, 0, r_mode)
+    r_fwd = r_mode == 1      # ForwardFatPointer
+    r_use_aux = r_mode == 2
+
+    nonlocal_ret = is_ret & ~is_local_frame
+    rp_not_ptr = r_fwd & ~ret_src0_tag
+    rp_back_fwd = r_fwd & (r_page < base_page)
+    # start+length overflow over u32 (DEREF_BEYOND_HEAP_RANGE)
+    r_sl = r_start + r_len
+    r_deref_exc = r_sl < r_start
+    r_off_exc = (~r_fwd) & (r_off != 0)
+    rp_validation = r_deref_exc | r_off_exc
+    rp_slice = r_off > r_len
+    ret_panic1 = nonlocal_ret & (rp_not_ptr | rp_back_fwd | rp_validation | rp_slice)
+    ret_escalated = (is_ret & (ret_sub == RetOp.PANIC)) | ret_panic1
+    # masked pointer for panic
+    z32 = jnp.zeros_like(r_off)
+    r_off = jnp.where(ret_escalated, z32, r_off)
+    r_page = jnp.where(ret_escalated, z32, r_page)
+    r_start = jnp.where(ret_escalated, z32, r_start)
+    r_len = jnp.where(ret_escalated, z32, r_len)
+    # forwarding resolution (non-local, Ok|Revert)
+    apply_fwd = nonlocal_ret & ~ret_escalated
+    r_start = jnp.where(apply_fwd & r_fwd, r_start + r_off, r_start)
+    r_len = jnp.where(apply_fwd & r_fwd, r_len - r_off, r_len)
+    r_off = jnp.where(apply_fwd & r_fwd, 0, r_off)
+    r_page = jnp.where(apply_fwd & ~r_fwd,
+                       jnp.where(r_use_aux, aux_page, heap_page), r_page)
+    # growth payment (non-local, non-forward)
+    r_upper = r_start + r_len
+    r_upper = jnp.where(nonlocal_ret & r_deref_exc, U32_MAX, r_upper)
+    r_bound = jnp.where(r_use_aux, aux_bound0, heap_bound0)
+    r_growth_uf = r_upper < r_bound
+    r_growth = jnp.where(r_growth_uf, 0, r_upper - r_bound)
+    r_growth = jnp.where(nonlocal_ret & ~r_fwd, r_growth, 0)
+    r_cost = r_growth * params.MEMORY_GROWTH_ERGS_PER_BYTE
+    r_no_ergs = ergs2 < r_cost
+    ergs3 = jnp.where(is_ret & ~r_no_ergs, ergs2 - jnp.where(is_ret, r_cost, 0),
+                      jnp.where(is_ret & r_no_ergs, 0, ergs2))
+    ret_panic2 = nonlocal_ret & r_no_ergs
+    ret_final_panic = ret_escalated | ret_panic2
+    r_off = jnp.where(ret_panic2, 0, r_off)
+    r_page = jnp.where(ret_panic2, 0, r_page)
+    r_start = jnp.where(ret_panic2, 0, r_start)
+    r_len = jnp.where(ret_panic2, 0, r_len)
+    ret_panicked = is_ret & ((ret_sub == RetOp.REVERT) | ret_final_panic)
+    is_to_label = is_ret & vflag0.astype(BOOL)
+
+    returndata_u256 = jnp.zeros((B, 8), dtype=U32)
+    returndata_u256 = returndata_u256.at[:, 0].set(r_off)
+    returndata_u256 = returndata_u256.at[:, 1].set(r_page)
+    returndata_u256 = returndata_u256.at[:, 2].set(r_start)
+    returndata_u256 = returndata_u256.at[:, 3].set(r_len)
+
+    # ==================================================================
+    # Flags writeback
+    # ==================================================================
+    add_eq = u256.is_zero(sum_val)
+    sub_eq = u256.is_zero(diff_val)
+    mul_of = ~u256.is_zero(mul_hi)
+    mul_eq = u256.is_zero(mul_lo)
+    div_eq = u256.is_zero(div_q)
+    div_gt = u256.is_zero(div_r)
+    shift_eq = u256.is_zero(shift_val)
+    binop_eq = u256.is_zero(binop_val)
+
+    new_lt = jnp.zeros((B,), dtype=BOOL)
+    new_eq = jnp.zeros((B,), dtype=BOOL)
+    new_gt = jnp.zeros((B,), dtype=BOOL)
+    cb = carry.astype(BOOL)
+    bb_ = borrow.astype(BOOL)
+    new_lt = jnp.where(is_add, cb, jnp.where(is_sub, bb_, new_lt))
+    new_eq = jnp.where(is_add, add_eq, jnp.where(is_sub, sub_eq, new_eq))
+    new_gt = jnp.where(is_add, ~add_eq & ~cb,
+             jnp.where(is_sub, ~sub_eq & ~bb_, new_gt))
+    new_lt = jnp.where(is_mul, mul_of, new_lt)
+    new_eq = jnp.where(is_mul, mul_eq, new_eq)
+    new_gt = jnp.where(is_mul, ~mul_of & ~mul_eq, new_gt)
+    new_lt = jnp.where(is_div, div_by_zero, new_lt)
+    new_eq = jnp.where(is_div, div_eq & ~div_by_zero, new_eq)
+    new_gt = jnp.where(is_div, div_gt & ~div_by_zero, new_gt)
+    new_eq = jnp.where(is_shift, shift_eq, new_eq)
+    new_lt = jnp.where(is_shift | is_binop, False, new_lt)
+    new_gt = jnp.where(is_shift | is_binop, False, new_gt)
+    new_eq = jnp.where(is_binop, binop_eq, new_eq)
+
+    writes_flags = (set_flags & (is_add | is_sub | is_mul | is_div
+                                 | is_shift | is_binop))
+    resets_flags = is_near_call | is_ret  # (far call would too)
+    ret_sets_lt = is_ret & ret_final_panic
+
+    flags_lt = jnp.where(writes_flags, new_lt,
+               jnp.where(resets_flags, ret_sets_lt, lt_f))
+    flags_eq = jnp.where(writes_flags, new_eq,
+               jnp.where(resets_flags, False, eq_f))
+    flags_gt = jnp.where(writes_flags, new_gt,
+               jnp.where(resets_flags, False, gt_f))
+    new_flags = jnp.stack([flags_lt, flags_eq, flags_gt], axis=1)
+
+    # ==================================================================
+    # dst0 / dst1 selection
+    # ==================================================================
+    dst0_val = jnp.zeros((B, 8), dtype=U32)
+    dst0_val = _sel(is_add, sum_val, dst0_val)
+    dst0_val = _sel(is_sub, diff_val, dst0_val)
+    dst0_val = _sel(is_mul, mul_lo, dst0_val)
+    dst0_val = _sel(is_div, _sel(div_by_zero, jnp.zeros_like(div_q), div_q),
+                    dst0_val)
+    dst0_val = _sel(is_shift, shift_val, dst0_val)
+    dst0_val = _sel(is_binop, binop_val, dst0_val)
+    dst0_val = _sel(is_ctx, ctx_val, dst0_val)
+    dst0_val = _sel(ptr_writes, ptr_result, dst0_val)
+    dst0_val = _sel(uma_is_read & is_uma, read_val, dst0_val)
+    dst0_val = _sel(uma_is_write & uma_increment,
+                    incremented_src0, dst0_val)
+    dst0_is_ptr = ptr_writes  # only ptr ops produce tagged dst0 here
+
+    dst0_write = is_add | is_sub | is_mul | is_div | is_shift | is_binop \
+        | ctx_writes_dst | ptr_writes \
+        | (uma_is_read & ~uma_set_panic) \
+        | (uma_is_write & uma_increment & ~uma_set_panic)
+
+    dst1_val = jnp.zeros((B, 8), dtype=U32)
+    dst1_val = _sel(is_mul, mul_hi, dst1_val)
+    dst1_val = _sel(is_div, _sel(div_by_zero, jnp.zeros_like(div_r), div_r),
+                    dst1_val)
+    dst1_val = _sel(uma_is_read & uma_increment, incremented_src0, dst1_val)
+    dst1_is_ptr = uma_is_read & uma_increment & src0_tag
+    dst1_write = is_mul | is_div \
+        | (uma_is_read & uma_increment & ~uma_set_panic)
+
+    # pending exception accumulation (shorthand panics)
+    new_pending = new_pending | (ptr_basic_panic | ptr_range_panic
+                                 | ptr_off_panic | ptr_pack_panic
+                                 | ptr_shrink_panic) & is_ptr
+    new_pending = new_pending | uma_set_panic
+
+    # ==================================================================
+    # PC resolution + frame machinery
+    # ==================================================================
+    cur_pc_new = new_pc_lin
+    cur_pc_new = jnp.where(is_jump, src0[:, 0] & U16_MASK, cur_pc_new)
+    # near_call: caller's saved pc = new_pc (set below as current update,
+    # then the pushed frame's pc = imm0)
+
+    # ---- current frame update (applies to all lanes; dead for ret lanes)
+    cur_scal = scal
+    cur_scal = cur_scal.at[:, CS["pc"]].set(cur_pc_new)
+    cur_scal = cur_scal.at[:, CS["sp"]].set(sp2)
+    cur_ergs_final = jnp.where(is_near_call, nc_left,
+                      jnp.where(is_ret, 0, ergs3))
+    cur_scal = cur_scal.at[:, CS["ergs_remaining"]].set(cur_ergs_final)
+    cur_scal = cur_scal.at[:, CS["heap_bound"]].set(
+        jnp.where(is_uma, new_heap_bound_u, heap_bound0))
+    cur_scal = cur_scal.at[:, CS["aux_heap_bound"]].set(
+        jnp.where(is_uma, new_aux_bound_u, aux_bound0))
+
+    new_cs_scalars = _scatter_rows(state.cs_scalars, depth, cur_scal,
+                                   jnp.ones((B,), dtype=BOOL))
+
+    # ---- push (near call)
+    push_mask = is_near_call
+    pushed = cur_scal
+    pushed = pushed.at[:, CS["pc"]].set(imm0)
+    pushed = pushed.at[:, CS["exception_handler"]].set(imm1)
+    pushed = pushed.at[:, CS["ergs_remaining"]].set(nc_passed)
+    pushed = pushed.at[:, CS["flags_word"]].set(flags_word | 2)  # is_local
+    push_idx = jnp.minimum(depth + 1, D - 1)
+    lane_error = lane_error | (push_mask & (depth + 1 >= D))
+    new_cs_scalars = _scatter_rows(new_cs_scalars, push_idx, pushed, push_mask)
+    new_cs_this = _scatter_rows(state.cs_this_address, push_idx, this_addr, push_mask)
+    new_cs_sender = _scatter_rows(state.cs_msg_sender, push_idx, msg_sender, push_mask)
+    new_cs_code = _scatter_rows(state.cs_code_address, push_idx, code_addr, push_mask)
+    new_cs_u128 = _scatter_rows(state.cs_context_u128, push_idx, frame_u128, push_mask)
+
+    # ---- pop (ret): update the parent frame
+    pop_mask = is_ret
+    parent_idx = jnp.maximum(depth - 1, 0)
+    parent_scal = _gather_rows(new_cs_scalars, parent_idx)
+    p_ergs = parent_scal[:, CS["ergs_remaining"]] + ergs3
+    parent_scal = parent_scal.at[:, CS["ergs_remaining"]].set(p_ergs)
+    label_jump = is_to_label & is_local_frame
+    p_pc = parent_scal[:, CS["pc"]]
+    p_pc = jnp.where(label_jump, imm0,
+            jnp.where(ret_panicked, scal[:, CS["exception_handler"]], p_pc))
+    parent_scal = parent_scal.at[:, CS["pc"]].set(p_pc)
+    # local frames propagate heap bounds up
+    loc = is_local_frame
+    parent_scal = parent_scal.at[:, CS["heap_bound"]].set(
+        jnp.where(loc, jnp.where(is_uma, new_heap_bound_u, heap_bound0),
+                  parent_scal[:, CS["heap_bound"]]))
+    parent_scal = parent_scal.at[:, CS["aux_heap_bound"]].set(
+        jnp.where(loc, jnp.where(is_uma, new_aux_bound_u, aux_bound0),
+                  parent_scal[:, CS["aux_heap_bound"]]))
+    new_cs_scalars = _scatter_rows(new_cs_scalars, parent_idx, parent_scal, pop_mask)
+
+    new_depth = depth + push_mask.astype(I32) - pop_mask.astype(I32)
+    new_depth = jnp.maximum(new_depth, 0)
+    new_done = new_depth == 0
+
+    # ==================================================================
+    # Register writebacks
+    # ==================================================================
+    new_regs = state.regs
+    new_reg_ptr = state.reg_ptr
+    dst0_to_reg = dst0_write & ~dst0_is_stack_mem & (dst0_reg > 0)
+    r_idx0 = jnp.maximum(dst0_reg.astype(I32) - 1, 0)
+    old0 = new_regs[lanes, r_idx0]
+    new_regs = new_regs.at[lanes, r_idx0].set(_sel(dst0_to_reg, dst0_val, old0))
+    oldp0 = new_reg_ptr[lanes, r_idx0]
+    new_reg_ptr = new_reg_ptr.at[lanes, r_idx0].set(
+        jnp.where(dst0_to_reg, dst0_is_ptr, oldp0))
+
+    dst1_to_reg = dst1_write & (dst1_reg > 0)
+    r_idx1 = jnp.maximum(dst1_reg.astype(I32) - 1, 0)
+    old1 = new_regs[lanes, r_idx1]
+    new_regs = new_regs.at[lanes, r_idx1].set(_sel(dst1_to_reg, dst1_val, old1))
+    oldp1 = new_reg_ptr[lanes, r_idx1]
+    new_reg_ptr = new_reg_ptr.at[lanes, r_idx1].set(
+        jnp.where(dst1_to_reg, dst1_is_ptr, oldp1))
+
+    # non-local ret register-file protocol: r1 = returndata ptr, rest wiped
+    wiped = jnp.zeros_like(new_regs)
+    wiped = wiped.at[:, 0].set(returndata_u256)
+    wiped_ptr = jnp.zeros_like(new_reg_ptr)
+    wiped_ptr = wiped_ptr.at[:, 0].set(True)
+    new_regs = _sel(nonlocal_ret, wiped, new_regs)
+    new_reg_ptr = _sel(nonlocal_ret, wiped_ptr, new_reg_ptr)
+    new_context_u128 = _sel(nonlocal_ret, jnp.zeros((B, 4), dtype=U32),
+                            new_context_u128)
+
+    # ==================================================================
+    # Memory writebacks
+    # ==================================================================
+    dst0_to_stack = dst0_write & dst0_is_stack_mem
+    s_idx = jnp.minimum(dst0_loc, config.stack_words - 1).astype(I32)
+    lane_error = lane_error | (dst0_to_stack & (dst0_loc >= config.stack_words))
+    old_sv = state.stack[lanes, s_idx]
+    new_stack = state.stack.at[lanes, s_idx].set(
+        _sel(dst0_to_stack, dst0_val, old_sv))
+    old_st = state.stack_ptr_tag[lanes, s_idx]
+    new_stack_tag = state.stack_ptr_tag.at[lanes, s_idx].set(
+        jnp.where(dst0_to_stack, dst0_is_ptr, old_st))
+
+    w_heap0 = uma_do_write & use_heap_arena
+    w_heap1 = w_heap0 & is_unaligned
+    w_aux0 = uma_do_write & use_aux_arena
+    w_aux1 = w_aux0 & is_unaligned
+    new_heap = state.heap
+    new_heap = new_heap.at[lanes, h_idx0].set(
+        _sel(w_heap0, new_w0, new_heap[lanes, h_idx0]))
+    new_heap = new_heap.at[lanes, h_idx1].set(
+        _sel(w_heap1, new_w1, new_heap[lanes, h_idx1]))
+    new_aux = state.aux_heap
+    new_aux = new_aux.at[lanes, a_idx0].set(
+        _sel(w_aux0, new_w0, new_aux[lanes, a_idx0]))
+    new_aux = new_aux.at[lanes, a_idx1].set(
+        _sel(w_aux1, new_w1, new_aux[lanes, a_idx1]))
+
+    # ==================================================================
+    # Witness queue (memory queries, golden order; see golden/vm.py)
+    # ==================================================================
+    wq_count = state.wq_count
+    wq_meta, wq_value, wq_flags = state.wq_meta, state.wq_value, state.wq_flags
+    if config.queue_capacity > 0:
+        ts0 = state.timestamp
+        ts3 = state.timestamp + 3
+        stack_page_arr = base_page + 1
+        uma_page = jnp.where(use_heap_arena, heap_page,
+                    jnp.where(use_aux_arena, aux_page, u_page_field))
+        uma_type = jnp.where(uma_is_ptr_read, 3,
+                    jnp.where(uma_is_aux, 2, 1))  # MemoryType enum values
+        # slots in golden emission order
+        slots = [
+            # (valid, type, page, index, value, is_ptr, rw, timestamp)
+            (code_read_needed & ~state.done, jnp.full((B,), 4, U32), code_page,
+             super_pc, code_word, jnp.zeros((B,), BOOL), False, ts0),
+            (do_src0_mem_read & src0_is_stack_mem, jnp.zeros((B,), U32) + 0,
+             stack_page_arr, src0_loc, stack_val, stack_tag, False, ts0),
+            (do_src0_mem_read & src0_code, jnp.full((B,), 4, U32), code_page,
+             src0_loc, code_val, jnp.zeros((B,), BOOL), False, ts0),
+            (uma_do_read_mem, uma_type, uma_page, word0, w0,
+             jnp.zeros((B,), BOOL), False, ts0),
+            (uma_do_read_mem & is_unaligned, uma_type, uma_page, word1, w1,
+             jnp.zeros((B,), BOOL), False, ts0),
+            (dst0_to_stack, jnp.zeros((B,), U32), stack_page_arr, dst0_loc,
+             dst0_val, dst0_is_ptr, True, ts3),
+            (uma_do_write, uma_type, uma_page, word0, new_w0,
+             jnp.zeros((B,), BOOL), True, ts3),
+            (uma_do_write & is_unaligned, uma_type, uma_page, word1, new_w1,
+             jnp.zeros((B,), BOOL), True, ts3),
+        ]
+        for valid, mtype, mpage, midx, mval, mptr, rw, ts in slots:
+            pos = jnp.minimum(wq_count, config.queue_capacity - 1)
+            lane_error = lane_error | (valid & (wq_count >= config.queue_capacity))
+            meta_row = jnp.stack(
+                [ts, mtype.astype(U32), mpage.astype(U32), midx.astype(U32)],
+                axis=1)
+            old_meta = wq_meta[lanes, pos]
+            wq_meta = wq_meta.at[lanes, pos].set(_sel(valid, meta_row, old_meta))
+            old_val = wq_value[lanes, pos]
+            wq_value = wq_value.at[lanes, pos].set(_sel(valid, mval, old_val))
+            fl = (jnp.uint32(1) if rw else jnp.uint32(0)) \
+                | (mptr.astype(U32) << 1)
+            old_fl = wq_flags[lanes, pos]
+            wq_flags = wq_flags.at[lanes, pos].set(jnp.where(valid, fl, old_fl))
+            wq_count = wq_count + valid.astype(I32)
+
+    # ==================================================================
+    # Assemble the new state; freeze lanes that were already done
+    # ==================================================================
+    old = state
+    new = BatchedVmState(
+        regs=new_regs, reg_ptr=new_reg_ptr, flags=new_flags,
+        timestamp=state.timestamp + params.TIME_DELTA_PER_CYCLE,
+        monotonic_cycle_counter=state.monotonic_cycle_counter + 1,
+        spent_pubdata=state.spent_pubdata,
+        ergs_per_pubdata=new_ergs_per_pubdata,
+        tx_number=new_tx_number,
+        pending_exception=new_pending,
+        previous_code_word=new_prev_code_word,
+        previous_super_pc=new_prev_super_pc,
+        previous_code_page=new_prev_code_page,
+        context_u128=new_context_u128,
+        depth=new_depth,
+        cs_this_address=new_cs_this,
+        cs_msg_sender=new_cs_sender,
+        cs_code_address=new_cs_code,
+        cs_context_u128=new_cs_u128,
+        cs_scalars=new_cs_scalars,
+        code=state.code,
+        stack=new_stack, stack_ptr_tag=new_stack_tag,
+        heap=new_heap, aux_heap=new_aux,
+        done=new_done, lane_error=lane_error,
+        wq_count=wq_count, wq_meta=wq_meta, wq_value=wq_value,
+        wq_flags=wq_flags,
+    )
+    merged = jax.tree.map(
+        lambda o, n: _sel(frozen, o, n), old, new)
+    return merged
+
+
+@partial(jax.jit, static_argnames=("config", "n_cycles"), donate_argnums=(0,))
+def run_cycles(state: BatchedVmState, config: VmConfig,
+               n_cycles: int) -> BatchedVmState:
+    """Advance all lanes by n_cycles (lanes freeze once they finish)."""
+    return jax.lax.fori_loop(
+        0, n_cycles, lambda _, s: cycle_step(s, config), state)

@@ -1,0 +1,194 @@
+"""Batched VM state: struct-of-arrays over a batch of independent contexts.
+
+The TPU-native re-representation of `VmLocalState` + callstack + memory
+(SURVEY.md §2.1, §7): every field is an array with a leading batch axis; the
+callstack is a fixed-depth SoA (frames[b, d]); memory is flat per-lane arenas
+instead of the reference's page graph.  Everything is a pytree, so the whole
+state flows through jit/scan/shard_map unchanged.
+
+U256 values are uint32[..., 8] (little-endian limbs); 160-bit addresses are
+uint32[..., 5].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..isa import params
+
+U32 = jnp.uint32
+I32 = jnp.int32
+BOOL = jnp.bool_
+
+
+@dataclasses.dataclass(frozen=True)
+class VmConfig:
+    """Static geometry of the batched VM (XLA shapes)."""
+
+    batch: int
+    code_words: int = 64          # per-lane code page capacity (32-byte words)
+    stack_words: int = 2048       # per-lane stack arena (must cover initial SP)
+    heap_words: int = 512         # per-lane heap arena
+    aux_heap_words: int = 64      # per-lane aux-heap arena
+    max_depth: int = 32           # callstack frames held on device
+    queue_capacity: int = 0       # memory-witness queue slots (0 = off)
+
+    def __post_init__(self):
+        assert self.stack_words > params.INITIAL_SP_ON_FAR_CALL
+
+
+# callstack scalar fields, all uint32[B, D]
+CS_SCALAR_FIELDS = (
+    "base_memory_page", "code_page", "sp", "pc", "exception_handler",
+    "ergs_remaining", "shard_ids",  # shard_ids packs this|caller<<8|code<<16
+    "flags_word",                   # bit0 is_static, bit1 is_local_frame
+    "heap_bound", "aux_heap_bound",
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BatchedVmState:
+    # register file
+    regs: jax.Array          # u32[B, 15, 8]
+    reg_ptr: jax.Array       # bool[B, 15]
+    flags: jax.Array         # bool[B, 3]: lt/of, eq, gt
+
+    # local scalars
+    timestamp: jax.Array             # u32[B]
+    monotonic_cycle_counter: jax.Array  # u32[B]
+    spent_pubdata: jax.Array         # u32[B]
+    ergs_per_pubdata: jax.Array      # u32[B]
+    tx_number: jax.Array             # u32[B]
+    pending_exception: jax.Array     # bool[B]
+    previous_code_word: jax.Array    # u32[B, 8]
+    previous_super_pc: jax.Array     # u32[B]
+    previous_code_page: jax.Array    # u32[B]
+    context_u128: jax.Array          # u32[B, 4]
+
+    # callstack (SoA, frames[b, d]; current = d == depth)
+    depth: jax.Array                 # i32[B]
+    cs_this_address: jax.Array       # u32[B, D, 5]
+    cs_msg_sender: jax.Array         # u32[B, D, 5]
+    cs_code_address: jax.Array       # u32[B, D, 5]
+    cs_context_u128: jax.Array       # u32[B, D, 4]
+    cs_scalars: jax.Array            # u32[B, D, len(CS_SCALAR_FIELDS)]
+
+    # memory arenas
+    code: jax.Array                  # u32[B, CW, 8]
+    stack: jax.Array                 # u32[B, SW, 8]
+    stack_ptr_tag: jax.Array         # bool[B, SW]
+    heap: jax.Array                  # u32[B, HW, 8]
+    aux_heap: jax.Array              # u32[B, AW, 8]
+
+    # lane status
+    done: jax.Array                  # bool[B] — execution has ended
+    lane_error: jax.Array            # bool[B] — hit an unsupported/oob path
+
+    # memory witness queue (optional; zero-size arrays when off)
+    wq_count: jax.Array              # i32[B]
+    wq_meta: jax.Array               # u32[B, Q, 4]: timestamp, type, page, index
+    wq_value: jax.Array              # u32[B, Q, 8]
+    wq_flags: jax.Array              # u32[B, Q]: bit0 rw, bit1 is_ptr
+
+
+CS = {name: i for i, name in enumerate(CS_SCALAR_FIELDS)}
+
+
+def empty_state(config: VmConfig) -> BatchedVmState:
+    B, D = config.batch, config.max_depth
+    Q = config.queue_capacity
+    z = partial(jnp.zeros, dtype=U32)
+    state = BatchedVmState(
+        regs=z((B, params.REGISTERS_COUNT, 8)),
+        reg_ptr=jnp.zeros((B, params.REGISTERS_COUNT), dtype=BOOL),
+        flags=jnp.zeros((B, 3), dtype=BOOL),
+        timestamp=jnp.full((B,), params.STARTING_TIMESTAMP, dtype=U32),
+        monotonic_cycle_counter=z((B,)),
+        spent_pubdata=z((B,)),
+        ergs_per_pubdata=z((B,)),
+        tx_number=z((B,)),
+        pending_exception=jnp.zeros((B,), dtype=BOOL),
+        previous_code_word=z((B, 8)),
+        previous_super_pc=z((B,)),
+        previous_code_page=z((B,)),
+        context_u128=z((B, 4)),
+        depth=jnp.zeros((B,), dtype=I32),
+        cs_this_address=z((B, D, 5)),
+        cs_msg_sender=z((B, D, 5)),
+        cs_code_address=z((B, D, 5)),
+        cs_context_u128=z((B, D, 4)),
+        cs_scalars=z((B, D, len(CS_SCALAR_FIELDS))),
+        code=z((B, config.code_words, 8)),
+        stack=z((B, config.stack_words, 8)),
+        stack_ptr_tag=jnp.zeros((B, config.stack_words), dtype=BOOL),
+        heap=z((B, config.heap_words, 8)),
+        aux_heap=z((B, config.aux_heap_words, 8)),
+        done=jnp.zeros((B,), dtype=BOOL),
+        lane_error=jnp.zeros((B,), dtype=BOOL),
+        wq_count=jnp.zeros((B,), dtype=I32),
+        wq_meta=z((B, Q, 4)),
+        wq_value=z((B, Q, 8)),
+        wq_flags=z((B, Q)),
+    )
+    # root frames: empty context with the initial ergs budget
+    root = state.cs_scalars
+    root = root.at[:, 0, CS["sp"]].set(params.INITIAL_SP_ON_FAR_CALL)
+    root = root.at[:, 0, CS["ergs_remaining"]].set(params.VM_INITIAL_FRAME_ERGS)
+    state.cs_scalars = root
+    return state
+
+
+def make_entry_state(config: VmConfig, programs: list[list[int]],
+                     ergs: int = 1 << 27,
+                     entry_address: int = 0x8001,
+                     heap_init: list[list[int]] | None = None,
+                     is_static: bool = False,
+                     base_page: int = 8) -> BatchedVmState:
+    """Host-side constructor: load one bytecode (code-word list) per lane and
+    push a bootloader-style entry frame (mirrors testing/harness.build_vm)."""
+    from ..utils import to_limbs
+
+    B = config.batch
+    assert len(programs) == B
+    state = empty_state(config)
+
+    code = np.zeros((B, config.code_words, 8), dtype=np.uint32)
+    for b, words in enumerate(programs):
+        assert len(words) <= config.code_words, "program exceeds code arena"
+        for i, w in enumerate(words):
+            code[b, i] = to_limbs(w)
+    state.code = jnp.asarray(code)
+
+    heap = np.zeros((B, config.heap_words, 8), dtype=np.uint32)
+    if heap_init is not None:
+        for b, words in enumerate(heap_init):
+            for i, w in enumerate(words):
+                heap[b, i] = to_limbs(w)
+    state.heap = jnp.asarray(heap)
+
+    # entry frame at depth 1
+    addr = np.array([(entry_address >> (32 * i)) & 0xFFFFFFFF for i in range(5)],
+                    dtype=np.uint32)
+    state.cs_this_address = state.cs_this_address.at[:, 1].set(jnp.asarray(addr))
+    state.cs_code_address = state.cs_code_address.at[:, 1].set(jnp.asarray(addr))
+    sc = state.cs_scalars
+    sc = sc.at[:, 1, CS["base_memory_page"]].set(base_page)
+    sc = sc.at[:, 1, CS["code_page"]].set(base_page)
+    sc = sc.at[:, 1, CS["sp"]].set(params.INITIAL_SP_ON_FAR_CALL)
+    sc = sc.at[:, 1, CS["pc"]].set(0)
+    sc = sc.at[:, 1, CS["exception_handler"]].set((1 << 16) - 1)
+    sc = sc.at[:, 1, CS["ergs_remaining"]].set(ergs)
+    sc = sc.at[:, 1, CS["flags_word"]].set(1 if is_static else 0)
+    sc = sc.at[:, 1, CS["heap_bound"]].set(params.NEW_FRAME_MEMORY_STIPEND)
+    sc = sc.at[:, 1, CS["aux_heap_bound"]].set(params.NEW_FRAME_MEMORY_STIPEND)
+    # root frame keeps VM_INITIAL_FRAME_ERGS - ergs
+    sc = sc.at[:, 0, CS["ergs_remaining"]].set(params.VM_INITIAL_FRAME_ERGS - ergs)
+    state.cs_scalars = sc
+    state.depth = jnp.ones((B,), dtype=I32)
+    return state

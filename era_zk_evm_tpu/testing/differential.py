@@ -1,0 +1,133 @@
+"""Differential testing: batched TPU interpreter vs the golden oracle.
+
+Runs the same programs through both engines and compares every observable:
+final register file (incl. pointer tags), flags, root-frame ergs, timestamps,
+heap/stack arenas, and the ordered memory-witness query stream (SURVEY.md §4:
+"differential tests of every opcode/kernel against a CPU oracle").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..golden import MemoryType
+from ..isa import params
+from ..isa.assembler import assemble_to_code_words
+from ..models import VmConfig, make_entry_state, run_cycles
+from ..utils import from_limbs
+from . import harness
+
+
+class DifferentialMismatch(AssertionError):
+    pass
+
+
+def _check(cond, lane, what, got, want):
+    if not cond:
+        raise DifferentialMismatch(
+            f"lane {lane}: {what}: device={got!r} golden={want!r}")
+
+
+def run_golden(source: str, max_cycles: int, **kwargs):
+    tools = harness.create_default_tools()
+    vm = harness.build_vm(assemble_to_code_words(source), tools=tools, **kwargs)
+    cycles = harness.run(vm, max_cycles)
+    return vm, tools, cycles
+
+
+def diff_run(sources: list[str], config: VmConfig | None = None,
+             max_cycles: int = 256, ergs: int = 1 << 20,
+             compare_witness: bool = True) -> None:
+    """Run each program on both engines and compare exhaustively."""
+    B = len(sources)
+    config = config or VmConfig(
+        batch=B, queue_capacity=max_cycles * 6, heap_words=64,
+        stack_words=2048, code_words=64, max_depth=8)
+
+    goldens = [run_golden(src, max_cycles, ergs=ergs) for src in sources]
+
+    programs = [assemble_to_code_words(src) for src in sources]
+    state = make_entry_state(config, programs, ergs=ergs)
+    state = run_cycles(state, config, max_cycles)
+
+    done = np.asarray(state.done)
+    err = np.asarray(state.lane_error)
+    regs = np.asarray(state.regs)
+    reg_ptr = np.asarray(state.reg_ptr)
+    flags = np.asarray(state.flags)
+    ts = np.asarray(state.timestamp)
+    mcc = np.asarray(state.monotonic_cycle_counter)
+    cs = np.asarray(state.cs_scalars)
+    heap = np.asarray(state.heap)
+    stack = np.asarray(state.stack)
+    stack_tag = np.asarray(state.stack_ptr_tag)
+    wq_count = np.asarray(state.wq_count)
+    wq_meta = np.asarray(state.wq_meta)
+    wq_value = np.asarray(state.wq_value)
+    wq_flags = np.asarray(state.wq_flags)
+
+    from .harness import ENTRY_BASE_PAGE
+    heap_page = ENTRY_BASE_PAGE + 2
+    stack_page = ENTRY_BASE_PAGE + 1
+
+    for b, (vm, tools, cycles) in enumerate(goldens):
+        _check(bool(done[b]), b, "done", bool(done[b]), True)
+        _check(not bool(err[b]), b, "lane_error", bool(err[b]), False)
+        _check(int(mcc[b]) == cycles, b, "cycle count", int(mcc[b]), cycles)
+        _check(int(ts[b]) == vm.local_state.timestamp, b, "timestamp",
+               int(ts[b]), vm.local_state.timestamp)
+
+        for r in range(params.REGISTERS_COUNT):
+            want = vm.local_state.registers[r]
+            got = from_limbs(regs[b, r])
+            _check(got == want.value, b, f"r{r+1}", hex(got), hex(want.value))
+            _check(bool(reg_ptr[b, r]) == want.is_pointer, b, f"r{r+1}.ptr",
+                   bool(reg_ptr[b, r]), want.is_pointer)
+
+        f = vm.local_state.flags
+        _check(bool(flags[b, 0]) == f.overflow_or_less_than, b, "flag.lt",
+               bool(flags[b, 0]), f.overflow_or_less_than)
+        _check(bool(flags[b, 1]) == f.equality, b, "flag.eq",
+               bool(flags[b, 1]), f.equality)
+        _check(bool(flags[b, 2]) == f.greater_than, b, "flag.gt",
+               bool(flags[b, 2]), f.greater_than)
+
+        root_ergs = int(cs[b, 0, 5])  # CS["ergs_remaining"] == 5
+        want_root = vm.local_state.callstack.current.ergs_remaining
+        _check(root_ergs == want_root, b, "root ergs", root_ergs, want_root)
+
+        heap_words = vm.memory.dump_page(heap_page, 0, config.heap_words)
+        got_heap = [from_limbs(heap[b, i]) for i in range(config.heap_words)]
+        _check(got_heap == heap_words, b, "heap contents",
+               got_heap[:8], heap_words[:8])
+
+        # compare a slice of the stack around the SP region + low absolutes
+        lo = vm.memory.dump_page(stack_page, 0, 256)
+        got_lo = [from_limbs(stack[b, i]) for i in range(256)]
+        _check(got_lo == lo, b, "stack[0:256]", None, None)
+        sp0 = params.INITIAL_SP_ON_FAR_CALL
+        hi = vm.memory.dump_page(stack_page, sp0 - 64, sp0 + 256)
+        got_hi = [from_limbs(stack[b, i]) for i in range(sp0 - 64, sp0 + 256)]
+        _check(got_hi == hi, b, "stack around sp", None, None)
+
+        if compare_witness:
+            want_stream = [q for _, q in tools.witness.memory_queries]
+            n = int(wq_count[b])
+            _check(n == len(want_stream), b, "witness query count",
+                   n, len(want_stream))
+            for i, q in enumerate(want_stream):
+                got_ts, got_type, got_page, got_idx = (int(x) for x in wq_meta[b, i])
+                got_val = from_limbs(wq_value[b, i])
+                got_rw = bool(wq_flags[b, i] & 1)
+                got_ptr = bool(wq_flags[b, i] & 2)
+                tag = f"witness[{i}]"
+                _check(got_ts == q.timestamp, b, tag + ".ts", got_ts, q.timestamp)
+                _check(got_type == int(q.memory_type), b, tag + ".type",
+                       got_type, int(q.memory_type))
+                _check(got_page == q.page, b, tag + ".page", got_page, q.page)
+                _check(got_idx == q.index, b, tag + ".index", got_idx, q.index)
+                _check(got_val == q.value, b, tag + ".value",
+                       hex(got_val), hex(q.value))
+                _check(got_rw == q.rw_flag, b, tag + ".rw", got_rw, q.rw_flag)
+                _check(got_ptr == q.value_is_pointer, b, tag + ".is_ptr",
+                       got_ptr, q.value_is_pointer)
