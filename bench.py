@@ -1,0 +1,103 @@
+"""Benchmark: witness-traced EraVM cycles/sec/chip on the batched interpreter.
+
+Runs on the real TPU chip (the session's default JAX platform, `axon`).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline anchor: the reference publishes no numbers (BASELINE.md) and the
+image has no Rust toolchain to measure the crate locally, so the baseline is
+pinned to an assumed 10e6 witness-traced cycles/sec for the single-core Rust
+reference — the upper end of published EraVM-emulator throughput figures, i.e.
+a baseline chosen to be generous to the reference.  vs_baseline = ours / that.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+from era_zk_evm_tpu.isa.assembler import assemble_to_code_words
+from era_zk_evm_tpu.models import VmConfig, make_entry_state
+from era_zk_evm_tpu.models.batched_vm import run_cycles
+
+RUST_SINGLE_CORE_WITNESS_CYCLES_PER_SEC = 10e6  # assumed; see module docstring
+
+# a sustained mixed workload: arithmetic, stack traffic, unaligned-capable
+# heap access, conditional control flow — ~10 cycles per iteration, 2^15 iters
+WORKLOAD = """
+    add 1, r0, r10
+    add code[@n], r0, r1
+    add 0, r0, r2
+    loop:
+    add r2, r1, r2
+    mul r2, r1, r3, r4
+    xor r3, r2, r5
+    shl r5, r10, r6
+    add r6, r0, stack+=[1]
+    add stack-=[1], r0, r7
+    st.h 0, r7
+    ld.h 32, r8
+    sub! r1, r10, r1
+    jump.if_ne @loop
+    ret r0
+    n: .word 32768
+"""
+
+
+def bench(batch: int, n_cycles: int, witness: bool, repeats: int = 3) -> dict:
+    q = n_cycles * 5 if witness else 0
+    config = VmConfig(batch=batch, code_words=16, stack_words=2048,
+                      heap_words=64, aux_heap_words=16, max_depth=8,
+                      queue_capacity=q)
+    program = assemble_to_code_words(WORKLOAD)
+    state = make_entry_state(config, [program] * batch, ergs=(1 << 31) - 1)
+
+    # compile + warmup
+    t0 = time.time()
+    state = run_cycles(state, config, n_cycles)
+    jax.block_until_ready(state)
+    compile_s = time.time() - t0
+
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        state = run_cycles(state, config, n_cycles)
+        jax.block_until_ready(state)
+        best = min(best, time.time() - t0)
+
+    err = int(np.sum(np.asarray(state.lane_error)))
+    done = int(np.sum(np.asarray(state.done)))
+    cycles_per_sec = batch * n_cycles / best
+    return {
+        "batch": batch, "n_cycles": n_cycles, "witness": witness,
+        "compile_s": round(compile_s, 2), "step_s": best,
+        "cycles_per_sec": cycles_per_sec,
+        "error_lanes": err, "done_lanes": done,
+    }
+
+
+def main() -> None:
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    n_cycles = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+
+    print(f"platform: {jax.default_backend()} {jax.devices()}", file=sys.stderr)
+
+    fast = bench(batch, n_cycles, witness=False)
+    print(f"no-witness: {fast}", file=sys.stderr)
+    traced = bench(batch, n_cycles, witness=True)
+    print(f"witness-traced: {traced}", file=sys.stderr)
+
+    value = traced["cycles_per_sec"]
+    print(json.dumps({
+        "metric": "eravm_witness_traced_cycles_per_sec_per_chip",
+        "value": value,
+        "unit": "cycles/s",
+        "vs_baseline": value / RUST_SINGLE_CORE_WITNESS_CYCLES_PER_SEC,
+    }))
+
+
+if __name__ == "__main__":
+    main()

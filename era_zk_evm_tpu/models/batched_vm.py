@@ -73,11 +73,15 @@ def _gather_rows(arr, idx):
 
 
 def _scatter_rows(arr, idx, values, mask):
-    """Masked per-lane row write: arr[b, idx[b]] = values[b] where mask[b]."""
+    """Masked per-lane row write: arr[b, idx[b]] = values[b] where mask[b].
+
+    Masked-out lanes aim at an out-of-bounds row and are dropped by XLA —
+    no gather of old values, no full-array select, so the scatter stays
+    in-place inside the scan body.
+    """
     B = arr.shape[0]
-    old = arr[jnp.arange(B), idx.astype(I32)]
-    new = _sel(mask, values, old)
-    return arr.at[jnp.arange(B), idx.astype(I32)].set(new)
+    safe = jnp.where(mask, idx.astype(I32), arr.shape[1])
+    return arr.at[jnp.arange(B), safe].set(values, mode="drop")
 
 
 def _addr_is_kernel(addr5):
@@ -99,7 +103,8 @@ def cycle_step(state: BatchedVmState, config: VmConfig) -> BatchedVmState:
     D = config.max_depth
     lanes = jnp.arange(B)
 
-    frozen = state.done  # freeze lanes that had already ended
+    frozen = state.done  # lanes that had already ended: all writes masked off
+    active = ~frozen
     lane_error = state.lane_error
 
     depth = state.depth
@@ -130,7 +135,7 @@ def cycle_step(state: BatchedVmState, config: VmConfig) -> BatchedVmState:
 
     super_clamped = jnp.minimum(super_pc, config.code_words - 1).astype(I32)
     fetched = state.code[lanes, super_clamped]          # [B, 8]
-    lane_error = lane_error | (code_read_needed & (super_pc >= config.code_words))
+    lane_error = lane_error | (active & code_read_needed & (super_pc >= config.code_words))
 
     code_word = _sel(code_read_needed, fetched, state.previous_code_word)
     new_prev_code_word = code_word
@@ -246,9 +251,9 @@ def cycle_step(state: BatchedVmState, config: VmConfig) -> BatchedVmState:
     stack_tag = state.stack_ptr_tag[lanes, stack_idx]
     code_idx = jnp.minimum(src0_loc, config.code_words - 1).astype(I32)
     code_val = state.code[lanes, code_idx]
-    lane_error = lane_error | (do_src0_mem_read & src0_is_stack_mem
+    lane_error = lane_error | (active & do_src0_mem_read & src0_is_stack_mem
                                & (src0_loc >= config.stack_words))
-    lane_error = lane_error | (do_src0_mem_read & src0_code
+    lane_error = lane_error | (active & do_src0_mem_read & src0_code
                                & (src0_loc >= config.code_words))
 
     src0_mem_val = _sel(src0_code, code_val, stack_val)
@@ -296,7 +301,7 @@ def cycle_step(state: BatchedVmState, config: VmConfig) -> BatchedVmState:
     is_ret = opcode == OP.RET
     is_uma = opcode == OP.UMA
     unsupported = (opcode == OP.LOG) | (opcode == OP.FAR_CALL)
-    lane_error = lane_error | unsupported
+    lane_error = lane_error | (active & unsupported)
 
     sum_val, carry = u256.add(src0, src1)
     diff_val, borrow = u256.sub(src0, src1)
@@ -454,7 +459,7 @@ def cycle_step(state: BatchedVmState, config: VmConfig) -> BatchedVmState:
     # arena select: ptr reads must target the current frame's own pages
     ptr_page_is_heap = uma_is_ptr_read & (u_page_field == heap_page)
     ptr_page_is_aux = uma_is_ptr_read & (u_page_field == aux_page)
-    lane_error = lane_error | (uma_is_ptr_read & ~uma_skip_mem
+    lane_error = lane_error | (active & uma_is_ptr_read & ~uma_skip_mem
                                & ~(ptr_page_is_heap | ptr_page_is_aux))
     use_heap_arena = uma_is_heap | ptr_page_is_heap
     use_aux_arena = uma_is_aux | ptr_page_is_aux
@@ -462,7 +467,7 @@ def cycle_step(state: BatchedVmState, config: VmConfig) -> BatchedVmState:
     do_mem = is_uma & ~uma_skip_mem
     hw_err = do_mem & use_heap_arena & (word1 >= config.heap_words)
     aw_err = do_mem & use_aux_arena & (word1 >= config.aux_heap_words)
-    lane_error = lane_error | hw_err | aw_err
+    lane_error = lane_error | (active & (hw_err | aw_err))
 
     h_idx0 = jnp.minimum(word0, config.heap_words - 1).astype(I32)
     h_idx1 = jnp.minimum(word1, config.heap_words - 1).astype(I32)
@@ -671,18 +676,17 @@ def cycle_step(state: BatchedVmState, config: VmConfig) -> BatchedVmState:
     cur_scal = cur_scal.at[:, CS["aux_heap_bound"]].set(
         jnp.where(is_uma, new_aux_bound_u, aux_bound0))
 
-    new_cs_scalars = _scatter_rows(state.cs_scalars, depth, cur_scal,
-                                   jnp.ones((B,), dtype=BOOL))
+    new_cs_scalars = _scatter_rows(state.cs_scalars, depth, cur_scal, active)
 
     # ---- push (near call)
-    push_mask = is_near_call
+    push_mask = is_near_call & active
     pushed = cur_scal
     pushed = pushed.at[:, CS["pc"]].set(imm0)
     pushed = pushed.at[:, CS["exception_handler"]].set(imm1)
     pushed = pushed.at[:, CS["ergs_remaining"]].set(nc_passed)
     pushed = pushed.at[:, CS["flags_word"]].set(flags_word | 2)  # is_local
     push_idx = jnp.minimum(depth + 1, D - 1)
-    lane_error = lane_error | (push_mask & (depth + 1 >= D))
+    lane_error = lane_error | (active & push_mask & (depth + 1 >= D))
     new_cs_scalars = _scatter_rows(new_cs_scalars, push_idx, pushed, push_mask)
     new_cs_this = _scatter_rows(state.cs_this_address, push_idx, this_addr, push_mask)
     new_cs_sender = _scatter_rows(state.cs_msg_sender, push_idx, msg_sender, push_mask)
@@ -690,7 +694,7 @@ def cycle_step(state: BatchedVmState, config: VmConfig) -> BatchedVmState:
     new_cs_u128 = _scatter_rows(state.cs_context_u128, push_idx, frame_u128, push_mask)
 
     # ---- pop (ret): update the parent frame
-    pop_mask = is_ret
+    pop_mask = is_ret & active
     parent_idx = jnp.maximum(depth - 1, 0)
     parent_scal = _gather_rows(new_cs_scalars, parent_idx)
     p_ergs = parent_scal[:, CS["ergs_remaining"]] + ergs3
@@ -717,61 +721,49 @@ def cycle_step(state: BatchedVmState, config: VmConfig) -> BatchedVmState:
     # ==================================================================
     # Register writebacks
     # ==================================================================
-    new_regs = state.regs
-    new_reg_ptr = state.reg_ptr
-    dst0_to_reg = dst0_write & ~dst0_is_stack_mem & (dst0_reg > 0)
-    r_idx0 = jnp.maximum(dst0_reg.astype(I32) - 1, 0)
-    old0 = new_regs[lanes, r_idx0]
-    new_regs = new_regs.at[lanes, r_idx0].set(_sel(dst0_to_reg, dst0_val, old0))
-    oldp0 = new_reg_ptr[lanes, r_idx0]
-    new_reg_ptr = new_reg_ptr.at[lanes, r_idx0].set(
-        jnp.where(dst0_to_reg, dst0_is_ptr, oldp0))
+    dst0_to_reg = dst0_write & ~dst0_is_stack_mem & (dst0_reg > 0) & active
+    new_regs = _scatter_rows(state.regs, jnp.maximum(dst0_reg.astype(I32) - 1, 0),
+                             dst0_val, dst0_to_reg)
+    new_reg_ptr = _scatter_rows(state.reg_ptr,
+                                jnp.maximum(dst0_reg.astype(I32) - 1, 0),
+                                dst0_is_ptr, dst0_to_reg)
 
-    dst1_to_reg = dst1_write & (dst1_reg > 0)
-    r_idx1 = jnp.maximum(dst1_reg.astype(I32) - 1, 0)
-    old1 = new_regs[lanes, r_idx1]
-    new_regs = new_regs.at[lanes, r_idx1].set(_sel(dst1_to_reg, dst1_val, old1))
-    oldp1 = new_reg_ptr[lanes, r_idx1]
-    new_reg_ptr = new_reg_ptr.at[lanes, r_idx1].set(
-        jnp.where(dst1_to_reg, dst1_is_ptr, oldp1))
+    dst1_to_reg = dst1_write & (dst1_reg > 0) & active
+    new_regs = _scatter_rows(new_regs, jnp.maximum(dst1_reg.astype(I32) - 1, 0),
+                             dst1_val, dst1_to_reg)
+    new_reg_ptr = _scatter_rows(new_reg_ptr,
+                                jnp.maximum(dst1_reg.astype(I32) - 1, 0),
+                                dst1_is_ptr, dst1_to_reg)
 
     # non-local ret register-file protocol: r1 = returndata ptr, rest wiped
     wiped = jnp.zeros_like(new_regs)
     wiped = wiped.at[:, 0].set(returndata_u256)
     wiped_ptr = jnp.zeros_like(new_reg_ptr)
     wiped_ptr = wiped_ptr.at[:, 0].set(True)
-    new_regs = _sel(nonlocal_ret, wiped, new_regs)
-    new_reg_ptr = _sel(nonlocal_ret, wiped_ptr, new_reg_ptr)
-    new_context_u128 = _sel(nonlocal_ret, jnp.zeros((B, 4), dtype=U32),
+    wipe = nonlocal_ret & active
+    new_regs = _sel(wipe, wiped, new_regs)
+    new_reg_ptr = _sel(wipe, wiped_ptr, new_reg_ptr)
+    new_context_u128 = _sel(wipe, jnp.zeros((B, 4), dtype=U32),
                             new_context_u128)
 
     # ==================================================================
     # Memory writebacks
     # ==================================================================
-    dst0_to_stack = dst0_write & dst0_is_stack_mem
+    dst0_to_stack = dst0_write & dst0_is_stack_mem & active
     s_idx = jnp.minimum(dst0_loc, config.stack_words - 1).astype(I32)
     lane_error = lane_error | (dst0_to_stack & (dst0_loc >= config.stack_words))
-    old_sv = state.stack[lanes, s_idx]
-    new_stack = state.stack.at[lanes, s_idx].set(
-        _sel(dst0_to_stack, dst0_val, old_sv))
-    old_st = state.stack_ptr_tag[lanes, s_idx]
-    new_stack_tag = state.stack_ptr_tag.at[lanes, s_idx].set(
-        jnp.where(dst0_to_stack, dst0_is_ptr, old_st))
+    new_stack = _scatter_rows(state.stack, s_idx, dst0_val, dst0_to_stack)
+    new_stack_tag = _scatter_rows(state.stack_ptr_tag, s_idx, dst0_is_ptr,
+                                  dst0_to_stack)
 
-    w_heap0 = uma_do_write & use_heap_arena
+    w_heap0 = uma_do_write & use_heap_arena & active
     w_heap1 = w_heap0 & is_unaligned
-    w_aux0 = uma_do_write & use_aux_arena
+    w_aux0 = uma_do_write & use_aux_arena & active
     w_aux1 = w_aux0 & is_unaligned
-    new_heap = state.heap
-    new_heap = new_heap.at[lanes, h_idx0].set(
-        _sel(w_heap0, new_w0, new_heap[lanes, h_idx0]))
-    new_heap = new_heap.at[lanes, h_idx1].set(
-        _sel(w_heap1, new_w1, new_heap[lanes, h_idx1]))
-    new_aux = state.aux_heap
-    new_aux = new_aux.at[lanes, a_idx0].set(
-        _sel(w_aux0, new_w0, new_aux[lanes, a_idx0]))
-    new_aux = new_aux.at[lanes, a_idx1].set(
-        _sel(w_aux1, new_w1, new_aux[lanes, a_idx1]))
+    new_heap = _scatter_rows(state.heap, h_idx0, new_w0, w_heap0)
+    new_heap = _scatter_rows(new_heap, h_idx1, new_w1, w_heap1)
+    new_aux = _scatter_rows(state.aux_heap, a_idx0, new_w0, w_aux0)
+    new_aux = _scatter_rows(new_aux, a_idx1, new_w1, w_aux1)
 
     # ==================================================================
     # Witness queue (memory queries, golden order; see golden/vm.py)
@@ -807,38 +799,48 @@ def cycle_step(state: BatchedVmState, config: VmConfig) -> BatchedVmState:
              jnp.zeros((B,), BOOL), True, ts3),
         ]
         for valid, mtype, mpage, midx, mval, mptr, rw, ts in slots:
+            valid = valid & active
             pos = jnp.minimum(wq_count, config.queue_capacity - 1)
             lane_error = lane_error | (valid & (wq_count >= config.queue_capacity))
             meta_row = jnp.stack(
                 [ts, mtype.astype(U32), mpage.astype(U32), midx.astype(U32)],
                 axis=1)
-            old_meta = wq_meta[lanes, pos]
-            wq_meta = wq_meta.at[lanes, pos].set(_sel(valid, meta_row, old_meta))
-            old_val = wq_value[lanes, pos]
-            wq_value = wq_value.at[lanes, pos].set(_sel(valid, mval, old_val))
+            wq_meta = _scatter_rows(wq_meta, pos, meta_row, valid)
+            wq_value = _scatter_rows(wq_value, pos, mval, valid)
             fl = (jnp.uint32(1) if rw else jnp.uint32(0)) \
                 | (mptr.astype(U32) << 1)
-            old_fl = wq_flags[lanes, pos]
-            wq_flags = wq_flags.at[lanes, pos].set(jnp.where(valid, fl, old_fl))
+            wq_flags = _scatter_rows(wq_flags, pos, fl, valid)
             wq_count = wq_count + valid.astype(I32)
 
     # ==================================================================
     # Assemble the new state; freeze lanes that were already done
     # ==================================================================
-    old = state
-    new = BatchedVmState(
-        regs=new_regs, reg_ptr=new_reg_ptr, flags=new_flags,
-        timestamp=state.timestamp + params.TIME_DELTA_PER_CYCLE,
-        monotonic_cycle_counter=state.monotonic_cycle_counter + 1,
+    # frozen-lane protection: all array writebacks above were masked by
+    # `active`; the remaining per-lane scalars are frozen with cheap selects
+    # (no full-state copy — the big arenas stay in-place inside the scan).
+    f = _sel
+    return BatchedVmState(
+        regs=new_regs, reg_ptr=new_reg_ptr,
+        flags=f(frozen, state.flags, new_flags),
+        timestamp=jnp.where(frozen, state.timestamp,
+                            state.timestamp + params.TIME_DELTA_PER_CYCLE),
+        monotonic_cycle_counter=jnp.where(
+            frozen, state.monotonic_cycle_counter,
+            state.monotonic_cycle_counter + 1),
         spent_pubdata=state.spent_pubdata,
-        ergs_per_pubdata=new_ergs_per_pubdata,
-        tx_number=new_tx_number,
-        pending_exception=new_pending,
-        previous_code_word=new_prev_code_word,
-        previous_super_pc=new_prev_super_pc,
-        previous_code_page=new_prev_code_page,
-        context_u128=new_context_u128,
-        depth=new_depth,
+        ergs_per_pubdata=jnp.where(frozen, state.ergs_per_pubdata,
+                                   new_ergs_per_pubdata),
+        tx_number=jnp.where(frozen, state.tx_number, new_tx_number),
+        pending_exception=jnp.where(frozen, state.pending_exception,
+                                    new_pending),
+        previous_code_word=f(frozen, state.previous_code_word,
+                             new_prev_code_word),
+        previous_super_pc=jnp.where(frozen, state.previous_super_pc,
+                                    new_prev_super_pc),
+        previous_code_page=jnp.where(frozen, state.previous_code_page,
+                                     new_prev_code_page),
+        context_u128=f(frozen, state.context_u128, new_context_u128),
+        depth=jnp.where(frozen, state.depth, new_depth),
         cs_this_address=new_cs_this,
         cs_msg_sender=new_cs_sender,
         cs_code_address=new_cs_code,
@@ -847,13 +849,11 @@ def cycle_step(state: BatchedVmState, config: VmConfig) -> BatchedVmState:
         code=state.code,
         stack=new_stack, stack_ptr_tag=new_stack_tag,
         heap=new_heap, aux_heap=new_aux,
-        done=new_done, lane_error=lane_error,
+        done=jnp.where(frozen, state.done, new_done),
+        lane_error=lane_error,
         wq_count=wq_count, wq_meta=wq_meta, wq_value=wq_value,
         wq_flags=wq_flags,
     )
-    merged = jax.tree.map(
-        lambda o, n: _sel(frozen, o, n), old, new)
-    return merged
 
 
 @partial(jax.jit, static_argnames=("config", "n_cycles"), donate_argnums=(0,))
