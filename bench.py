@@ -48,8 +48,9 @@ WORKLOAD = """
 
 
 def bench(batch: int, n_cycles: int, witness: bool, repeats: int = 3) -> dict:
-    q = n_cycles * 5 if witness else 0
-    config = VmConfig(batch=batch, code_words=16, stack_words=2048,
+    q = n_cycles * 8 if witness else 0
+    config = VmConfig(batch=batch, code_words=16, stack_words=256,
+                      stack_abs_words=64, stack_sp_base=960,
                       heap_words=64, aux_heap_words=16, max_depth=8,
                       queue_capacity=q)
     program = assemble_to_code_words(WORKLOAD)
@@ -80,8 +81,8 @@ def bench(batch: int, n_cycles: int, witness: bool, repeats: int = 3) -> dict:
 
 
 def main() -> None:
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
-    n_cycles = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
+    n_cycles = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 
     print(f"platform: {jax.default_backend()} {jax.devices()}", file=sys.stderr)
 

@@ -381,7 +381,24 @@ def table_arrays() -> dict[str, np.ndarray]:
             out[v.index] = getter(v)
         return out
 
+    def packed(v: OpcodeVariant) -> int:
+        """All decode properties in one u32 (device-side single-lookup)."""
+        return (int(v.opcode)
+                | (v.sub << 4)
+                | (int(v.src0_mode) << 8)
+                | (int(v.dst0_mode) << 12)
+                | (int(v.set_flags) << 15)
+                | (int(v.swap_operands) << 16)
+                | (int(v.flag0) << 17)
+                | (int(v.flag1) << 18)
+                | (int(v.requires_kernel) << 19)
+                | (int(v.allowed_in_static) << 20)
+                | (int(v.src0_can_be_pointer) << 21)
+                | (int(v.src1_can_be_pointer) << 22)
+                | (int(v.is_explicit_panic) << 23))
+
     return {
+        "packed": col(packed, np.uint32),
         "opcode": col(lambda v: int(v.opcode), np.int32),
         "sub": col(lambda v: v.sub, np.int32),
         "src0_mode": col(lambda v: int(v.src0_mode), np.int32),
@@ -396,6 +413,43 @@ def table_arrays() -> dict[str, np.ndarray]:
         "src0_can_be_pointer": col(lambda v: v.src0_can_be_pointer, np.bool_),
         "src1_can_be_pointer": col(lambda v: v.src1_can_be_pointer, np.bool_),
         "is_explicit_panic": col(lambda v: v.is_explicit_panic, np.bool_),
+    }
+
+
+@lru_cache(maxsize=1)
+def decode_consts() -> dict[str, np.ndarray]:
+    """Per-family decode constants for arithmetic (table-free) decoding.
+
+    The synthesis loop lays variants out with regular strides:
+        index = family_start
+              + (((sub * n_src + src_i) * n_dst) + dst_i) * n_flags + combo
+    so the device can invert it with div/mod instead of a table gather.
+    `src_base`/`dst_base` exploit that every mode group is a contiguous run
+    of OperandMode values.
+    """
+    starts = np.zeros(16, dtype=np.uint32)
+    n_src = np.ones(16, dtype=np.uint32)
+    n_dst = np.ones(16, dtype=np.uint32)
+    n_flags = np.ones(16, dtype=np.uint32)
+    src_base = np.zeros(16, dtype=np.uint32)
+    dst_base = np.zeros(16, dtype=np.uint32)
+    pos = 0
+    for op, sub_enum, src_modes, dst_modes, combos in _FAMILY_SPECS:
+        subs = len(list(sub_enum)) if sub_enum is not None else 1
+        starts[int(op)] = pos
+        n_src[int(op)] = len(src_modes)
+        n_dst[int(op)] = len(dst_modes)
+        n_flags[int(op)] = combos
+        src_base[int(op)] = int(src_modes[0])
+        dst_base[int(op)] = int(dst_modes[0])
+        # sanity: each mode group is contiguous in OperandMode values
+        assert [int(m) for m in src_modes] ==             list(range(int(src_modes[0]), int(src_modes[0]) + len(src_modes)))
+        assert [int(m) for m in dst_modes] ==             list(range(int(dst_modes[0]), int(dst_modes[0]) + len(dst_modes)))
+        pos += subs * len(src_modes) * len(dst_modes) * combos
+    assert pos == NUM_VARIANTS
+    return {
+        "start": starts, "n_src": n_src, "n_dst": n_dst, "n_flags": n_flags,
+        "src_base": src_base, "dst_base": dst_base,
     }
 
 

@@ -34,8 +34,9 @@ from ..isa.encoding import (
     exception_revert_encoding, VARIANT_MASK,
 )
 from ..isa.opcodes import (
-    Condition, ContextOp, NOP_VARIANT_INDEX, Opcode, OperandMode,
-    PANIC_VARIANT_INDEX, PtrOp, RetOp, ShiftOp, UMAOp, table_arrays,
+    Condition, ContextOp, FarCallOp, LogOp, NOP_VARIANT_INDEX, NUM_VARIANTS,
+    Opcode, OperandMode, PANIC_VARIANT_INDEX, PtrOp, RetOp, ShiftOp, UMAOp,
+    decode_consts, table_arrays,
 )
 from ..ops import u256
 from .state import CS, BatchedVmState, VmConfig
@@ -45,6 +46,8 @@ I32 = jnp.int32
 BOOL = jnp.bool_
 U16_MASK = jnp.uint32(0xFFFF)
 U32_MAX = jnp.uint32(0xFFFFFFFF)
+
+SLOTS_PER_CYCLE = 8  # max memory queries one cycle can emit (see wq block)
 
 _PANIC_ENC = exception_revert_encoding()
 assert _PANIC_ENC < (1 << 32)
@@ -56,7 +59,9 @@ def _tables():
 
 
 def _take(tab, idx):
-    return jnp.take(tab, idx.astype(I32), axis=0)
+    """Constant-table lookup as a one-hot sweep (see _gather_rows on why)."""
+    oh = jnp.arange(tab.shape[0], dtype=I32)[None, :] == idx.astype(I32)[:, None]
+    return jnp.sum(tab[None, :] * oh.astype(tab.dtype), axis=1)
 
 
 def _sel(mask, a, b):
@@ -66,22 +71,36 @@ def _sel(mask, a, b):
     return jnp.where(m, a, b)
 
 
+def _onehot(idx, n):
+    """[B] indices -> bool[B, n] one-hot (out-of-range rows all-false)."""
+    return jnp.arange(n, dtype=I32)[None, :] == idx.astype(I32)[:, None]
+
+
 def _gather_rows(arr, idx):
-    """arr[B, N, ...] gathered at per-lane idx[B] -> [B, ...]."""
-    B = arr.shape[0]
-    return arr[jnp.arange(B), idx.astype(I32)]
+    """arr[B, N, ...] gathered at per-lane idx[B] -> [B, ...].
+
+    One-hot compare + reduce instead of a dynamic gather: XLA lowers per-lane
+    gathers to a serial per-row loop on TPU (~0.2us x B each, measured), while
+    this formulation is a dense bandwidth-bound sweep the VPU vectorizes.
+    """
+    n = arr.shape[1]
+    oh = _onehot(idx, n)
+    oh = oh.reshape(oh.shape + (1,) * (arr.ndim - 2))
+    if arr.dtype == jnp.bool_:
+        return jnp.any(arr & oh, axis=1)
+    return jnp.sum(arr * oh.astype(arr.dtype), axis=1)
 
 
 def _scatter_rows(arr, idx, values, mask):
     """Masked per-lane row write: arr[b, idx[b]] = values[b] where mask[b].
 
-    Masked-out lanes aim at an out-of-bounds row and are dropped by XLA —
-    no gather of old values, no full-array select, so the scatter stays
-    in-place inside the scan body.
+    Same one-hot trick as _gather_rows, as a full-array select (single sweep).
     """
-    B = arr.shape[0]
-    safe = jnp.where(mask, idx.astype(I32), arr.shape[1])
-    return arr.at[jnp.arange(B), safe].set(values, mode="drop")
+    n = arr.shape[1]
+    oh = _onehot(idx, n) & mask[:, None]
+    oh = oh.reshape(oh.shape + (1,) * (arr.ndim - 2))
+    vals = values.reshape(values.shape[:1] + (1,) + values.shape[1:])
+    return jnp.where(oh, vals, arr)
 
 
 def _addr_is_kernel(addr5):
@@ -96,8 +115,29 @@ def _addr_to_u256(addr5):
         [addr5, jnp.zeros((B, 3), dtype=U32)], axis=1)
 
 
+def _map_stack_index(config: VmConfig, idx):
+    """Logical stack index -> physical arena slot + in-window flag.
+
+    With `stack_abs_words` unset the arena maps [0, stack_words) identically.
+    Set, it holds two windows — absolutes [0, A) and the SP region
+    [sp_base, sp_base + stack_words - A) — so the arena (and every one-hot
+    sweep over it) stays small while SP still starts at the architectural
+    1024 (isa.params.INITIAL_SP_ON_FAR_CALL).
+    """
+    if config.stack_abs_words is None:
+        return idx, idx < config.stack_words
+    a = config.stack_abs_words
+    s0 = config.stack_sp_base
+    w = config.stack_words - a
+    in_abs = idx < a
+    in_sp = (idx >= s0) & (idx < s0 + w)
+    phys = jnp.where(in_abs, idx, a + (idx - s0))
+    return jnp.where(in_abs | in_sp, phys, config.stack_words), in_abs | in_sp
+
+
 @partial(jax.jit, static_argnames=("config",))
-def cycle_step(state: BatchedVmState, config: VmConfig) -> BatchedVmState:
+def cycle_step(state: BatchedVmState, config: VmConfig,
+               step: jax.Array | int = 0) -> BatchedVmState:
     tab = _tables()
     B = config.batch
     D = config.max_depth
@@ -133,8 +173,7 @@ def cycle_step(state: BatchedVmState, config: VmConfig) -> BatchedVmState:
     pages_differ = code_page != state.previous_code_page
     code_read_needed = (~pending) & (pages_differ | (super_pc != state.previous_super_pc))
 
-    super_clamped = jnp.minimum(super_pc, config.code_words - 1).astype(I32)
-    fetched = state.code[lanes, super_clamped]          # [B, 8]
+    fetched = _gather_rows(state.code, super_pc)        # [B, 8]; OOB -> 0
     lane_error = lane_error | (active & code_read_needed & (super_pc >= config.code_words))
 
     code_word = _sel(code_read_needed, fetched, state.previous_code_word)
@@ -145,8 +184,8 @@ def cycle_step(state: BatchedVmState, config: VmConfig) -> BatchedVmState:
 
     # instruction at sub_pc: sub_pc 0 = most significant 8 bytes
     lo_idx = (6 - 2 * sub_pc).astype(I32)
-    insn_lo = code_word[lanes, lo_idx]
-    insn_hi = code_word[lanes, lo_idx + 1]
+    insn_lo = jnp.sum(code_word * _onehot(lo_idx, 8).astype(U32), axis=1)
+    insn_hi = jnp.sum(code_word * _onehot(lo_idx + 1, 8).astype(U32), axis=1)
     insn_lo = jnp.where(pending, jnp.uint32(_PANIC_ENC & 0xFFFFFFFF), insn_lo)
     insn_hi = jnp.where(pending, jnp.uint32(_PANIC_ENC >> 32), insn_hi)
     new_pending = jnp.zeros_like(pending)  # cleared when consumed
@@ -163,10 +202,66 @@ def cycle_step(state: BatchedVmState, config: VmConfig) -> BatchedVmState:
     imm0 = insn_hi & U16_MASK
     imm1 = (insn_hi >> 16) & U16_MASK
 
-    price = _take(tab["price"], raw_variant)
-    invalid = _take(tab["is_explicit_panic"], raw_variant)
-    requires_kernel = _take(tab["requires_kernel"], raw_variant)
-    allowed_in_static = _take(tab["allowed_in_static"], raw_variant)
+    # -- arithmetic variant decode (no table gathers; see decode_consts) --
+    dc = {k: jnp.asarray(v) for k, v in decode_consts().items()}
+    fam16 = jnp.sum((raw_variant[:, None] >= dc["start"][None, :]).astype(U32),
+                    axis=1) - 1  # family id; >= NUM_VARIANTS lands on INVALID
+
+    def fam_const(name):
+        oh = _onehot(fam16, 16)
+        return jnp.sum(dc[name][None, :] * oh.astype(U32), axis=1)
+
+    f_start = fam_const("start")
+    f_nflags = fam_const("n_flags")
+    f_ndst = fam_const("n_dst")
+    f_nsrc = fam_const("n_src")
+    f_srcbase = fam_const("src_base")
+    f_dstbase = fam_const("dst_base")
+    rr = raw_variant - f_start
+    combo = rr % f_nflags
+    rr = rr // f_nflags
+    dst_i = rr % f_ndst
+    rr = rr // f_ndst
+    src_i = rr % f_nsrc
+    sub_raw = rr // f_nsrc
+    src0_mode_raw = f_srcbase + src_i
+    dst0_mode_raw = f_dstbase + dst_i
+    flag0_raw = (combo & 1).astype(BOOL)
+    flag1_raw = ((combo >> 1) & 1).astype(BOOL)
+
+    OPc = Opcode
+    invalid = fam16 == OPc.INVALID
+    requires_kernel = ((fam16 == OPc.CONTEXT)
+                       & (sub_raw >= ContextOp.SET_CONTEXT_U128)) \
+        | ((fam16 == OPc.LOG) & (sub_raw == LogOp.PRECOMPILE_CALL)) \
+        | ((fam16 == OPc.FAR_CALL) & (sub_raw == FarCallOp.MIMIC))
+    allowed_in_static = ~(
+        ((fam16 == OPc.LOG) & (sub_raw >= LogOp.STORAGE_WRITE)
+         & (sub_raw <= LogOp.TO_L1_MESSAGE))
+        | ((fam16 == OPc.CONTEXT) & (sub_raw == ContextOp.SET_CONTEXT_U128)))
+
+    # price (see isa/opcodes._price)
+    rich = ((src0_mode_raw >= OperandMode.FULL_STACK_PUSH_POP)
+            & (src0_mode_raw != OperandMode.FULL_IMM16)) \
+        | ((dst0_mode_raw >= OperandMode.FULL_STACK_PUSH_POP)
+           & (dst0_mode_raw <= OperandMode.FULL_ABS_STACK))
+    p = params
+    alu_like = (fam16 <= OPc.JUMP) | (fam16 == OPc.SHIFT) \
+        | (fam16 == OPc.BINOP) | (fam16 == OPc.PTR)
+    price = jnp.where(rich, p.RICH_ADDRESSING_OPCODE_ERGS,
+                      p.AVERAGE_OPCODE_ERGS).astype(U32)
+    log_prices = jnp.asarray([p.STORAGE_READ_IO_PRICE, p.STORAGE_WRITE_IO_PRICE,
+                              p.EVENT_IO_PRICE, p.L1_MESSAGE_IO_PRICE,
+                              p.PRECOMPILE_CALL_BASE_PRICE], dtype=np.uint32)
+    log_price = jnp.sum(
+        log_prices[None, :] * _onehot(sub_raw, 5).astype(U32), axis=1)
+    price = jnp.where(alu_like | (fam16 == OPc.CONTEXT), price,
+            jnp.where(fam16 == OPc.LOG, log_price,
+            jnp.where(fam16 == OPc.NEAR_CALL, p.NEAR_CALL_ERGS,
+            jnp.where(fam16 == OPc.FAR_CALL, p.FAR_CALL_ERGS,
+            jnp.where(fam16 == OPc.RET, p.RET_ERGS,
+            jnp.where(fam16 == OPc.UMA, p.UMA_ERGS,
+                      jnp.uint32(p.INVALID_OPCODE_ERGS)))))))
 
     not_enough = ergs0 < price
     ergs1 = jnp.where(not_enough, 0, ergs0 - price)
@@ -187,11 +282,9 @@ def cycle_step(state: BatchedVmState, config: VmConfig) -> BatchedVmState:
         ~eq_f,                          # NE
         gt_f | lt_f,                    # GT_OR_LT
     ], axis=1)                          # [B, 8]
-    cond_met = cond_table[lanes, condition.astype(I32)]
+    cond_met = jnp.any(cond_table & _onehot(condition, 8), axis=1)
     mask_nop = (~cond_met) & (~mask_panic)
 
-    variant = jnp.where(mask_panic, PANIC_VARIANT_INDEX,
-                        jnp.where(mask_nop, NOP_VARIANT_INDEX, raw_variant))
     zeroed = mask_panic | mask_nop
     src0_reg = jnp.where(zeroed, 0, src0_reg)
     src1_reg = jnp.where(zeroed, 0, src1_reg)
@@ -200,22 +293,35 @@ def cycle_step(state: BatchedVmState, config: VmConfig) -> BatchedVmState:
     imm0 = jnp.where(zeroed, 0, imm0)
     imm1 = jnp.where(zeroed, 0, imm1)
 
-    opcode = _take(tab["opcode"], variant)
-    sub_variant = _take(tab["sub"], variant)
-    src0_mode = _take(tab["src0_mode"], variant)
-    dst0_mode = _take(tab["dst0_mode"], variant)
-    set_flags = _take(tab["set_flags"], variant)
-    swap_operands = _take(tab["swap_operands"], variant)
-    vflag0 = _take(tab["flag0"], variant)
-    vflag1 = _take(tab["flag1"], variant)
-    src0_can_ptr = _take(tab["src0_can_be_pointer"], variant)
-    src1_can_ptr = _take(tab["src1_can_be_pointer"], variant)
+    # apply panic/nop masking to the decoded fields by constant override
+    # (panic -> ret.panic reg-only; nop -> nop with FULL_REG addressing)
+    def ov(raw_field, panic_const, nop_const):
+        return jnp.where(mask_panic, jnp.uint32(panic_const),
+                         jnp.where(mask_nop, jnp.uint32(nop_const),
+                                   raw_field.astype(U32)))
+
+    opcode = ov(fam16, Opcode.RET, Opcode.NOP)
+    sub_variant = ov(sub_raw, RetOp.PANIC, 0)
+    src0_mode = ov(src0_mode_raw, OperandMode.REG_ONLY, OperandMode.FULL_REG)
+    dst0_mode = ov(dst0_mode_raw, OperandMode.REG_ONLY, OperandMode.FULL_REG)
+    vflag0 = flag0_raw & ~zeroed
+    vflag1 = flag1_raw & ~zeroed
+    set_flags = vflag0 & ((opcode >= Opcode.ADD) & (opcode <= Opcode.DIV)
+                          | (opcode == Opcode.SHIFT) | (opcode == Opcode.BINOP))
+    swap_operands = (vflag1 & ((opcode == Opcode.SUB) | (opcode == Opcode.DIV)
+                               | (opcode == Opcode.SHIFT))) \
+        | (vflag0 & (opcode == Opcode.PTR))
+    src0_can_ptr = (opcode == Opcode.PTR) | (opcode == Opcode.RET) \
+        | (opcode == Opcode.FAR_CALL) \
+        | ((opcode == Opcode.UMA) & (sub_variant == UMAOp.FAT_POINTER_READ))
+    src1_can_ptr = opcode == Opcode.PTR
 
     def read_reg(idx):
-        val = state.regs[lanes, jnp.maximum(idx.astype(I32) - 1, 0)]
-        tag = state.reg_ptr[lanes, jnp.maximum(idx.astype(I32) - 1, 0)]
-        nz = idx > 0
-        return _sel(nz, val, jnp.zeros_like(val)), tag & nz
+        # r0 reads as zero: the one-hot of (idx - 1 == -1) selects nothing
+        shifted = idx.astype(I32) - 1
+        val = _gather_rows(state.regs, shifted)
+        tag = _gather_rows(state.reg_ptr, shifted)
+        return val, tag
 
     # ------------------------------------------------------------------
     # Operand addressing (mem_ops.rs:14-125)
@@ -246,13 +352,12 @@ def cycle_step(state: BatchedVmState, config: VmConfig) -> BatchedVmState:
     is_nop_op = opcode == Opcode.NOP
     do_src0_mem_read = (src0_is_stack_mem | src0_code) & ~is_nop_op
 
-    stack_idx = jnp.minimum(src0_loc, config.stack_words - 1).astype(I32)
-    stack_val = state.stack[lanes, stack_idx]
-    stack_tag = state.stack_ptr_tag[lanes, stack_idx]
-    code_idx = jnp.minimum(src0_loc, config.code_words - 1).astype(I32)
-    code_val = state.code[lanes, code_idx]
+    src0_phys, src0_in_window = _map_stack_index(config, src0_loc)
+    stack_val = _gather_rows(state.stack, src0_phys)
+    stack_tag = _gather_rows(state.stack_ptr_tag, src0_phys)
+    code_val = _gather_rows(state.code, src0_loc)
     lane_error = lane_error | (active & do_src0_mem_read & src0_is_stack_mem
-                               & (src0_loc >= config.stack_words))
+                               & ~src0_in_window)
     lane_error = lane_error | (active & do_src0_mem_read & src0_code
                                & (src0_loc >= config.code_words))
 
@@ -469,14 +574,10 @@ def cycle_step(state: BatchedVmState, config: VmConfig) -> BatchedVmState:
     aw_err = do_mem & use_aux_arena & (word1 >= config.aux_heap_words)
     lane_error = lane_error | (active & (hw_err | aw_err))
 
-    h_idx0 = jnp.minimum(word0, config.heap_words - 1).astype(I32)
-    h_idx1 = jnp.minimum(word1, config.heap_words - 1).astype(I32)
-    a_idx0 = jnp.minimum(word0, config.aux_heap_words - 1).astype(I32)
-    a_idx1 = jnp.minimum(word1, config.aux_heap_words - 1).astype(I32)
-    w0_heap = state.heap[lanes, h_idx0]
-    w1_heap = state.heap[lanes, h_idx1]
-    w0_aux = state.aux_heap[lanes, a_idx0]
-    w1_aux = state.aux_heap[lanes, a_idx1]
+    w0_heap = _gather_rows(state.heap, word0)
+    w1_heap = _gather_rows(state.heap, word1)
+    w0_aux = _gather_rows(state.aux_heap, word0)
+    w1_aux = _gather_rows(state.aux_heap, word1)
     w0 = _sel(do_mem, _sel(use_heap_arena, w0_heap, w0_aux),
               jnp.zeros((B, 8), dtype=U32))
     w1 = _sel(do_mem & is_unaligned, _sel(use_heap_arena, w1_heap, w1_aux),
@@ -750,20 +851,20 @@ def cycle_step(state: BatchedVmState, config: VmConfig) -> BatchedVmState:
     # Memory writebacks
     # ==================================================================
     dst0_to_stack = dst0_write & dst0_is_stack_mem & active
-    s_idx = jnp.minimum(dst0_loc, config.stack_words - 1).astype(I32)
-    lane_error = lane_error | (dst0_to_stack & (dst0_loc >= config.stack_words))
-    new_stack = _scatter_rows(state.stack, s_idx, dst0_val, dst0_to_stack)
-    new_stack_tag = _scatter_rows(state.stack_ptr_tag, s_idx, dst0_is_ptr,
+    dst0_phys, dst0_in_window = _map_stack_index(config, dst0_loc)
+    lane_error = lane_error | (dst0_to_stack & ~dst0_in_window)
+    new_stack = _scatter_rows(state.stack, dst0_phys, dst0_val, dst0_to_stack)
+    new_stack_tag = _scatter_rows(state.stack_ptr_tag, dst0_phys, dst0_is_ptr,
                                   dst0_to_stack)
 
     w_heap0 = uma_do_write & use_heap_arena & active
     w_heap1 = w_heap0 & is_unaligned
     w_aux0 = uma_do_write & use_aux_arena & active
     w_aux1 = w_aux0 & is_unaligned
-    new_heap = _scatter_rows(state.heap, h_idx0, new_w0, w_heap0)
-    new_heap = _scatter_rows(new_heap, h_idx1, new_w1, w_heap1)
-    new_aux = _scatter_rows(state.aux_heap, a_idx0, new_w0, w_aux0)
-    new_aux = _scatter_rows(new_aux, a_idx1, new_w1, w_aux1)
+    new_heap = _scatter_rows(state.heap, word0, new_w0, w_heap0)
+    new_heap = _scatter_rows(new_heap, word1, new_w1, w_heap1)
+    new_aux = _scatter_rows(state.aux_heap, word0, new_w0, w_aux0)
+    new_aux = _scatter_rows(new_aux, word1, new_w1, w_aux1)
 
     # ==================================================================
     # Witness queue (memory queries, golden order; see golden/vm.py)
@@ -771,6 +872,15 @@ def cycle_step(state: BatchedVmState, config: VmConfig) -> BatchedVmState:
     wq_count = state.wq_count
     wq_meta, wq_value, wq_flags = state.wq_meta, state.wq_value, state.wq_flags
     if config.queue_capacity > 0:
+        # Every cycle owns a fixed 8-slot block at a batch-uniform position
+        # (dynamic_update_slice with a scalar index — no per-lane scatter);
+        # slot validity rides in bit2 of wq_flags and the dense stream is
+        # reconstructed by filtering valid slots in order.
+        base = jnp.minimum(
+            jnp.asarray(step, I32) * SLOTS_PER_CYCLE,
+            config.queue_capacity - SLOTS_PER_CYCLE)
+        overflow = jnp.asarray(step, I32) * SLOTS_PER_CYCLE \
+            > config.queue_capacity - SLOTS_PER_CYCLE
         ts0 = state.timestamp
         ts3 = state.timestamp + 3
         stack_page_arr = base_page + 1
@@ -798,19 +908,24 @@ def cycle_step(state: BatchedVmState, config: VmConfig) -> BatchedVmState:
             (uma_do_write & is_unaligned, uma_type, uma_page, word1, new_w1,
              jnp.zeros((B,), BOOL), True, ts3),
         ]
+        meta_block, value_block, flag_block = [], [], []
         for valid, mtype, mpage, midx, mval, mptr, rw, ts in slots:
-            valid = valid & active
-            pos = jnp.minimum(wq_count, config.queue_capacity - 1)
-            lane_error = lane_error | (valid & (wq_count >= config.queue_capacity))
-            meta_row = jnp.stack(
+            lane_error = lane_error | (valid & active & overflow)
+            valid = valid & active & ~overflow
+            meta_block.append(jnp.stack(
                 [ts, mtype.astype(U32), mpage.astype(U32), midx.astype(U32)],
-                axis=1)
-            wq_meta = _scatter_rows(wq_meta, pos, meta_row, valid)
-            wq_value = _scatter_rows(wq_value, pos, mval, valid)
-            fl = (jnp.uint32(1) if rw else jnp.uint32(0)) \
-                | (mptr.astype(U32) << 1)
-            wq_flags = _scatter_rows(wq_flags, pos, fl, valid)
+                axis=1))
+            value_block.append(mval)
+            flag_block.append((jnp.uint32(1) if rw else jnp.uint32(0))
+                              | (mptr.astype(U32) << 1)
+                              | (valid.astype(U32) << 2))
             wq_count = wq_count + valid.astype(I32)
+        meta_b = jnp.stack(meta_block, axis=1)     # [B, 8, 4]
+        value_b = jnp.stack(value_block, axis=1)   # [B, 8, 8]
+        flag_b = jnp.stack(flag_block, axis=1)     # [B, 8]
+        wq_meta = jax.lax.dynamic_update_slice(wq_meta, meta_b, (0, base, 0))
+        wq_value = jax.lax.dynamic_update_slice(wq_value, value_b, (0, base, 0))
+        wq_flags = jax.lax.dynamic_update_slice(wq_flags, flag_b, (0, base))
 
     # ==================================================================
     # Assemble the new state; freeze lanes that were already done
@@ -861,4 +976,4 @@ def run_cycles(state: BatchedVmState, config: VmConfig,
                n_cycles: int) -> BatchedVmState:
     """Advance all lanes by n_cycles (lanes freeze once they finish)."""
     return jax.lax.fori_loop(
-        0, n_cycles, lambda _, s: cycle_step(s, config), state)
+        0, n_cycles, lambda i, s: cycle_step(s, config, i), state)

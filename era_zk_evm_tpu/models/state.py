@@ -37,9 +37,19 @@ class VmConfig:
     aux_heap_words: int = 64      # per-lane aux-heap arena
     max_depth: int = 32           # callstack frames held on device
     queue_capacity: int = 0       # memory-witness queue slots (0 = off)
+    #: optional two-window stack arena: absolutes [0, A) + the SP region
+    #: [stack_sp_base, stack_sp_base + stack_words - A) (see _map_stack_index)
+    stack_abs_words: int | None = None
+    stack_sp_base: int = 768
 
     def __post_init__(self):
-        assert self.stack_words > params.INITIAL_SP_ON_FAR_CALL
+        if self.stack_abs_words is None:
+            assert self.stack_words > params.INITIAL_SP_ON_FAR_CALL
+        else:
+            assert self.stack_sp_base <= params.INITIAL_SP_ON_FAR_CALL \
+                < self.stack_sp_base + self.stack_words - self.stack_abs_words
+        if self.queue_capacity:
+            assert self.queue_capacity % 8 == 0
 
 
 # callstack scalar fields, all uint32[B, D]

@@ -182,23 +182,21 @@ def mul_low(a: jax.Array, b: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _shift_limbs_left(a: jax.Array, words: jax.Array) -> jax.Array:
-    """Shift limbs towards higher indices by `words` (per-lane, 0..8)."""
-    idx = jnp.arange(N, dtype=jnp.int32)
-    # result[i] = a[i - words] if i >= words else 0
-    gather_idx = idx - words[..., None].astype(jnp.int32)
-    valid = gather_idx >= 0
-    gather_idx = jnp.clip(gather_idx, 0, N - 1)
-    out = jnp.take_along_axis(a, gather_idx.astype(jnp.int32), axis=-1)
-    return jnp.where(valid, out, 0)
+    """Shift limbs towards higher indices by `words` (per-lane, 0..8).
+
+    One-hot select over source limbs (result[i] = a[i - words]): per-lane
+    dynamic gathers serialize per row on TPU, whereas this is a dense [.., 8, 8]
+    compare+reduce the VPU chews through (out-of-range selects nothing = 0).
+    """
+    i = jnp.arange(N, dtype=jnp.int32)
+    sel = i[None, :] == (i[:, None] - words[..., None, None].astype(jnp.int32))
+    return jnp.sum(a[..., None, :] * sel.astype(a.dtype), axis=-1)
 
 
 def _shift_limbs_right(a: jax.Array, words: jax.Array) -> jax.Array:
-    idx = jnp.arange(N, dtype=jnp.int32)
-    gather_idx = idx + words[..., None].astype(jnp.int32)
-    valid = gather_idx < N
-    gather_idx = jnp.clip(gather_idx, 0, N - 1)
-    out = jnp.take_along_axis(a, gather_idx.astype(jnp.int32), axis=-1)
-    return jnp.where(valid, out, 0)
+    i = jnp.arange(N, dtype=jnp.int32)
+    sel = i[None, :] == (i[:, None] + words[..., None, None].astype(jnp.int32))
+    return jnp.sum(a[..., None, :] * sel.astype(a.dtype), axis=-1)
 
 
 def shl(a: jax.Array, n: jax.Array) -> jax.Array:

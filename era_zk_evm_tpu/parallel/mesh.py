@@ -47,7 +47,7 @@ def run_block(state: BatchedVmState, config: VmConfig, n_cycles: int):
     witness queries emitted, and the root-frame ergs remaining.
     """
     state = jax.lax.fori_loop(
-        0, n_cycles, lambda _, s: cycle_step(s, config), state)
+        0, n_cycles, lambda i, s: cycle_step(s, config, i), state)
     aggregates = {
         "done_lanes": jnp.sum(state.done.astype(jnp.int32)),
         "error_lanes": jnp.sum(state.lane_error.astype(jnp.int32)),

@@ -41,7 +41,7 @@ def diff_run(sources: list[str], config: VmConfig | None = None,
     """Run each program on both engines and compare exhaustively."""
     B = len(sources)
     config = config or VmConfig(
-        batch=B, queue_capacity=max_cycles * 6, heap_words=64,
+        batch=B, queue_capacity=max_cycles * 8, heap_words=64,
         stack_words=2048, code_words=64, max_depth=8)
 
     goldens = [run_golden(src, max_cycles, ergs=ergs) for src in sources]
@@ -113,13 +113,19 @@ def diff_run(sources: list[str], config: VmConfig | None = None,
         if compare_witness:
             want_stream = [q for _, q in tools.witness.memory_queries]
             n = int(wq_count[b])
+            # reconstruct the dense stream: valid slots (flag bit2) in order
+            valid_slots = [s for s in range(wq_flags.shape[1])
+                           if wq_flags[b, s] & 4]
             _check(n == len(want_stream), b, "witness query count",
                    n, len(want_stream))
+            _check(len(valid_slots) == n, b, "valid slot count",
+                   len(valid_slots), n)
             for i, q in enumerate(want_stream):
-                got_ts, got_type, got_page, got_idx = (int(x) for x in wq_meta[b, i])
-                got_val = from_limbs(wq_value[b, i])
-                got_rw = bool(wq_flags[b, i] & 1)
-                got_ptr = bool(wq_flags[b, i] & 2)
+                s = valid_slots[i]
+                got_ts, got_type, got_page, got_idx = (int(x) for x in wq_meta[b, s])
+                got_val = from_limbs(wq_value[b, s])
+                got_rw = bool(wq_flags[b, s] & 1)
+                got_ptr = bool(wq_flags[b, s] & 2)
                 tag = f"witness[{i}]"
                 _check(got_ts == q.timestamp, b, tag + ".ts", got_ts, q.timestamp)
                 _check(got_type == int(q.memory_type), b, tag + ".type",
