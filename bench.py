@@ -80,11 +80,42 @@ def bench(batch: int, n_cycles: int, witness: bool, repeats: int = 3) -> dict:
     }
 
 
+def bench_keccak(batch: int = 65536, iters: int = 32) -> float:
+    """Chained batched Keccak-f[1600] permutations/sec (verified kernel)."""
+    import jax.numpy as jnp
+    from era_zk_evm_tpu.ops.keccak import keccak_f1600_array
+
+    st = jnp.ones((batch, 25, 2), jnp.uint32)
+    f = jax.jit(lambda s: jax.lax.fori_loop(
+        0, iters, lambda i, c: keccak_f1600_array(c), s))
+    jax.block_until_ready(f(st))
+    t0 = time.time()
+    jax.block_until_ready(f(st))
+    return batch * iters / (time.time() - t0)
+
+
+def bench_sha256(batch: int = 65536, iters: int = 32) -> float:
+    import jax.numpy as jnp
+    from era_zk_evm_tpu.ops.sha256 import sha256_compress_batched, sha256_iv
+
+    block = jnp.ones((batch, 16), jnp.uint32)
+    f = jax.jit(lambda s: jax.lax.fori_loop(
+        0, iters, lambda i, c: sha256_compress_batched(c, block), s))
+    st = sha256_iv(batch)
+    jax.block_until_ready(f(st))
+    t0 = time.time()
+    jax.block_until_ready(f(st))
+    return batch * iters / (time.time() - t0)
+
+
 def main() -> None:
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
     n_cycles = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 
     print(f"platform: {jax.default_backend()} {jax.devices()}", file=sys.stderr)
+
+    print(f"keccak-f[1600]: {bench_keccak() / 1e6:.0f}M perms/s", file=sys.stderr)
+    print(f"sha256 compress: {bench_sha256() / 1e6:.0f}M rounds/s", file=sys.stderr)
 
     fast = bench(batch, n_cycles, witness=False)
     print(f"no-witness: {fast}", file=sys.stderr)

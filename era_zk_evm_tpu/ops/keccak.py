@@ -1,0 +1,150 @@
+"""Batched Keccak-f[1600] permutation + keccak256 sponge (JAX, u32 pairs).
+
+The EraVM keccak256 precompile and the witness queue commitments both reduce
+to this permutation (SURVEY.md §2.10, §7).  TPU-native formulation: the 25
+64-bit lanes are (lo, hi) uint32 pairs held as 50 separate [B] vectors — every
+rotation amount is a compile-time constant, so the whole 24-round permutation
+unrolls into a pure elementwise XOR/AND/NOT dataflow that XLA fuses; no
+gathers, no 64-bit emulation.
+
+Scalar reference: era_zk_evm_tpu.golden.precompiles.keccak_f1600 (validated
+against public test vectors)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..golden.precompiles import KECCAK_RATE_BYTES, KECCAK_RC, KECCAK_ROTATIONS
+
+U32 = jnp.uint32
+
+RATE_WORDS = KECCAK_RATE_BYTES // 8  # 17 u64 lanes per absorbed block
+
+
+def _rotl(lo, hi, n: int):
+    """Rotate a (lo, hi) u64 pair left by constant n."""
+    n %= 64
+    if n == 0:
+        return lo, hi
+    if n == 32:
+        return hi, lo
+    if n < 32:
+        new_lo = (lo << n) | (hi >> (32 - n))
+        new_hi = (hi << n) | (lo >> (32 - n))
+        return new_lo, new_hi
+    m = n - 32
+    new_lo = (hi << m) | (lo >> (32 - m))
+    new_hi = (lo << m) | (hi >> (32 - m))
+    return new_lo, new_hi
+
+
+def keccak_f1600(lo: list, hi: list) -> tuple[list, list]:
+    """One permutation over 25 (lo, hi) [B] uint32 vector pairs (flat x+5y)."""
+    lo, hi = list(lo), list(hi)
+    for rnd in range(24):
+        # theta
+        c_lo = [lo[x] ^ lo[x + 5] ^ lo[x + 10] ^ lo[x + 15] ^ lo[x + 20]
+                for x in range(5)]
+        c_hi = [hi[x] ^ hi[x + 5] ^ hi[x + 10] ^ hi[x + 15] ^ hi[x + 20]
+                for x in range(5)]
+        d = []
+        for x in range(5):
+            r_lo, r_hi = _rotl(c_lo[(x + 1) % 5], c_hi[(x + 1) % 5], 1)
+            d.append((c_lo[(x - 1) % 5] ^ r_lo, c_hi[(x - 1) % 5] ^ r_hi))
+        lo = [lo[i] ^ d[i % 5][0] for i in range(25)]
+        hi = [hi[i] ^ d[i % 5][1] for i in range(25)]
+        # rho + pi
+        b_lo, b_hi = [None] * 25, [None] * 25
+        for x in range(5):
+            for y in range(5):
+                src = x + 5 * y
+                dst = y + 5 * ((2 * x + 3 * y) % 5)
+                b_lo[dst], b_hi[dst] = _rotl(lo[src], hi[src],
+                                             KECCAK_ROTATIONS[src])
+        # chi
+        lo = [b_lo[i] ^ (~b_lo[(i % 5 + 1) % 5 + 5 * (i // 5)]
+                         & b_lo[(i % 5 + 2) % 5 + 5 * (i // 5)])
+              for i in range(25)]
+        hi = [b_hi[i] ^ (~b_hi[(i % 5 + 1) % 5 + 5 * (i // 5)]
+                         & b_hi[(i % 5 + 2) % 5 + 5 * (i // 5)])
+              for i in range(25)]
+        # iota
+        lo[0] = lo[0] ^ jnp.uint32(KECCAK_RC[rnd] & 0xFFFFFFFF)
+        hi[0] = hi[0] ^ jnp.uint32(KECCAK_RC[rnd] >> 32)
+    return lo, hi
+
+
+def keccak_f1600_array(state: jax.Array) -> jax.Array:
+    """Permutation over packed state u32[B, 25, 2] ([..., 0]=lo, [..., 1]=hi)."""
+    lo = [state[:, i, 0] for i in range(25)]
+    hi = [state[:, i, 1] for i in range(25)]
+    lo, hi = keccak_f1600(lo, hi)
+    return jnp.stack([jnp.stack(lo, axis=1), jnp.stack(hi, axis=1)], axis=2)
+
+
+def absorb_blocks(blocks: jax.Array) -> jax.Array:
+    """Absorb padded rate-blocks and return the final sponge states.
+
+    blocks: u32[B, n_blocks, 34] — each block is 17 u64 lanes as (lo, hi)
+    interleaved pairs (lane k -> columns 2k, 2k+1), already padded.
+    Returns u32[B, 25, 2].
+    """
+    B, n_blocks, _ = blocks.shape
+    lo = [jnp.zeros((B,), U32) for _ in range(25)]
+    hi = [jnp.zeros((B,), U32) for _ in range(25)]
+    for blk in range(n_blocks):  # unrolled: block counts are small & static
+        for k in range(RATE_WORDS):
+            lo[k] = lo[k] ^ blocks[:, blk, 2 * k]
+            hi[k] = hi[k] ^ blocks[:, blk, 2 * k + 1]
+        lo, hi = keccak_f1600(lo, hi)
+    return jnp.stack([jnp.stack(lo, axis=1), jnp.stack(hi, axis=1)], axis=2)
+
+
+def pad_messages(messages: bytes | list[bytes]) -> "np.ndarray":
+    """Host helper: pad byte messages (all the same length) into rate blocks.
+
+    Returns u32[B, n_blocks, 34] ready for absorb_blocks.
+    """
+    import numpy as np
+
+    if isinstance(messages, (bytes, bytearray)):
+        messages = [bytes(messages)]
+    length = len(messages[0])
+    assert all(len(m) == length for m in messages), "uniform length required"
+    pad_len = KECCAK_RATE_BYTES - (length % KECCAK_RATE_BYTES)
+    if pad_len == 1:
+        pad = b"\x81"
+    else:
+        pad = b"\x01" + b"\x00" * (pad_len - 2) + b"\x80"
+    n_blocks = (length + pad_len) // KECCAK_RATE_BYTES
+    out = np.zeros((len(messages), n_blocks, 34), dtype=np.uint32)
+    for b, m in enumerate(messages):
+        padded = m + pad
+        for blk in range(n_blocks):
+            chunk = padded[blk * KECCAK_RATE_BYTES:(blk + 1) * KECCAK_RATE_BYTES]
+            for k in range(RATE_WORDS):
+                lane = int.from_bytes(chunk[8 * k:8 * k + 8], "little")
+                out[b, blk, 2 * k] = lane & 0xFFFFFFFF
+                out[b, blk, 2 * k + 1] = lane >> 32
+    return out
+
+
+def digest_from_state(state) -> list[bytes]:
+    """u32[B, 25, 2] -> per-lane 32-byte keccak256 digests (host side)."""
+    import numpy as np
+
+    state = np.asarray(state)
+    digests = []
+    for b in range(state.shape[0]):
+        out = b"".join(
+            (int(state[b, k, 0]) | (int(state[b, k, 1]) << 32)).to_bytes(8, "little")
+            for k in range(4))
+        digests.append(out)
+    return digests
+
+
+@jax.jit
+def keccak256_batched(blocks: jax.Array) -> jax.Array:
+    """Full sponge over pre-padded blocks -> final states u32[B, 25, 2]."""
+    return absorb_blocks(blocks)

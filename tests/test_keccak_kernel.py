@@ -1,0 +1,50 @@
+"""Batched keccak kernel vs the scalar golden implementation + known vectors."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from era_zk_evm_tpu.golden.precompiles import keccak256, keccak_f1600
+from era_zk_evm_tpu.ops.keccak import (
+    absorb_blocks, digest_from_state, keccak_f1600_array, pad_messages,
+)
+
+
+class TestPermutation:
+    def test_matches_scalar(self):
+        rng = np.random.default_rng(7)
+        B = 16
+        states = rng.integers(0, 1 << 64, size=(B, 25), dtype=np.uint64)
+        packed = np.zeros((B, 25, 2), dtype=np.uint32)
+        packed[:, :, 0] = states & 0xFFFFFFFF
+        packed[:, :, 1] = states >> 32
+        out = np.asarray(keccak_f1600_array(jnp.asarray(packed)))
+        for b in range(B):
+            want = keccak_f1600([int(x) for x in states[b]])
+            got = [int(out[b, k, 0]) | (int(out[b, k, 1]) << 32)
+                   for k in range(25)]
+            assert got == want
+
+    def test_zero_state_permutation(self):
+        packed = jnp.zeros((1, 25, 2), jnp.uint32)
+        out = np.asarray(keccak_f1600_array(packed))
+        want = keccak_f1600([0] * 25)
+        got = [int(out[0, k, 0]) | (int(out[0, k, 1]) << 32) for k in range(25)]
+        assert got == want
+
+
+class TestSponge:
+    def test_known_vectors(self):
+        msgs = [b"", b"", b""]
+        blocks = jnp.asarray(pad_messages(msgs))
+        digests = digest_from_state(absorb_blocks(blocks))
+        assert digests[0].hex() == \
+            "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470"
+
+    def test_against_golden_various_lengths(self):
+        for length in (0, 1, 50, 135, 136, 137, 200, 272):
+            msgs = [bytes([(i * 7 + j) % 256 for j in range(length)])
+                    for i in range(4)]
+            blocks = jnp.asarray(pad_messages(msgs))
+            digests = digest_from_state(absorb_blocks(blocks))
+            for m, d in zip(msgs, digests):
+                assert d == keccak256(m), f"len={length}"
