@@ -1,0 +1,95 @@
+"""Bit-exact witness commitments: golden stream vs device queues, and the
+sharded block fold vs the unsharded one (SURVEY.md §5.8 semantics)."""
+
+import numpy as np
+
+from era_zk_evm_tpu.isa.assembler import assemble_to_code_words
+from era_zk_evm_tpu.models import VmConfig, make_entry_state, run_cycles
+from era_zk_evm_tpu.parallel import make_mesh, run_block, shard_state
+from era_zk_evm_tpu.testing.differential import run_golden
+from era_zk_evm_tpu.witness import (
+    block_commitment, commit_device_queues, commit_memory_queue,
+)
+
+PROGRAMS = [
+    """
+    add 7, r0, r1
+    st.h 0, r1
+    ld.h 3, r2
+    add r2, r0, stack+=[1]
+    add stack-=[1], r0, r3
+    ret r0
+    """,
+    """
+    add 1, r0, r10
+    add 4, r0, r1
+    loop:
+    st.h r1, r1
+    sub! r1, r10, r1
+    jump.if_ne @loop
+    ret r0
+    """,
+    """
+    add 2000, r0, r9
+    near_call r9, @f, @h
+    done:
+    ret r0
+    f:
+    add 5, r0, r1
+    st.ah 0, r1
+    panic
+    h:
+    jump @done
+    """,
+    """
+    nop
+    ret r0
+    """,
+] * 2  # 8 lanes
+
+
+def _run_device(programs, max_cycles=64):
+    config = VmConfig(batch=len(programs), queue_capacity=max_cycles * 8,
+                      heap_words=64, stack_words=2048, code_words=64,
+                      max_depth=8)
+    words = [assemble_to_code_words(p) for p in programs]
+    state = make_entry_state(config, words, ergs=1 << 20)
+    state = run_cycles(state, config, max_cycles)
+    assert not np.any(np.asarray(state.lane_error))
+    assert np.all(np.asarray(state.done))
+    return state, config
+
+
+class TestCommitments:
+    def test_golden_vs_device_commitments(self):
+        state, _ = _run_device(PROGRAMS)
+        device_lanes, device_block = commit_device_queues(state)
+        golden_lanes = []
+        for src in PROGRAMS:
+            _, tools, _ = run_golden(src, 64, ergs=1 << 20)
+            golden_lanes.append(commit_memory_queue(
+                [q for _, q in tools.witness.memory_queries]))
+        assert device_lanes == golden_lanes
+        assert device_block == block_commitment(golden_lanes)
+
+    def test_sharded_run_same_commitment(self):
+        # same programs executed under an 8-device mesh must produce the
+        # identical block commitment (ordered shard fold == unsharded fold)
+        state, config = _run_device(PROGRAMS)
+        _, unsharded_block = commit_device_queues(state)
+
+        words = [assemble_to_code_words(p) for p in PROGRAMS]
+        sh_state = make_entry_state(config, words, ergs=1 << 20)
+        mesh = make_mesh(8)
+        sh_state = shard_state(sh_state, mesh)
+        sh_state, aggregates = run_block(sh_state, config, 64)
+        assert int(aggregates["error_lanes"]) == 0
+        # per-shard local fold + ordered combine (hosts exchange digests)
+        lanes, _ = commit_device_queues(sh_state)
+        n_shards = 8
+        per_shard = len(PROGRAMS) // n_shards
+        shard_digests = [lanes[s * per_shard:(s + 1) * per_shard]
+                         for s in range(n_shards)]
+        combined = block_commitment(
+            [d for shard in shard_digests for d in shard])
+        assert combined == unsharded_block
