@@ -405,7 +405,10 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     is_near_call = opcode == OP.NEAR_CALL
     is_ret = opcode == OP.RET
     is_uma = opcode == OP.UMA
-    unsupported = (opcode == OP.LOG) | (opcode == OP.FAR_CALL)
+    is_log = opcode == OP.LOG
+    log_enabled = config.storage_slots > 0
+    unsupported = (opcode == OP.FAR_CALL) \
+        | (is_log & ((sub_variant == LogOp.PRECOMPILE_CALL) | (not log_enabled)))
     lane_error = lane_error | (active & unsupported)
 
     sum_val, carry = u256.add(src0, src1)
@@ -604,11 +607,109 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
 
     incremented_src0 = src0.at[:, 0].set(incremented)
 
+    # ---------------- log family (log.rs) ----------------
+    # pubdata ergs accounting first, then the storage/event action; the
+    # refund estimate is RefundType::None in the reference testing oracle
+    ts_log = state.timestamp + 1
+    shard_this_u8 = scal[:, CS["shard_ids"]] & 0xFF
+    is_rollup = shard_this_u8 == 0
+    log_sub = sub_variant
+    l_sread = is_log & (log_sub == LogOp.STORAGE_READ)
+    l_swrite = is_log & (log_sub == LogOp.STORAGE_WRITE)
+    l_event = is_log & (log_sub == LogOp.EVENT)
+    l_tol1 = is_log & (log_sub == LogOp.TO_L1_MESSAGE)
+    if log_enabled:
+        ergs_on_pubdata = jnp.where(
+            l_swrite & is_rollup,
+            state.ergs_per_pubdata * params.INITIAL_STORAGE_WRITE_PUBDATA_BYTES,
+            jnp.where(l_tol1,
+                      state.ergs_per_pubdata * params.L1_MESSAGE_PUBDATA_BYTES,
+                      0))
+        log_not_enough = ergs_on_pubdata > ergs2
+        ergs_after_log = jnp.where(is_log & log_not_enough, 0,
+                                   ergs2 - jnp.where(is_log, ergs_on_pubdata, 0))
+        new_spent_pubdata = state.spent_pubdata + jnp.where(
+            active & is_log,
+            jnp.where(log_not_enough, jnp.minimum(ergs2, ergs_on_pubdata),
+                      ergs_on_pubdata),
+            0)
+        log_skipped = log_not_enough  # write/to_l1 return early w/o querying
+
+        # storage lookup: compare-all over the per-lane KV slots
+        key14 = jnp.concatenate([src0, this_addr,
+                                 shard_this_u8[:, None]], axis=1)  # [B, 14]
+        slot_match = jnp.all(state.st_key == key14[:, None, :], axis=2) \
+            & state.st_used                                  # [B, S]
+        slot_found = jnp.any(slot_match, axis=1)
+        current_val = jnp.sum(
+            state.st_val * slot_match[:, :, None].astype(U32), axis=1)
+
+        do_sread = l_sread & active & ~zeroed
+        do_swrite = l_swrite & active & ~log_skipped
+        do_event = (l_event | l_tol1) & active & ~log_skipped
+
+        # write target slot: the match, or a fresh slot at st_count
+        fresh_needed = do_swrite & ~slot_found
+        fresh_oh = _onehot(state.st_count, config.storage_slots) \
+            & fresh_needed[:, None]
+        lane_error = lane_error | (fresh_needed
+                                   & (state.st_count >= config.storage_slots))
+        write_oh = (slot_match & do_swrite[:, None]) | fresh_oh
+        new_st_key = jnp.where(fresh_oh[:, :, None], key14[:, None, :],
+                               state.st_key)
+        new_st_val = jnp.where(write_oh[:, :, None], src1[:, None, :],
+                               state.st_val)
+        new_st_used = state.st_used | fresh_oh
+        new_st_count = state.st_count + fresh_needed.astype(I32)
+        write_slot = jnp.sum(
+            jnp.arange(config.storage_slots, dtype=I32)[None, :]
+            * write_oh.astype(I32), axis=1)
+
+        # journal append (slot, previous value) for rollback
+        j_oh = _onehot(state.j_count, config.journal_slots) & do_swrite[:, None]
+        lane_error = lane_error | (do_swrite
+                                   & (state.j_count >= config.journal_slots))
+        new_j_slot = jnp.where(j_oh, write_slot[:, None], state.j_slot)
+        new_j_prev = jnp.where(j_oh[:, :, None], current_val[:, None, :],
+                               state.j_prev)
+        new_j_count = state.j_count + do_swrite.astype(I32)
+
+        # event journal append
+        ev_oh = _onehot(state.ev_count, config.event_slots) & do_event[:, None]
+        lane_error = lane_error | (do_event
+                                   & (state.ev_count >= config.event_slots))
+        aux_byte = jnp.where(l_event, params.EVENT_AUX_BYTE,
+                             params.L1_MESSAGE_AUX_BYTE).astype(U32)
+        ev_meta_row = jnp.stack(
+            [ts_log, aux_byte | (vflag0.astype(U32) << 8)
+             | (state.tx_number << 16)], axis=1)
+        new_ev_key = jnp.where(ev_oh[:, :, None], src0[:, None, :], state.ev_key)
+        new_ev_val = jnp.where(ev_oh[:, :, None], src1[:, None, :], state.ev_val)
+        new_ev_meta = jnp.where(ev_oh[:, :, None], ev_meta_row[:, None, :],
+                                state.ev_meta)
+        new_ev_count = state.ev_count + do_event.astype(I32)
+
+        log_read_result = current_val  # 0 when the key is absent
+    else:
+        ergs_after_log = ergs2
+        new_spent_pubdata = state.spent_pubdata
+        new_st_key, new_st_val = state.st_key, state.st_val
+        new_st_used, new_st_count = state.st_used, state.st_count
+        new_j_slot, new_j_prev, new_j_count = \
+            state.j_slot, state.j_prev, state.j_count
+        new_ev_key, new_ev_val = state.ev_key, state.ev_val
+        new_ev_meta, new_ev_count = state.ev_meta, state.ev_count
+        do_sread = jnp.zeros((B,), dtype=BOOL)
+        do_swrite = do_event = do_sread
+        log_read_result = jnp.zeros((B, 8), dtype=U32)
+        current_val = log_read_result
+        aux_byte = jnp.zeros((B,), dtype=U32)
+
     # ---------------- near call (near_call.rs) ----------------
     nc_abi = src0[:, 0]
-    nc_pass_all = (nc_abi == 0) | (nc_abi > ergs2)
-    nc_passed = jnp.where(nc_pass_all, ergs2, nc_abi)
-    nc_left = jnp.where(nc_pass_all, 0, ergs2 - nc_abi)
+    nc_pass_all = (nc_abi == 0) | (nc_abi > ergs_after_log)
+    nc_passed = jnp.where(nc_pass_all, ergs_after_log, nc_abi)
+    nc_left = jnp.where(nc_pass_all, 0, ergs_after_log - nc_abi)
 
     # ---------------- ret (ret.rs) ----------------
     ret_sub = sub_variant
@@ -656,9 +757,10 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     r_growth = jnp.where(r_growth_uf, 0, r_upper - r_bound)
     r_growth = jnp.where(nonlocal_ret & ~r_fwd, r_growth, 0)
     r_cost = r_growth * params.MEMORY_GROWTH_ERGS_PER_BYTE
-    r_no_ergs = ergs2 < r_cost
-    ergs3 = jnp.where(is_ret & ~r_no_ergs, ergs2 - jnp.where(is_ret, r_cost, 0),
-                      jnp.where(is_ret & r_no_ergs, 0, ergs2))
+    r_no_ergs = ergs_after_log < r_cost
+    ergs3 = jnp.where(is_ret & ~r_no_ergs,
+                      ergs_after_log - jnp.where(is_ret, r_cost, 0),
+                      jnp.where(is_ret & r_no_ergs, 0, ergs_after_log))
     ret_panic2 = nonlocal_ret & r_no_ergs
     ret_final_panic = ret_escalated | ret_panic2
     r_off = jnp.where(ret_panic2, 0, r_off)
@@ -735,10 +837,11 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     dst0_val = _sel(uma_is_read & is_uma, read_val, dst0_val)
     dst0_val = _sel(uma_is_write & uma_increment,
                     incremented_src0, dst0_val)
+    dst0_val = _sel(do_sread, log_read_result, dst0_val)
     dst0_is_ptr = ptr_writes  # only ptr ops produce tagged dst0 here
 
     dst0_write = is_add | is_sub | is_mul | is_div | is_shift | is_binop \
-        | ctx_writes_dst | ptr_writes \
+        | ctx_writes_dst | ptr_writes | do_sread \
         | (uma_is_read & ~uma_set_panic) \
         | (uma_is_write & uma_increment & ~uma_set_panic)
 
@@ -786,6 +889,8 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     pushed = pushed.at[:, CS["exception_handler"]].set(imm1)
     pushed = pushed.at[:, CS["ergs_remaining"]].set(nc_passed)
     pushed = pushed.at[:, CS["flags_word"]].set(flags_word | 2)  # is_local
+    pushed = pushed.at[:, CS["journal_snapshot"]].set(new_j_count.astype(U32))
+    pushed = pushed.at[:, CS["event_snapshot"]].set(new_ev_count.astype(U32))
     push_idx = jnp.minimum(depth + 1, D - 1)
     lane_error = lane_error | (active & push_mask & (depth + 1 >= D))
     new_cs_scalars = _scatter_rows(new_cs_scalars, push_idx, pushed, push_mask)
@@ -814,6 +919,38 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
         jnp.where(loc, jnp.where(is_uma, new_aux_bound_u, aux_bound0),
                   parent_scal[:, CS["aux_heap_bound"]]))
     new_cs_scalars = _scatter_rows(new_cs_scalars, parent_idx, parent_scal, pop_mask)
+
+    # ---- storage rollback + event cancel for panicked frame pops
+    # (reference: storage.rs:156-181 value replay; event_sink.rs:154-175)
+    if log_enabled:
+        j_snap = scal[:, CS["journal_snapshot"]].astype(I32)
+        ev_snap = scal[:, CS["event_snapshot"]].astype(I32)
+        panic_pop = pop_mask & ret_panicked
+
+        def replay_cond(carry):
+            _, idx = carry
+            return jnp.any(panic_pop & (idx > j_snap))
+
+        def replay_body(carry):
+            st_val, idx = carry
+            lane_on = panic_pop & (idx > j_snap)
+            e = jnp.maximum(idx - 1, 0)
+            entry_oh = _onehot(e, config.journal_slots) & lane_on[:, None]
+            slot = jnp.sum(new_j_slot * entry_oh.astype(I32), axis=1)
+            prev = jnp.sum(new_j_prev * entry_oh[:, :, None].astype(U32), axis=1)
+            slot_oh = _onehot(slot, config.storage_slots) & lane_on[:, None]
+            st_val = jnp.where(slot_oh[:, :, None], prev[:, None, :], st_val)
+            return st_val, idx - lane_on.astype(I32)
+
+        new_st_val, _ = jax.lax.while_loop(
+            replay_cond, replay_body, (new_st_val, new_j_count))
+        new_j_count = jnp.where(panic_pop, j_snap, new_j_count)
+        ev_pos = jnp.arange(config.event_slots, dtype=I32)[None, :]
+        cancel = panic_pop[:, None] & (ev_pos >= ev_snap[:, None]) \
+            & (ev_pos < new_ev_count[:, None])
+        new_ev_cancelled = state.ev_cancelled | cancel
+    else:
+        new_ev_cancelled = state.ev_cancelled
 
     new_depth = depth + push_mask.astype(I32) - pop_mask.astype(I32)
     new_depth = jnp.maximum(new_depth, 0)
@@ -927,6 +1064,41 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
         wq_value = jax.lax.dynamic_update_slice(wq_value, value_b, (0, base, 0))
         wq_flags = jax.lax.dynamic_update_slice(wq_flags, flag_b, (0, base))
 
+    # ---- log-witness queue (add_log_query stream; 1 slot per cycle)
+    lq_count = state.lq_count
+    lq_meta, lq_addr = state.lq_meta, state.lq_addr
+    lq_key, lq_read, lq_written = state.lq_key, state.lq_read, state.lq_written
+    if config.log_queue_capacity > 0 and log_enabled:  # noqa: SIM102
+        lpos = jnp.minimum(jnp.asarray(step, I32),
+                           config.log_queue_capacity - 1)
+        loverflow = jnp.asarray(step, I32) >= config.log_queue_capacity
+        lvalid = (do_sread | do_swrite | do_event) & ~loverflow
+        lane_error = lane_error | ((do_sread | do_swrite | do_event) & loverflow)
+        l_aux = jnp.where(do_sread | do_swrite,
+                          jnp.uint32(params.STORAGE_AUX_BYTE), aux_byte)
+        l_rw = (do_swrite | do_event).astype(U32)
+        packed_meta = l_aux | (l_rw << 8) | (vflag0.astype(U32) << 9) \
+            | (shard_this_u8 << 16)
+        meta_row = jnp.stack(
+            [jnp.where(lvalid, ts_log, 0),
+             jnp.where(lvalid, packed_meta, 0),
+             jnp.where(lvalid, state.tx_number, 0),
+             lvalid.astype(U32)], axis=1)
+        read_row = jnp.where((do_sread | do_swrite)[:, None], current_val, 0)
+        # reads copy read_value into written_value (helpers.rs:145-148)
+        written_row = jnp.where(do_sread[:, None], current_val,
+                                jnp.where((do_swrite | do_event)[:, None],
+                                          src1, 0))
+        def upd(arr, row):
+            return jax.lax.dynamic_update_slice(
+                arr, row[:, None], (0, lpos) + (0,) * (arr.ndim - 2))
+        lq_meta = upd(lq_meta, meta_row)
+        lq_addr = upd(lq_addr, jnp.where(lvalid[:, None], this_addr, 0))
+        lq_key = upd(lq_key, jnp.where(lvalid[:, None], src0, 0))
+        lq_read = upd(lq_read, jnp.where(lvalid[:, None], read_row, 0))
+        lq_written = upd(lq_written, jnp.where(lvalid[:, None], written_row, 0))
+        lq_count = lq_count + lvalid.astype(I32)
+
     # ==================================================================
     # Assemble the new state; freeze lanes that were already done
     # ==================================================================
@@ -942,7 +1114,8 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
         monotonic_cycle_counter=jnp.where(
             frozen, state.monotonic_cycle_counter,
             state.monotonic_cycle_counter + 1),
-        spent_pubdata=state.spent_pubdata,
+        spent_pubdata=jnp.where(frozen, state.spent_pubdata,
+                                new_spent_pubdata),
         ergs_per_pubdata=jnp.where(frozen, state.ergs_per_pubdata,
                                    new_ergs_per_pubdata),
         tx_number=jnp.where(frozen, state.tx_number, new_tx_number),
@@ -968,6 +1141,16 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
         lane_error=lane_error,
         wq_count=wq_count, wq_meta=wq_meta, wq_value=wq_value,
         wq_flags=wq_flags,
+        st_key=new_st_key, st_val=new_st_val, st_used=new_st_used,
+        st_count=jnp.where(frozen, state.st_count, new_st_count),
+        j_slot=new_j_slot, j_prev=new_j_prev,
+        j_count=jnp.where(frozen, state.j_count, new_j_count),
+        ev_key=new_ev_key, ev_val=new_ev_val, ev_meta=new_ev_meta,
+        ev_cancelled=new_ev_cancelled,
+        ev_count=jnp.where(frozen, state.ev_count, new_ev_count),
+        lq_meta=lq_meta, lq_addr=lq_addr, lq_key=lq_key, lq_read=lq_read,
+        lq_written=lq_written,
+        lq_count=jnp.where(frozen, state.lq_count, lq_count),
     )
 
 

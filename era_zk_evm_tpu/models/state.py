@@ -41,6 +41,11 @@ class VmConfig:
     #: [stack_sp_base, stack_sp_base + stack_words - A) (see _map_stack_index)
     stack_abs_words: int | None = None
     stack_sp_base: int = 768
+    # -- LOG-family device state (0 disables the subsystem arrays) --
+    storage_slots: int = 0        # per-lane KV capacity (compare-all lookup)
+    journal_slots: int = 0        # per-lane storage-write journal (rollback)
+    event_slots: int = 0          # per-lane event journal
+    log_queue_capacity: int = 0   # log-witness queue (1 slot per cycle)
 
     def __post_init__(self):
         if self.stack_abs_words is None:
@@ -58,6 +63,9 @@ CS_SCALAR_FIELDS = (
     "ergs_remaining", "shard_ids",  # shard_ids packs this|caller<<8|code<<16
     "flags_word",                   # bit0 is_static, bit1 is_local_frame
     "heap_bound", "aux_heap_bound",
+    # frame-entry snapshots of the storage journal / event journal lengths
+    # (rollback segmentation; reference: per-frame ApplicationData stacks)
+    "journal_snapshot", "event_snapshot",
 )
 
 
@@ -106,6 +114,30 @@ class BatchedVmState:
     wq_value: jax.Array              # u32[B, Q, 8]
     wq_flags: jax.Array              # u32[B, Q]: bit0 rw, bit1 is_ptr
 
+    # -- LOG-family state (zero-size arrays when disabled) --
+    # storage: per-lane KV store; key = (key u256, address, shard) = 14 limbs
+    st_key: jax.Array                # u32[B, S, 14]
+    st_val: jax.Array                # u32[B, S, 8]
+    st_used: jax.Array               # bool[B, S]
+    st_count: jax.Array              # i32[B]
+    # storage-write journal: (slot, previous value) per write
+    j_slot: jax.Array                # i32[B, J]
+    j_prev: jax.Array                # u32[B, J, 8]
+    j_count: jax.Array               # i32[B]
+    # event journal: forward entries; panicked-frame segments get cancelled
+    ev_key: jax.Array                # u32[B, E, 8]
+    ev_val: jax.Array                # u32[B, E, 8]
+    ev_meta: jax.Array               # u32[B, E, 2]: ts, aux|first<<8|tx<<16
+    ev_cancelled: jax.Array          # bool[B, E]
+    ev_count: jax.Array              # i32[B]
+    # log-witness queue: one slot per cycle, batch-uniform position
+    lq_meta: jax.Array               # u32[B, LQ, 4]: ts, packed, tx, shard
+    lq_addr: jax.Array               # u32[B, LQ, 5]
+    lq_key: jax.Array                # u32[B, LQ, 8]
+    lq_read: jax.Array               # u32[B, LQ, 8]
+    lq_written: jax.Array            # u32[B, LQ, 8]
+    lq_count: jax.Array              # i32[B]
+
 
 CS = {name: i for i, name in enumerate(CS_SCALAR_FIELDS)}
 
@@ -145,6 +177,24 @@ def empty_state(config: VmConfig) -> BatchedVmState:
         wq_meta=z((B, Q, 4)),
         wq_value=z((B, Q, 8)),
         wq_flags=z((B, Q)),
+        st_key=z((B, config.storage_slots, 14)),
+        st_val=z((B, config.storage_slots, 8)),
+        st_used=jnp.zeros((B, config.storage_slots), dtype=BOOL),
+        st_count=jnp.zeros((B,), dtype=I32),
+        j_slot=jnp.zeros((B, config.journal_slots), dtype=I32),
+        j_prev=z((B, config.journal_slots, 8)),
+        j_count=jnp.zeros((B,), dtype=I32),
+        ev_key=z((B, config.event_slots, 8)),
+        ev_val=z((B, config.event_slots, 8)),
+        ev_meta=z((B, config.event_slots, 2)),
+        ev_cancelled=jnp.zeros((B, config.event_slots), dtype=BOOL),
+        ev_count=jnp.zeros((B,), dtype=I32),
+        lq_meta=z((B, config.log_queue_capacity, 4)),
+        lq_addr=z((B, config.log_queue_capacity, 5)),
+        lq_key=z((B, config.log_queue_capacity, 8)),
+        lq_read=z((B, config.log_queue_capacity, 8)),
+        lq_written=z((B, config.log_queue_capacity, 8)),
+        lq_count=jnp.zeros((B,), dtype=I32),
     )
     # root frames: empty context with the initial ergs budget
     root = state.cs_scalars
@@ -201,4 +251,40 @@ def make_entry_state(config: VmConfig, programs: list[list[int]],
     sc = sc.at[:, 0, CS["ergs_remaining"]].set(params.VM_INITIAL_FRAME_ERGS - ergs)
     state.cs_scalars = sc
     state.depth = jnp.ones((B,), dtype=I32)
+    return state
+
+
+def storage_key_limbs(shard: int, address: int, key: int) -> np.ndarray:
+    """(shard, address, key) -> the 14-limb device storage key."""
+    from ..utils import to_limbs
+
+    out = np.zeros(14, dtype=np.uint32)
+    out[:8] = to_limbs(key)
+    for i in range(5):
+        out[8 + i] = (address >> (32 * i)) & 0xFFFFFFFF
+    out[13] = shard
+    return out
+
+
+def populate_storage(state: BatchedVmState, config: VmConfig,
+                     entries: list[list[tuple[int, int, int, int]]]) -> BatchedVmState:
+    """Pre-populate per-lane storage: entries[b] = [(shard, address, key, value)]."""
+    from ..utils import to_limbs
+
+    B = config.batch
+    keys = np.zeros((B, config.storage_slots, 14), dtype=np.uint32)
+    vals = np.zeros((B, config.storage_slots, 8), dtype=np.uint32)
+    used = np.zeros((B, config.storage_slots), dtype=bool)
+    counts = np.zeros((B,), dtype=np.int32)
+    for b, lane_entries in enumerate(entries):
+        assert len(lane_entries) <= config.storage_slots
+        for i, (shard, address, key, value) in enumerate(lane_entries):
+            keys[b, i] = storage_key_limbs(shard, address, key)
+            vals[b, i] = to_limbs(value)
+            used[b, i] = True
+        counts[b] = len(lane_entries)
+    state.st_key = jnp.asarray(keys)
+    state.st_val = jnp.asarray(vals)
+    state.st_used = jnp.asarray(used)
+    state.st_count = jnp.asarray(counts)
     return state

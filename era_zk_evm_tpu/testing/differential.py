@@ -22,6 +22,13 @@ class DifferentialMismatch(AssertionError):
     pass
 
 
+def _flatten_copy(tools):
+    """Flatten the event sink non-destructively (flatten() is consuming)."""
+    import copy
+
+    return copy.deepcopy(tools.event_sink).flatten()
+
+
 def _check(cond, lane, what, got, want):
     if not cond:
         raise DifferentialMismatch(
@@ -42,7 +49,9 @@ def diff_run(sources: list[str], config: VmConfig | None = None,
     B = len(sources)
     config = config or VmConfig(
         batch=B, queue_capacity=max_cycles * 8, heap_words=64,
-        stack_words=2048, code_words=64, max_depth=8)
+        stack_words=2048, code_words=64, max_depth=8,
+        storage_slots=16, journal_slots=32, event_slots=32,
+        log_queue_capacity=max_cycles)
 
     goldens = [run_golden(src, max_cycles, ergs=ergs) for src in sources]
 
@@ -109,6 +118,109 @@ def diff_run(sources: list[str], config: VmConfig | None = None,
         hi = vm.memory.dump_page(stack_page, sp0 - 64, sp0 + 256)
         got_hi = [from_limbs(stack[b, i]) for i in range(sp0 - 64, sp0 + 256)]
         _check(got_hi == hi, b, "stack around sp", None, None)
+
+        # -- LOG-family observables --
+        if config.storage_slots > 0:
+            st_key = np.asarray(state.st_key)
+            st_val = np.asarray(state.st_val)
+            st_used = np.asarray(state.st_used)
+            # every device slot must match golden storage (missing == 0)
+            for s in range(config.storage_slots):
+                if not st_used[b, s]:
+                    continue
+                key = from_limbs(st_key[b, s, :8])
+                address = sum(int(st_key[b, s, 8 + i]) << (32 * i)
+                              for i in range(5))
+                shard = int(st_key[b, s, 13])
+                got_v = from_limbs(st_val[b, s])
+                want_v = vm.storage.inner[shard].get(address, {}).get(key, 0)
+                _check(got_v == want_v, b, f"storage[{shard},{address:#x},{key}]",
+                       got_v, want_v)
+            # and every golden entry must be present on device
+            for shard in range(len(vm.storage.inner)):
+                for address, slots in vm.storage.inner[shard].items():
+                    for key, want_v in slots.items():
+                        found = 0
+                        for s in range(config.storage_slots):
+                            if st_used[b, s] and \
+                                    from_limbs(st_key[b, s, :8]) == key and \
+                                    int(st_key[b, s, 13]) == shard:
+                                found = from_limbs(st_val[b, s])
+                                break
+                        _check(found == want_v, b,
+                               f"golden storage[{shard},{address:#x},{key}]",
+                               found, want_v)
+            # net events: uncancelled journal entries in order
+            from ..golden.storage import GoldenEventSink  # noqa
+            _, want_events, want_l1 = _flatten_copy(tools)
+            ev_meta = np.asarray(state.ev_meta)
+            ev_key = np.asarray(state.ev_key)
+            ev_val = np.asarray(state.ev_val)
+            ev_cancelled = np.asarray(state.ev_cancelled)
+            ev_count = int(np.asarray(state.ev_count)[b])
+            got_events, got_l1 = [], []
+            for i in range(ev_count):
+                if ev_cancelled[b, i]:
+                    continue
+                aux = int(ev_meta[b, i, 1]) & 0xFF
+                entry = (from_limbs(ev_key[b, i]), from_limbs(ev_val[b, i]),
+                         bool((int(ev_meta[b, i, 1]) >> 8) & 1),
+                         (int(ev_meta[b, i, 1]) >> 16) & 0xFFFF)
+                (got_events if aux == params.EVENT_AUX_BYTE else got_l1).append(entry)
+            want_ev_tuples = [(e.key, e.value, e.is_first, e.tx_number_in_block)
+                              for e in want_events]
+            want_l1_tuples = [(e.key, e.value, e.is_first, e.tx_number_in_block)
+                              for e in want_l1]
+            _check(got_events == want_ev_tuples, b, "net events",
+                   got_events, want_ev_tuples)
+            _check(got_l1 == want_l1_tuples, b, "net l1 messages",
+                   got_l1, want_l1_tuples)
+            # spent pubdata counter
+            got_spent = int(np.asarray(state.spent_pubdata)[b])
+            _check(got_spent == vm.local_state.spent_pubdata_counter, b,
+                   "spent_pubdata", got_spent,
+                   vm.local_state.spent_pubdata_counter)
+            # log query stream
+            if config.log_queue_capacity > 0:
+                lq_meta = np.asarray(state.lq_meta)
+                lq_addr = np.asarray(state.lq_addr)
+                lq_key = np.asarray(state.lq_key)
+                lq_read = np.asarray(state.lq_read)
+                lq_written = np.asarray(state.lq_written)
+                want_logs = [q for _, q in tools.witness.log_queries]
+                got_slots = [s for s in range(config.log_queue_capacity)
+                             if lq_meta[b, s, 3]]
+                _check(len(got_slots) == len(want_logs), b, "log query count",
+                       len(got_slots), len(want_logs))
+                for i, q in enumerate(want_logs):
+                    s = got_slots[i]
+                    packed = int(lq_meta[b, s, 1])
+                    tag = f"log[{i}]"
+                    _check(int(lq_meta[b, s, 0]) == q.timestamp, b, tag + ".ts",
+                           int(lq_meta[b, s, 0]), q.timestamp)
+                    _check(packed & 0xFF == q.aux_byte, b, tag + ".aux",
+                           packed & 0xFF, q.aux_byte)
+                    _check(bool((packed >> 8) & 1) == q.rw_flag, b, tag + ".rw",
+                           bool((packed >> 8) & 1), q.rw_flag)
+                    _check(bool((packed >> 9) & 1) == q.is_service, b,
+                           tag + ".svc", bool((packed >> 9) & 1), q.is_service)
+                    _check((packed >> 16) & 0xFF == q.shard_id, b, tag + ".shard",
+                           (packed >> 16) & 0xFF, q.shard_id)
+                    _check(int(lq_meta[b, s, 2]) == q.tx_number_in_block, b,
+                           tag + ".tx", int(lq_meta[b, s, 2]),
+                           q.tx_number_in_block)
+                    got_address = sum(int(lq_addr[b, s, i]) << (32 * i)
+                                      for i in range(5))
+                    _check(got_address == q.address, b, tag + ".addr",
+                           hex(got_address), hex(q.address))
+                    _check(from_limbs(lq_key[b, s]) == q.key, b, tag + ".key",
+                           from_limbs(lq_key[b, s]), q.key)
+                    _check(from_limbs(lq_read[b, s]) == q.read_value, b,
+                           tag + ".read", from_limbs(lq_read[b, s]),
+                           q.read_value)
+                    _check(from_limbs(lq_written[b, s]) == q.written_value, b,
+                           tag + ".written", from_limbs(lq_written[b, s]),
+                           q.written_value)
 
         if compare_witness:
             want_stream = [q for _, q in tools.witness.memory_queries]

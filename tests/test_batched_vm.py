@@ -353,7 +353,7 @@ def _random_program(rng: random.Random) -> str:
         return rng.choice(regs)
 
     for i in range(n_ops):
-        kind = rng.randrange(12)
+        kind = rng.randrange(14)
         if kind in (0, 1, 2):
             op = rng.choice(["add", "sub", "mul", "div", "xor", "and", "or",
                              "shl", "shr", "rol", "ror"])
@@ -387,10 +387,17 @@ def _random_program(rng: random.Random) -> str:
                 + f" r{rng.randrange(1, 9)}")
         elif kind == 10:
             lines.append("nop")
-        else:
+        elif kind == 11:
             off = rng.randrange(0, 40)
             lines.append(f"st.ah {off}, {r()}")
             lines.append(f"ld.ah {off}, r{rng.randrange(1, 9)}")
+        elif kind == 12:
+            key = rng.randrange(1, 8)
+            lines.append(f"add {key}, r0, r9")
+            lines.append(f"log.swrite r9, {r()}")
+            lines.append(f"log.sread r9, r{rng.randrange(1, 9)}")
+        else:
+            lines.append(f"log.event {r()}, {r()}")
     lines.append("ret r0")
     return "\n".join(lines)
 
@@ -401,3 +408,172 @@ class TestRandomDifferential:
         rng = random.Random(0xC0FFEE + seed)
         programs = [_random_program(rng) for _ in range(8)]
         diff_run(programs, max_cycles=128)
+
+
+LOG_PROGRAMS = [
+    # storage write + read back
+    """
+    add 5, r0, r1
+    add 70, r0, r2
+    log.swrite r1, r2
+    log.sread r1, r3
+    log.sread r2, r4        ; absent key reads 0
+    ret r0
+    """,
+    # overwrite + multiple keys
+    """
+    add 1, r0, r1
+    add 2, r0, r2
+    add 11, r0, r3
+    add 22, r0, r4
+    log.swrite r1, r3
+    log.swrite r2, r4
+    log.swrite r1, r4
+    log.sread r1, r5
+    log.sread r2, r6
+    ret r0
+    """,
+    # rollback on near-call panic (incl. insert rollback)
+    """
+    add 5, r0, r1
+    add 70, r0, r2
+    log.swrite r1, r2
+    add 3000, r0, r9
+    near_call r9, @mutate, @h
+    done:
+    log.sread r1, r4
+    add 9, r0, r5
+    log.sread r5, r6        ; rolled-back insert reads 0
+    ret r0
+    mutate:
+    add 99, r0, r3
+    log.swrite r1, r3
+    add 9, r0, r7
+    log.swrite r7, r3       ; fresh insert, also rolled back
+    panic
+    h:
+    jump @done
+    """,
+    # nested frames: inner success inside outer panic
+    """
+    add 7, r0, r1
+    add 1, r0, r2
+    log.swrite r1, r2
+    add 4000, r0, r9
+    near_call r9, @outer, @h
+    done:
+    log.sread r1, r4
+    ret r0
+    outer:
+    add 2, r0, r2
+    log.swrite r1, r2
+    add 2000, r0, r8
+    near_call r8, @inner, @oh
+    panic                     ; outer panics after inner succeeded
+    inner:
+    add 3, r0, r2
+    log.swrite r1, r2
+    ret r0
+    oh:
+    panic
+    h:
+    jump @done
+    """,
+    # events + l1 messages with rollback cancellation
+    """
+    add 1, r0, r1
+    add 100, r0, r2
+    log.event r1, r2
+    log.to_l1.first r1, r2
+    add 2500, r0, r9
+    near_call r9, @emitter, @h
+    done:
+    add 2, r0, r3
+    add 200, r0, r4
+    log.event.first r3, r4
+    ret r0
+    emitter:
+    add 5, r0, r5
+    add 500, r0, r6
+    log.event r5, r6
+    panic
+    h:
+    jump @done
+    """,
+    # pubdata ergs accounting: set price then write
+    """
+    add 3, r0, r1
+    ctx.set_pubdata r1
+    add 5, r0, r2
+    add 50, r0, r3
+    log.swrite r2, r3
+    log.to_l1 r2, r3
+    ctx.ergs r4
+    ret r0
+    """,
+    # out-of-ergs on pubdata: to_l1 skipped, ergs zeroed, next decode panics
+    """
+    add 100, r0, r1
+    ctx.set_pubdata r1
+    add 3000, r0, r9
+    near_call r9, @w, @h
+    done:
+    ret r0
+    w:
+    add 5, r0, r2
+    log.to_l1 r2, r2       ; cost 100*88 >> passed ergs -> skipped + ergs 0
+    add 1, r0, r3          ; masked into panic (no ergs)
+    ret r0
+    h:
+    add 42, r0, r8
+    jump @done
+    """,
+    # storage in tx context: inc_tx changes the recorded tx number
+    """
+    add 1, r0, r1
+    log.swrite r1, r1
+    ctx.inc_tx
+    add 2, r0, r2
+    log.swrite r2, r2
+    log.event r1, r2
+    ret r0
+    """,
+]
+
+
+class TestLogDifferential:
+    def test_storage_and_events(self):
+        diff_run(LOG_PROGRAMS)
+
+    def test_prepopulated_storage(self):
+        # device storage pre-population must match golden populate
+        import numpy as np
+        from era_zk_evm_tpu.isa.assembler import assemble_to_code_words
+        from era_zk_evm_tpu.models import VmConfig, make_entry_state, run_cycles
+        from era_zk_evm_tpu.models.state import populate_storage
+        from era_zk_evm_tpu.testing.harness import (
+            ENTRY_ADDRESS, build_vm, create_default_tools, reg, run,
+        )
+        from era_zk_evm_tpu.utils import from_limbs
+
+        src = """
+        add 77, r0, r1
+        log.sread r1, r2
+        ret r0
+        """
+        tools = create_default_tools()
+        tools.storage.populate([(0, ENTRY_ADDRESS, 77, 123456)])
+        vm = build_vm(assemble_to_code_words(src), tools=tools)
+        run(vm, 32)
+        assert reg(vm, 2) == 123456
+
+        config = VmConfig(batch=1, queue_capacity=256, storage_slots=8,
+                          journal_slots=8, event_slots=8,
+                          log_queue_capacity=32)
+        state = make_entry_state(config, [assemble_to_code_words(src)])
+        state = populate_storage(state, config,
+                                 [[(0, ENTRY_ADDRESS, 77, 123456)]])
+        state = run_cycles(state, config, 32)
+        assert not np.asarray(state.lane_error)[0]
+        # r2 was wiped by the final ret on both engines; check the log stream
+        assert from_limbs(np.asarray(state.lq_read)[0, 1]) == 123456
