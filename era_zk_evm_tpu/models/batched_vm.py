@@ -173,8 +173,16 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     pages_differ = code_page != state.previous_code_page
     code_read_needed = (~pending) & (pages_differ | (super_pc != state.previous_super_pc))
 
-    fetched = _gather_rows(state.code, super_pc)        # [B, 8]; OOB -> 0
-    lane_error = lane_error | (active & code_read_needed & (super_pc >= config.code_words))
+    # resolve the frame's code page to a code-bank slot (decommit binding)
+    cb_match = (state.cb_page == code_page[:, None]) & state.cb_valid  # [B, P]
+    code_slot = jnp.sum(
+        jnp.arange(config.code_pages, dtype=U32)[None, :]
+        * cb_match.astype(U32), axis=1)
+    code_page_found = jnp.any(cb_match, axis=1)
+    fetched = _gather_rows(state.code, code_slot * config.code_words + super_pc)
+    lane_error = lane_error | (active & code_read_needed
+                               & (~code_page_found
+                                  | (super_pc >= config.code_words)))
 
     code_word = _sel(code_read_needed, fetched, state.previous_code_word)
     new_prev_code_word = code_word
@@ -355,7 +363,8 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     src0_phys, src0_in_window = _map_stack_index(config, src0_loc)
     stack_val = _gather_rows(state.stack, src0_phys)
     stack_tag = _gather_rows(state.stack_ptr_tag, src0_phys)
-    code_val = _gather_rows(state.code, src0_loc)
+    code_val = _gather_rows(state.code,
+                            code_slot * config.code_words + src0_loc)
     lane_error = lane_error | (active & do_src0_mem_read & src0_is_stack_mem
                                & ~src0_in_window)
     lane_error = lane_error | (active & do_src0_mem_read & src0_code
@@ -407,7 +416,7 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     is_uma = opcode == OP.UMA
     is_log = opcode == OP.LOG
     log_enabled = config.storage_slots > 0
-    unsupported = (opcode == OP.FAR_CALL) \
+    unsupported = ((opcode == OP.FAR_CALL) & (not log_enabled)) \
         | (is_log & ((sub_variant == LogOp.PRECOMPILE_CALL) | (not log_enabled)))
     lane_error = lane_error | (active & unsupported)
 
@@ -528,6 +537,7 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
 
     heap_page = base_page + 2
     aux_page = base_page + 3
+    cur_heap_slot = scal[:, CS["heap_slot"]]
 
     uma_exc_not_ptr = uma_is_ptr_read & ~src0_tag
     ptr_in_bounds = u_offset < u_length
@@ -564,23 +574,39 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     unalign = src_byte_off & 31
     is_unaligned = unalign != 0
 
-    # arena select: ptr reads must target the current frame's own pages
-    ptr_page_is_heap = uma_is_ptr_read & (u_page_field == heap_page)
-    ptr_page_is_aux = uma_is_ptr_read & (u_page_field == aux_page)
+    # arena select: resolve fat-pointer pages through the heap page tables
+    # (reachable = any live/extended-lifetime global frame page)
+    hp_match = state.hp_page == u_page_field[:, None]   # [B, F]
+    ap_match = state.ap_page == u_page_field[:, None]
+    ptr_heap_slot = jnp.sum(
+        jnp.arange(config.heap_frames, dtype=U32)[None, :]
+        * hp_match.astype(U32), axis=1)
+    ptr_aux_slot = jnp.sum(
+        jnp.arange(config.heap_frames, dtype=U32)[None, :]
+        * ap_match.astype(U32), axis=1)
+    ptr_page_is_heap = uma_is_ptr_read & jnp.any(hp_match, axis=1)
+    ptr_page_is_aux = uma_is_ptr_read & ~ptr_page_is_heap \
+        & jnp.any(ap_match, axis=1)
     lane_error = lane_error | (active & uma_is_ptr_read & ~uma_skip_mem
                                & ~(ptr_page_is_heap | ptr_page_is_aux))
     use_heap_arena = uma_is_heap | ptr_page_is_heap
     use_aux_arena = uma_is_aux | ptr_page_is_aux
+    uma_slot = jnp.where(uma_is_ptr_read,
+                         jnp.where(ptr_page_is_heap, ptr_heap_slot,
+                                   ptr_aux_slot),
+                         cur_heap_slot)
 
     do_mem = is_uma & ~uma_skip_mem
     hw_err = do_mem & use_heap_arena & (word1 >= config.heap_words)
     aw_err = do_mem & use_aux_arena & (word1 >= config.aux_heap_words)
     lane_error = lane_error | (active & (hw_err | aw_err))
 
-    w0_heap = _gather_rows(state.heap, word0)
-    w1_heap = _gather_rows(state.heap, word1)
-    w0_aux = _gather_rows(state.aux_heap, word0)
-    w1_aux = _gather_rows(state.aux_heap, word1)
+    h_base = uma_slot * config.heap_words
+    a_base = uma_slot * config.aux_heap_words
+    w0_heap = _gather_rows(state.heap, h_base + word0)
+    w1_heap = _gather_rows(state.heap, h_base + word1)
+    w0_aux = _gather_rows(state.aux_heap, a_base + word0)
+    w1_aux = _gather_rows(state.aux_heap, a_base + word1)
     w0 = _sel(do_mem, _sel(use_heap_arena, w0_heap, w0_aux),
               jnp.zeros((B, 8), dtype=U32))
     w1 = _sel(do_mem & is_unaligned, _sel(use_heap_arena, w1_heap, w1_aux),
@@ -776,6 +802,161 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     returndata_u256 = returndata_u256.at[:, 2].set(r_start)
     returndata_u256 = returndata_u256.at[:, 3].set(r_len)
 
+    # ---------------- far call (far_call.rs:35-613) ----------------
+    is_far_call = (opcode == OP.FAR_CALL) & jnp.bool_(log_enabled)
+    fc_sub = sub_variant
+    fc_delegate = is_far_call & (fc_sub == 1)
+    fc_mimic = is_far_call & (fc_sub == 2)
+
+    fc_addr5 = src1[:, :5]
+    fc_dst_kernel = _addr_is_kernel(fc_addr5)
+    fc_off, fc_page_f = src0[:, 0], src0[:, 1]
+    fc_start, fc_len = src0[:, 2], src0[:, 3]
+    fc_ergs_abi = src0[:, 6]
+    fc_shard_abi = src0[:, 7] & 0xFF
+    fc_mode = (src0[:, 7] >> 8) & 0xFF
+    fc_mode = jnp.where(fc_mode > 2, 0, fc_mode)
+    fc_ctor = (((src0[:, 7] >> 16) & 0xFF) != 0) & is_kernel
+    fc_to_system = (((src0[:, 7] >> 24) & 0xFF) != 0) & fc_dst_kernel
+    fc_static_flag = vflag0
+    fc_shard_flag = vflag1
+
+    fc_code_shard = jnp.where(fc_shard_flag, fc_shard_abi, shard_this_u8)
+    fc_this_shard = jnp.where(fc_delegate, shard_this_u8, fc_code_shard)
+    fc_new_base = state.page_counter
+
+    # code-hash storage read (skipped for unavailable-shard trivial mapping)
+    fc_trivial = fc_code_shard != 0  # zkporter unavailable in this build
+    fc_do_sread = is_far_call & active & ~fc_trivial
+    if log_enabled:
+        deployer5 = jnp.zeros((B, 5), dtype=U32) \
+            .at[:, 0].set(params.DEPLOYER_SYSTEM_CONTRACT_ADDRESS)
+        fc_key14 = jnp.concatenate(
+            [_addr_to_u256(fc_addr5), deployer5, fc_code_shard[:, None]], axis=1)
+        fc_slot_match = jnp.all(new_st_key == fc_key14[:, None, :], axis=2) \
+            & new_st_used
+        fc_hash_storage = jnp.sum(
+            new_st_val * fc_slot_match[:, :, None].astype(U32), axis=1)
+    else:
+        fc_hash_storage = jnp.zeros((B, 8), dtype=U32)
+    fc_hash_storage = _sel(fc_trivial, jnp.zeros((B, 8), dtype=U32),
+                           fc_hash_storage)
+    # default-AA masking for empty slots of user-space targets
+    fc_mask_aa = u256.is_zero(fc_hash_storage) & ~fc_dst_kernel & ~fc_trivial
+    fc_hash_raw = _sel(fc_mask_aa, state.default_aa_hash, fc_hash_storage)
+
+    # versioned-hash validation (BE byte layout lives in limb 7)
+    h7 = fc_hash_raw[:, 7]
+    vh_ok = (h7 >> 24) == params.CODE_HASH_VERSION_BYTE
+    vh_marker = (h7 >> 16) & 0xFF
+    vh_len = h7 & 0xFFFF
+    marker_rest = vh_marker == params.CODE_AT_REST_MARKER
+    marker_ctor = vh_marker == params.YET_CONSTRUCTED_MARKER
+    marker_valid = marker_rest | marker_ctor
+    can_plain = ~fc_ctor & marker_rest
+    can_ctor = fc_ctor & marker_ctor
+    callable_direct = vh_ok & marker_valid & (can_plain | can_ctor)
+    # degraded path: valid-format but wrong calling mode, user-space target
+    degrade_aa = vh_ok & marker_valid & ~(can_plain | can_ctor) & ~fc_dst_kernel
+    aa7 = state.default_aa_hash[:, 7]
+    fcx_bad_hash = ~vh_ok | (vh_ok & ~marker_valid)
+    fcx_ctor_system = vh_ok & marker_valid & ~(can_plain | can_ctor) \
+        & fc_dst_kernel
+    stored_hash = fc_hash_raw.at[:, 7].set(
+        (h7 & jnp.uint32(0xFF00FFFF)))  # marker byte -> at rest
+    fc_code_hash = _sel(callable_direct, stored_hash,
+                        _sel(degrade_aa, state.default_aa_hash,
+                             jnp.zeros((B, 8), dtype=U32)))
+    fc_code_len = jnp.where(callable_direct, vh_len,
+                            jnp.where(degrade_aa, aa7 & 0xFFFF, 0))
+
+    # ABI quasi-pointer validation + forwarding (as in ret, but vs caller)
+    fc_fwd = fc_mode == 1
+    fc_use_aux = fc_mode == 2
+    fcx_not_ptr = fc_fwd & ~src0_tag
+    fc_sl = fc_start + fc_len
+    fcx_deref = fc_sl < fc_start
+    fcx_off = (~fc_fwd) & (fc_off != 0)
+    fcx_slice = fc_off > fc_len
+    fcx_malformed = fcx_deref | fcx_off | fcx_slice
+    fc_exc0 = is_far_call & (fcx_bad_hash | fcx_ctor_system | fcx_not_ptr
+                             | fcx_malformed)
+    # forwarding resolution
+    fc_start2 = jnp.where(fc_fwd, fc_start + fc_off, fc_start)
+    fc_len2 = jnp.where(fc_fwd, fc_len - fc_off, fc_len)
+    fc_off2 = jnp.where(fc_fwd, 0, fc_off)
+    fc_page2 = jnp.where(fc_fwd, fc_page_f,
+                         jnp.where(fc_use_aux, aux_page, heap_page))
+    zero_fp = fc_exc0
+    fc_off2 = jnp.where(zero_fp, 0, fc_off2)
+    fc_page2 = jnp.where(zero_fp, 0, fc_page2)
+    fc_start2 = jnp.where(zero_fp, 0, fc_start2)
+    fc_len2 = jnp.where(zero_fp, 0, fc_len2)
+
+    # memory-growth payment against the CALLER frame bounds
+    fc_upper = fc_start2 + fc_len2
+    fc_upper = jnp.where(is_far_call & fcx_deref, U32_MAX, fc_upper)
+    fc_bound = jnp.where(fc_use_aux, aux_bound0, heap_bound0)
+    fc_growth_uf = fc_upper < fc_bound
+    fc_growth = jnp.where(fc_growth_uf | fc_fwd, 0, fc_upper - fc_bound)
+    fc_bound_update = is_far_call & ~fc_fwd & ~fc_growth_uf
+    fc_new_heap_bound = jnp.where(fc_bound_update & ~fc_use_aux, fc_upper,
+                                  heap_bound0)
+    fc_new_aux_bound = jnp.where(fc_bound_update & fc_use_aux, fc_upper,
+                                 aux_bound0)
+    fc_cost_growth = jnp.where(is_far_call, fc_growth, 0) \
+        * params.MEMORY_GROWTH_ERGS_PER_BYTE
+    fc_no_ergs_grow = ergs_after_log < fc_cost_growth
+    fc_exc1 = fc_exc0 | (is_far_call & fc_no_ergs_grow)
+    fc_ergs_a = jnp.where(fc_no_ergs_grow, 0, ergs_after_log - fc_cost_growth)
+
+    fc_cost_decommit = params.ERGS_PER_CODE_WORD_DECOMMITTMENT * fc_code_len
+    fc_no_ergs_dec = fc_ergs_a < fc_cost_decommit
+    fc_exc = fc_exc1 | (is_far_call & fc_no_ergs_dec)
+    fc_ergs_b = jnp.where(fc_no_ergs_dec, fc_ergs_a,
+                          fc_ergs_a - fc_cost_decommit)
+
+    # decommit: bind a pre-staged code-bank slot to the candidate page
+    fc_do_decommit = is_far_call & active & ~fc_exc
+    bank_match = jnp.all(state.cb_hash == fc_code_hash[:, None, :], axis=2) \
+        & state.cb_valid
+    bank_found = jnp.any(bank_match, axis=1)
+    # unknown code hash is the VM's single hard error (decommitter.rs:50-56)
+    lane_error = lane_error | (fc_do_decommit & ~bank_found)
+    bank_slot_idx = jnp.sum(
+        jnp.arange(config.code_pages, dtype=U32)[None, :]
+        * bank_match.astype(U32), axis=1)
+    bound_page = jnp.sum(state.cb_page * bank_match.astype(U32), axis=1)
+    fc_fresh = bound_page == 0
+    fc_code_page = jnp.where(fc_fresh, fc_new_base, bound_page)
+    bind_oh = bank_match & (fc_do_decommit & fc_fresh)[:, None]
+    new_cb_page = jnp.where(bind_oh, fc_new_base[:, None], state.cb_page)
+    # repeat decommit refunds the decommit cost (far_call.rs:450-453)
+    fc_ergs_c = jnp.where(fc_do_decommit & ~fc_fresh,
+                          fc_ergs_b + fc_cost_decommit, fc_ergs_b)
+    fc_code_page = jnp.where(fc_exc, params.UNMAPPED_PAGE, fc_code_page)
+
+    # 63/64 rule
+    fc_max_passable = (fc_ergs_c // 64) * 63
+    fc_leftover = fc_ergs_c - fc_max_passable
+    fc_want = fc_ergs_abi
+    fc_over = fc_want > fc_max_passable
+    fc_passed = jnp.where(fc_over, fc_max_passable, fc_want)
+    fc_left = jnp.where(fc_over, fc_leftover,
+                        fc_leftover + fc_max_passable - fc_want)
+
+    # addresses / context for the callee frame
+    r15_val, _ = read_reg(jnp.full((B,), 15, dtype=U32))
+    mimic_sender5 = r15_val[:, :5]
+    fc_next_this = _sel(fc_delegate, this_addr, fc_addr5)
+    fc_next_sender = _sel(fc_delegate, msg_sender,
+                          _sel(fc_mimic, mimic_sender5, this_addr))
+    fc_next_u128 = _sel(fc_delegate, frame_u128, state.context_u128)
+
+    fc_heap_slot = state.frame_count
+    lane_error = lane_error | (is_far_call & active
+                               & (fc_heap_slot >= config.heap_frames))
+
     # ==================================================================
     # Flags writeback
     # ==================================================================
@@ -810,7 +991,7 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
 
     writes_flags = (set_flags & (is_add | is_sub | is_mul | is_div
                                  | is_shift | is_binop))
-    resets_flags = is_near_call | is_ret  # (far call would too)
+    resets_flags = is_near_call | is_ret | is_far_call
     ret_sets_lt = is_ret & ret_final_panic
 
     flags_lt = jnp.where(writes_flags, new_lt,
@@ -859,6 +1040,7 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
                                  | ptr_off_panic | ptr_pack_panic
                                  | ptr_shrink_panic) & is_ptr
     new_pending = new_pending | uma_set_panic
+    new_pending = new_pending | (is_far_call & fc_exc)
 
     # ==================================================================
     # PC resolution + frame machinery
@@ -873,31 +1055,75 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     cur_scal = cur_scal.at[:, CS["pc"]].set(cur_pc_new)
     cur_scal = cur_scal.at[:, CS["sp"]].set(sp2)
     cur_ergs_final = jnp.where(is_near_call, nc_left,
-                      jnp.where(is_ret, 0, ergs3))
+                      jnp.where(is_far_call, fc_left,
+                      jnp.where(is_ret, 0, ergs3)))
     cur_scal = cur_scal.at[:, CS["ergs_remaining"]].set(cur_ergs_final)
     cur_scal = cur_scal.at[:, CS["heap_bound"]].set(
-        jnp.where(is_uma, new_heap_bound_u, heap_bound0))
+        jnp.where(is_uma, new_heap_bound_u,
+                  jnp.where(is_far_call, fc_new_heap_bound, heap_bound0)))
     cur_scal = cur_scal.at[:, CS["aux_heap_bound"]].set(
-        jnp.where(is_uma, new_aux_bound_u, aux_bound0))
+        jnp.where(is_uma, new_aux_bound_u,
+                  jnp.where(is_far_call, fc_new_aux_bound, aux_bound0)))
 
     new_cs_scalars = _scatter_rows(state.cs_scalars, depth, cur_scal, active)
 
-    # ---- push (near call)
-    push_mask = is_near_call & active
+    # ---- push (near call / far call)
+    push_mask = (is_near_call | is_far_call) & active
     pushed = cur_scal
-    pushed = pushed.at[:, CS["pc"]].set(imm0)
-    pushed = pushed.at[:, CS["exception_handler"]].set(imm1)
-    pushed = pushed.at[:, CS["ergs_remaining"]].set(nc_passed)
-    pushed = pushed.at[:, CS["flags_word"]].set(flags_word | 2)  # is_local
+    pushed = pushed.at[:, CS["pc"]].set(jnp.where(is_far_call, 0, imm0))
+    pushed = pushed.at[:, CS["exception_handler"]].set(
+        jnp.where(is_far_call, imm0, imm1))
+    pushed = pushed.at[:, CS["ergs_remaining"]].set(
+        jnp.where(is_far_call, fc_passed, nc_passed))
+    pushed = pushed.at[:, CS["flags_word"]].set(
+        jnp.where(is_far_call,
+                  (is_static.astype(U32) | fc_static_flag.astype(U32)),
+                  flags_word | 2))  # far: static only; near: is_local
     pushed = pushed.at[:, CS["journal_snapshot"]].set(new_j_count.astype(U32))
     pushed = pushed.at[:, CS["event_snapshot"]].set(new_ev_count.astype(U32))
+    pushed = pushed.at[:, CS["base_memory_page"]].set(
+        jnp.where(is_far_call, fc_new_base, base_page))
+    pushed = pushed.at[:, CS["code_page"]].set(
+        jnp.where(is_far_call, fc_code_page, code_page))
+    pushed = pushed.at[:, CS["sp"]].set(
+        jnp.where(is_far_call, params.INITIAL_SP_ON_FAR_CALL, sp2))
+    pushed = pushed.at[:, CS["shard_ids"]].set(
+        jnp.where(is_far_call,
+                  fc_this_shard | (shard_this_u8 << 8) | (fc_code_shard << 16),
+                  scal[:, CS["shard_ids"]]))
+    pushed = pushed.at[:, CS["heap_bound"]].set(
+        jnp.where(is_far_call, params.NEW_FRAME_MEMORY_STIPEND,
+                  pushed[:, CS["heap_bound"]]))
+    pushed = pushed.at[:, CS["aux_heap_bound"]].set(
+        jnp.where(is_far_call, params.NEW_FRAME_MEMORY_STIPEND,
+                  pushed[:, CS["aux_heap_bound"]]))
+    pushed = pushed.at[:, CS["heap_slot"]].set(
+        jnp.where(is_far_call, fc_heap_slot.astype(U32),
+                  pushed[:, CS["heap_slot"]]))
     push_idx = jnp.minimum(depth + 1, D - 1)
     lane_error = lane_error | (active & push_mask & (depth + 1 >= D))
     new_cs_scalars = _scatter_rows(new_cs_scalars, push_idx, pushed, push_mask)
-    new_cs_this = _scatter_rows(state.cs_this_address, push_idx, this_addr, push_mask)
-    new_cs_sender = _scatter_rows(state.cs_msg_sender, push_idx, msg_sender, push_mask)
-    new_cs_code = _scatter_rows(state.cs_code_address, push_idx, code_addr, push_mask)
-    new_cs_u128 = _scatter_rows(state.cs_context_u128, push_idx, frame_u128, push_mask)
+    push_this = _sel(is_far_call, fc_next_this, this_addr)
+    push_sender = _sel(is_far_call, fc_next_sender, msg_sender)
+    push_code_addr = _sel(is_far_call, fc_addr5, code_addr)
+    push_u128 = _sel(is_far_call, fc_next_u128, frame_u128)
+    new_cs_this = _scatter_rows(state.cs_this_address, push_idx, push_this, push_mask)
+    new_cs_sender = _scatter_rows(state.cs_msg_sender, push_idx, push_sender, push_mask)
+    new_cs_code = _scatter_rows(state.cs_code_address, push_idx, push_code_addr, push_mask)
+    new_cs_u128 = _scatter_rows(state.cs_context_u128, push_idx, push_u128, push_mask)
+    # context register is consumed by the call (far_call.rs:558)
+    new_context_u128 = _sel(is_far_call & active,
+                            jnp.zeros((B, 4), dtype=U32), new_context_u128)
+    # heap-slot allocation + page tables + page counter
+    new_frame_count = state.frame_count + (is_far_call & active).astype(I32)
+    slot_oh_fc = _onehot(fc_heap_slot.astype(I32), config.heap_frames) \
+        & (is_far_call & active)[:, None]
+    new_hp_page = jnp.where(slot_oh_fc, (fc_new_base + 2)[:, None],
+                            state.hp_page)
+    new_ap_page = jnp.where(slot_oh_fc, (fc_new_base + 3)[:, None],
+                            state.ap_page)
+    new_page_counter = state.page_counter + jnp.where(
+        is_far_call & active, params.NEW_MEMORY_PAGES_PER_FAR_CALL, 0)
 
     # ---- pop (ret): update the parent frame
     pop_mask = is_ret & active
@@ -984,6 +1210,28 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     new_context_u128 = _sel(wipe, jnp.zeros((B, 4), dtype=U32),
                             new_context_u128)
 
+    # far-call register protocol (far_call.rs:571-610): r1 = calldata fat ptr,
+    # r2 = ctor|system markers, r3..r12 kept (tags cleared) only for system
+    # calls, r13..r15 zeroed
+    calldata_u256 = jnp.zeros((B, 8), dtype=U32)
+    calldata_u256 = calldata_u256.at[:, 0].set(fc_off2)
+    calldata_u256 = calldata_u256.at[:, 1].set(fc_page2)
+    calldata_u256 = calldata_u256.at[:, 2].set(fc_start2)
+    calldata_u256 = calldata_u256.at[:, 3].set(fc_len2)
+    marker_u256 = jnp.zeros((B, 8), dtype=U32)
+    marker_u256 = marker_u256.at[:, 0].set(
+        fc_ctor.astype(U32) | (fc_to_system.astype(U32) << 1))
+    pos15 = jnp.arange(params.REGISTERS_COUNT)
+    keep_sys = ((pos15 >= 2) & (pos15 <= 11))[None, :] & fc_to_system[:, None]
+    far_file = _sel(keep_sys, state.regs, jnp.zeros_like(state.regs))
+    far_file = far_file.at[:, 0].set(calldata_u256)
+    far_file = far_file.at[:, 1].set(marker_u256)
+    far_tags = jnp.zeros_like(state.reg_ptr)
+    far_tags = far_tags.at[:, 0].set(True)
+    fc_wipe = is_far_call & active
+    new_regs = _sel(fc_wipe, far_file, new_regs)
+    new_reg_ptr = _sel(fc_wipe, far_tags, new_reg_ptr)
+
     # ==================================================================
     # Memory writebacks
     # ==================================================================
@@ -998,10 +1246,10 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     w_heap1 = w_heap0 & is_unaligned
     w_aux0 = uma_do_write & use_aux_arena & active
     w_aux1 = w_aux0 & is_unaligned
-    new_heap = _scatter_rows(state.heap, word0, new_w0, w_heap0)
-    new_heap = _scatter_rows(new_heap, word1, new_w1, w_heap1)
-    new_aux = _scatter_rows(state.aux_heap, word0, new_w0, w_aux0)
-    new_aux = _scatter_rows(new_aux, word1, new_w1, w_aux1)
+    new_heap = _scatter_rows(state.heap, h_base + word0, new_w0, w_heap0)
+    new_heap = _scatter_rows(new_heap, h_base + word1, new_w1, w_heap1)
+    new_aux = _scatter_rows(state.aux_heap, a_base + word0, new_w0, w_aux0)
+    new_aux = _scatter_rows(new_aux, a_base + word1, new_w1, w_aux1)
 
     # ==================================================================
     # Witness queue (memory queries, golden order; see golden/vm.py)
@@ -1021,8 +1269,8 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
         ts0 = state.timestamp
         ts3 = state.timestamp + 3
         stack_page_arr = base_page + 1
-        uma_page = jnp.where(use_heap_arena, heap_page,
-                    jnp.where(use_aux_arena, aux_page, u_page_field))
+        uma_page = jnp.where(uma_is_ptr_read, u_page_field,
+                    jnp.where(uma_is_heap, heap_page, aux_page))
         uma_type = jnp.where(uma_is_ptr_read, 3,
                     jnp.where(uma_is_aux, 2, 1))  # MemoryType enum values
         # slots in golden emission order
@@ -1072,13 +1320,16 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
         lpos = jnp.minimum(jnp.asarray(step, I32),
                            config.log_queue_capacity - 1)
         loverflow = jnp.asarray(step, I32) >= config.log_queue_capacity
-        lvalid = (do_sread | do_swrite | do_event) & ~loverflow
-        lane_error = lane_error | ((do_sread | do_swrite | do_event) & loverflow)
-        l_aux = jnp.where(do_sread | do_swrite,
+        lvalid = (do_sread | do_swrite | do_event | fc_do_sread) & ~loverflow
+        lane_error = lane_error | ((do_sread | do_swrite | do_event
+                                    | fc_do_sread) & loverflow)
+        l_aux = jnp.where(do_sread | do_swrite | fc_do_sread,
                           jnp.uint32(params.STORAGE_AUX_BYTE), aux_byte)
         l_rw = (do_swrite | do_event).astype(U32)
-        packed_meta = l_aux | (l_rw << 8) | (vflag0.astype(U32) << 9) \
-            | (shard_this_u8 << 16)
+        l_svc = jnp.where(fc_do_sread, False, vflag0).astype(U32)
+        l_shard = jnp.where(fc_do_sread, fc_code_shard, shard_this_u8)
+        packed_meta = l_aux | (l_rw << 8) | (l_svc << 9) \
+            | (l_shard << 16)
         meta_row = jnp.stack(
             [jnp.where(lvalid, ts_log, 0),
              jnp.where(lvalid, packed_meta, 0),
@@ -1093,11 +1344,39 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
             return jax.lax.dynamic_update_slice(
                 arr, row[:, None], (0, lpos) + (0,) * (arr.ndim - 2))
         lq_meta = upd(lq_meta, meta_row)
-        lq_addr = upd(lq_addr, jnp.where(lvalid[:, None], this_addr, 0))
-        lq_key = upd(lq_key, jnp.where(lvalid[:, None], src0, 0))
+        deployer5_row = jnp.zeros((B, 5), dtype=U32) \
+            .at[:, 0].set(params.DEPLOYER_SYSTEM_CONTRACT_ADDRESS)
+        addr_row = _sel(fc_do_sread, deployer5_row, this_addr)
+        key_row = _sel(fc_do_sread, _addr_to_u256(fc_addr5), src0)
+        read_row = _sel(fc_do_sread, fc_hash_storage, read_row)
+        written_row = _sel(fc_do_sread, fc_hash_storage, written_row)
+        lq_addr = upd(lq_addr, jnp.where(lvalid[:, None], addr_row, 0))
+        lq_key = upd(lq_key, jnp.where(lvalid[:, None], key_row, 0))
         lq_read = upd(lq_read, jnp.where(lvalid[:, None], read_row, 0))
         lq_written = upd(lq_written, jnp.where(lvalid[:, None], written_row, 0))
         lq_count = lq_count + lvalid.astype(I32)
+
+    # ---- decommit-witness queue (1 slot per cycle)
+    dq_count = state.dq_count
+    dq_hash, dq_meta = state.dq_hash, state.dq_meta
+    if config.decommit_queue_capacity > 0 and log_enabled:
+        dpos = jnp.minimum(jnp.asarray(step, I32),
+                           config.decommit_queue_capacity - 1)
+        doverflow = jnp.asarray(step, I32) >= config.decommit_queue_capacity
+        dvalid = fc_do_decommit & ~doverflow
+        lane_error = lane_error | (fc_do_decommit & doverflow)
+        drow = jnp.stack(
+            [jnp.where(dvalid, state.timestamp + 1, 0),
+             jnp.where(dvalid, fc_code_page, 0),
+             jnp.where(dvalid, fc_code_len, 0),
+             dvalid.astype(U32) | (jnp.where(dvalid, fc_fresh, False)
+                                   .astype(U32) << 1)], axis=1)
+        dq_hash = jax.lax.dynamic_update_slice(
+            dq_hash, jnp.where(dvalid[:, None], fc_code_hash, 0)[:, None],
+            (0, dpos, 0))
+        dq_meta = jax.lax.dynamic_update_slice(
+            dq_meta, drow[:, None], (0, dpos, 0))
+        dq_count = dq_count + dvalid.astype(I32)
 
     # ==================================================================
     # Assemble the new state; freeze lanes that were already done
@@ -1151,6 +1430,15 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
         lq_meta=lq_meta, lq_addr=lq_addr, lq_key=lq_key, lq_read=lq_read,
         lq_written=lq_written,
         lq_count=jnp.where(frozen, state.lq_count, lq_count),
+        hp_page=new_hp_page, ap_page=new_ap_page,
+        frame_count=jnp.where(frozen, state.frame_count, new_frame_count),
+        page_counter=jnp.where(frozen, state.page_counter, new_page_counter),
+        cb_hash=state.cb_hash, cb_len=state.cb_len,
+        cb_page=jnp.where(frozen[:, None], state.cb_page, new_cb_page),
+        cb_valid=state.cb_valid,
+        default_aa_hash=state.default_aa_hash,
+        dq_hash=dq_hash, dq_meta=dq_meta,
+        dq_count=jnp.where(frozen, state.dq_count, dq_count),
     )
 
 

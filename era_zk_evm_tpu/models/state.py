@@ -46,6 +46,10 @@ class VmConfig:
     journal_slots: int = 0        # per-lane storage-write journal (rollback)
     event_slots: int = 0          # per-lane event journal
     log_queue_capacity: int = 0   # log-witness queue (1 slot per cycle)
+    # -- FAR_CALL device state --
+    heap_frames: int = 1          # global-frame heap/aux arena slots per lane
+    code_pages: int = 1           # code-bank slots per lane (slot 0 = entry)
+    decommit_queue_capacity: int = 0  # decommit-witness queue (1 slot/cycle)
 
     def __post_init__(self):
         if self.stack_abs_words is None:
@@ -66,6 +70,8 @@ CS_SCALAR_FIELDS = (
     # frame-entry snapshots of the storage journal / event journal lengths
     # (rollback segmentation; reference: per-frame ApplicationData stacks)
     "journal_snapshot", "event_snapshot",
+    # which heap-arena slot this frame's heap/aux-heap pages live in
+    "heap_slot",
 )
 
 
@@ -97,12 +103,28 @@ class BatchedVmState:
     cs_context_u128: jax.Array       # u32[B, D, 4]
     cs_scalars: jax.Array            # u32[B, D, len(CS_SCALAR_FIELDS)]
 
-    # memory arenas
-    code: jax.Array                  # u32[B, CW, 8]
+    # memory arenas (code/heap/aux are slot pools, flattened:
+    # code[b, p*CW + w], heap[b, f*HW + w], aux_heap[b, f*AW + w])
+    code: jax.Array                  # u32[B, P*CW, 8]
     stack: jax.Array                 # u32[B, SW, 8]
     stack_ptr_tag: jax.Array         # bool[B, SW]
-    heap: jax.Array                  # u32[B, HW, 8]
-    aux_heap: jax.Array              # u32[B, AW, 8]
+    heap: jax.Array                  # u32[B, F*HW, 8]
+    aux_heap: jax.Array              # u32[B, F*AW, 8]
+    # heap-slot page tables: VM page numbers of slot f's heap/aux pages
+    hp_page: jax.Array               # u32[B, F]
+    ap_page: jax.Array               # u32[B, F]
+    frame_count: jax.Array           # i32[B] — next free heap slot
+    page_counter: jax.Array          # u32[B] — memory_page_counter
+    # code bank: pre-staged contracts; decommit binds a VM page number
+    cb_hash: jax.Array               # u32[B, P, 8] — stored-form code hash
+    cb_len: jax.Array                # u32[B, P] — code length in words
+    cb_page: jax.Array               # u32[B, P] — bound VM page (0 = unbound)
+    cb_valid: jax.Array              # bool[B, P]
+    default_aa_hash: jax.Array       # u32[B, 8] — block default AA code hash
+    # decommit-witness queue (1 slot per cycle)
+    dq_hash: jax.Array               # u32[B, DQ, 8]
+    dq_meta: jax.Array               # u32[B, DQ, 4]: ts, page, len, fresh|valid<<1
+    dq_count: jax.Array              # i32[B]
 
     # lane status
     done: jax.Array                  # bool[B] — execution has ended
@@ -166,11 +188,23 @@ def empty_state(config: VmConfig) -> BatchedVmState:
         cs_code_address=z((B, D, 5)),
         cs_context_u128=z((B, D, 4)),
         cs_scalars=z((B, D, len(CS_SCALAR_FIELDS))),
-        code=z((B, config.code_words, 8)),
+        code=z((B, config.code_pages * config.code_words, 8)),
         stack=z((B, config.stack_words, 8)),
         stack_ptr_tag=jnp.zeros((B, config.stack_words), dtype=BOOL),
-        heap=z((B, config.heap_words, 8)),
-        aux_heap=z((B, config.aux_heap_words, 8)),
+        heap=z((B, config.heap_frames * config.heap_words, 8)),
+        aux_heap=z((B, config.heap_frames * config.aux_heap_words, 8)),
+        hp_page=z((B, config.heap_frames)),
+        ap_page=z((B, config.heap_frames)),
+        frame_count=jnp.ones((B,), dtype=I32),
+        page_counter=jnp.full((B,), params.STARTING_BASE_PAGE, dtype=U32),
+        cb_hash=z((B, config.code_pages, 8)),
+        cb_len=z((B, config.code_pages)),
+        cb_page=z((B, config.code_pages)),
+        cb_valid=jnp.zeros((B, config.code_pages), dtype=BOOL),
+        default_aa_hash=z((B, 8)),
+        dq_hash=z((B, config.decommit_queue_capacity, 8)),
+        dq_meta=z((B, config.decommit_queue_capacity, 4)),
+        dq_count=jnp.zeros((B,), dtype=I32),
         done=jnp.zeros((B,), dtype=BOOL),
         lane_error=jnp.zeros((B,), dtype=BOOL),
         wq_count=jnp.zeros((B,), dtype=I32),
@@ -218,19 +252,29 @@ def make_entry_state(config: VmConfig, programs: list[list[int]],
     assert len(programs) == B
     state = empty_state(config)
 
-    code = np.zeros((B, config.code_words, 8), dtype=np.uint32)
+    code = np.zeros((B, config.code_pages * config.code_words, 8),
+                    dtype=np.uint32)
     for b, words in enumerate(programs):
         assert len(words) <= config.code_words, "program exceeds code arena"
         for i, w in enumerate(words):
-            code[b, i] = to_limbs(w)
+            code[b, i] = to_limbs(w)  # bank slot 0 = the entry program
     state.code = jnp.asarray(code)
+    state.cb_page = state.cb_page.at[:, 0].set(base_page)
+    state.cb_valid = state.cb_valid.at[:, 0].set(True)
 
-    heap = np.zeros((B, config.heap_words, 8), dtype=np.uint32)
+    heap = np.zeros((B, config.heap_frames * config.heap_words, 8),
+                    dtype=np.uint32)
     if heap_init is not None:
         for b, words in enumerate(heap_init):
             for i, w in enumerate(words):
-                heap[b, i] = to_limbs(w)
+                heap[b, i] = to_limbs(w)  # heap slot 0 = entry frame heap
     state.heap = jnp.asarray(heap)
+    state.hp_page = state.hp_page.at[:, 0].set(base_page + 2)
+    state.ap_page = state.ap_page.at[:, 0].set(base_page + 3)
+    state.page_counter = jnp.full(
+        (B,), max(params.STARTING_BASE_PAGE,
+                  base_page + params.NEW_MEMORY_PAGES_PER_FAR_CALL),
+        dtype=U32)
 
     # entry frame at depth 1
     addr = np.array([(entry_address >> (32 * i)) & 0xFFFFFFFF for i in range(5)],
@@ -251,6 +295,43 @@ def make_entry_state(config: VmConfig, programs: list[list[int]],
     sc = sc.at[:, 0, CS["ergs_remaining"]].set(params.VM_INITIAL_FRAME_ERGS - ergs)
     state.cs_scalars = sc
     state.depth = jnp.ones((B,), dtype=I32)
+    return state
+
+
+def populate_code_bank(state: BatchedVmState, config: VmConfig,
+                       contracts: list[list[tuple[int, list[int]]]],
+                       default_aa_hash: int = 0) -> BatchedVmState:
+    """Stage known contracts: contracts[b] = [(stored_code_hash, words)].
+
+    Bank slot 0 is the entry program; staged contracts fill slots 1..P-1 and
+    get bound to VM page numbers on first decommit (far call).
+    """
+    from ..utils import to_limbs
+
+    B = config.batch
+    hashes = np.zeros((B, config.code_pages, 8), dtype=np.uint32)
+    lens = np.zeros((B, config.code_pages), dtype=np.uint32)
+    valid = np.zeros((B, config.code_pages), dtype=bool)
+    code = np.asarray(state.code).copy()
+    for b, lane in enumerate(contracts):
+        assert len(lane) <= config.code_pages - 1, "code bank full"
+        for i, (code_hash, words) in enumerate(lane):
+            slot = 1 + i
+            hashes[b, slot] = to_limbs(code_hash)
+            lens[b, slot] = len(words)
+            valid[b, slot] = True
+            assert len(words) <= config.code_words
+            for w_i, w in enumerate(words):
+                code[b, slot * config.code_words + w_i] = to_limbs(w)
+    new_cb_hash = jnp.asarray(hashes)
+    state.cb_hash = jnp.where(jnp.asarray(valid)[:, :, None], new_cb_hash,
+                              state.cb_hash)
+    state.cb_len = jnp.where(jnp.asarray(valid), jnp.asarray(lens),
+                             state.cb_len)
+    state.cb_valid = state.cb_valid | jnp.asarray(valid)
+    state.code = jnp.asarray(code)
+    state.default_aa_hash = jnp.broadcast_to(
+        jnp.asarray(to_limbs(default_aa_hash)), (B, 8))
     return state
 
 

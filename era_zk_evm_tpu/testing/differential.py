@@ -44,19 +44,64 @@ def run_golden(source: str, max_cycles: int, **kwargs):
 
 def diff_run(sources: list[str], config: VmConfig | None = None,
              max_cycles: int = 256, ergs: int = 1 << 20,
-             compare_witness: bool = True) -> None:
-    """Run each program on both engines and compare exhaustively."""
+             compare_witness: bool = True,
+             contracts: list[tuple[int, str]] | None = None,
+             default_aa_source: str | None = None) -> None:
+    """Run each program on both engines and compare exhaustively.
+
+    `contracts` registers callable contracts (address, asm source) on both
+    engines — the deployer-space code-hash slot, the decommitter/code bank,
+    and (if given) the default-AA bytecode.
+    """
+    from ..golden import BlockProperties
+    from ..isa.abi import code_hash_for_bytecode
+    from ..models.state import populate_code_bank, populate_storage
+
     B = len(sources)
     config = config or VmConfig(
         batch=B, queue_capacity=max_cycles * 8, heap_words=64,
         stack_words=2048, code_words=64, max_depth=8,
         storage_slots=16, journal_slots=32, event_slots=32,
-        log_queue_capacity=max_cycles)
+        log_queue_capacity=max_cycles,
+        heap_frames=4, code_pages=4,
+        decommit_queue_capacity=max_cycles)
 
-    goldens = [run_golden(src, max_cycles, ergs=ergs) for src in sources]
+    contract_entries: list[tuple[int, int, int, int]] = []
+    bank: list[tuple[int, list[int]]] = []
+    for address, c_src in contracts or []:
+        words = assemble_to_code_words(c_src)
+        h = code_hash_for_bytecode(words)
+        contract_entries.append(
+            (0, params.DEPLOYER_SYSTEM_CONTRACT_ADDRESS, address, h))
+        bank.append((h, words))
+    aa_hash = 0
+    if default_aa_source is not None:
+        aa_words = assemble_to_code_words(default_aa_source)
+        aa_hash = code_hash_for_bytecode(aa_words)
+        bank.append((aa_hash, aa_words))
+    block_properties = BlockProperties(default_aa_code_hash=aa_hash)
+
+    def golden_with_setup(src):
+        tools = harness.create_default_tools()
+        if contract_entries:
+            tools.storage.populate(list(contract_entries))
+        if bank:
+            tools.decommitter.populate(
+                [(h, list(w)) for h, w in bank])
+        vm = harness.build_vm(assemble_to_code_words(src), tools=tools,
+                              ergs=ergs, block_properties=block_properties)
+        cycles = harness.run(vm, max_cycles)
+        return vm, tools, cycles
+
+    goldens = [golden_with_setup(src) for src in sources]
 
     programs = [assemble_to_code_words(src) for src in sources]
     state = make_entry_state(config, programs, ergs=ergs)
+    if contract_entries:
+        state = populate_storage(state, config, [contract_entries] * B)
+    if bank:
+        state = populate_code_bank(state, config, [list(bank)] * B,
+                                   default_aa_hash=aa_hash)
     state = run_cycles(state, config, max_cycles)
 
     done = np.asarray(state.done)
@@ -221,6 +266,29 @@ def diff_run(sources: list[str], config: VmConfig | None = None,
                     _check(from_limbs(lq_written[b, s]) == q.written_value, b,
                            tag + ".written", from_limbs(lq_written[b, s]),
                            q.written_value)
+
+        if config.decommit_queue_capacity > 0:
+            dq_meta = np.asarray(state.dq_meta)
+            dq_hash = np.asarray(state.dq_hash)
+            want_dec = tools.witness.decommittments
+            got_slots = [s for s in range(config.decommit_queue_capacity)
+                         if dq_meta[b, s, 3] & 1]
+            _check(len(got_slots) == len(want_dec), b, "decommit count",
+                   len(got_slots), len(want_dec))
+            for i, (mcc_w, q, words) in enumerate(want_dec):
+                s = got_slots[i]
+                tag = f"decommit[{i}]"
+                _check(int(dq_meta[b, s, 0]) == q.timestamp, b, tag + ".ts",
+                       int(dq_meta[b, s, 0]), q.timestamp)
+                _check(int(dq_meta[b, s, 1]) == q.memory_page, b, tag + ".page",
+                       int(dq_meta[b, s, 1]), q.memory_page)
+                _check(int(dq_meta[b, s, 2]) == q.decommitted_length, b,
+                       tag + ".len", int(dq_meta[b, s, 2]),
+                       q.decommitted_length)
+                _check(bool(dq_meta[b, s, 3] & 2) == q.is_fresh, b,
+                       tag + ".fresh", bool(dq_meta[b, s, 3] & 2), q.is_fresh)
+                _check(from_limbs(dq_hash[b, s]) == q.hash, b, tag + ".hash",
+                       hex(from_limbs(dq_hash[b, s])), hex(q.hash))
 
         if compare_witness:
             want_stream = [q for _, q in tools.witness.memory_queries]

@@ -1,0 +1,185 @@
+"""Device far-call differential conformance (SURVEY.md §3.3 on TPU)."""
+
+from era_zk_evm_tpu.isa.abi import FarCallABI, FatPointer, ForwardingMode, RetABI
+from era_zk_evm_tpu.testing.differential import diff_run
+
+CALLEE = 0x10042
+CALLEE2 = 0x10055
+
+PASS_ALL = (1 << 32) - 1
+
+
+def fc_abi(ergs=PASS_ALL, mode=ForwardingMode.USE_HEAP, start=0, length=0,
+           to_system=False):
+    return FarCallABI(FatPointer(0, 0, start, length), ergs, 0, mode,
+                      False, to_system).to_u256()
+
+
+def ret_abi(start=0, length=0, mode=ForwardingMode.USE_HEAP):
+    return RetABI(FatPointer(0, 0, start, length), mode).to_u256()
+
+
+CONTRACTS = [
+    (CALLEE, f"""
+        ld.ptr r1, r5          ; calldata[0]
+        add 1, r0, r6
+        add r5, r6, r5
+        st.h 0, r5             ; heap[0] = calldata[0] + 1
+        add code[@rabi], r0, r7
+        ret r7                 ; forward heap[0..32]
+        rabi: .word {ret_abi(0, 32)}
+    """),
+    (CALLEE2, """
+        add 5, r0, r1
+        add 50, r0, r2
+        log.swrite r1, r2
+        revert r0
+    """),
+]
+
+FAR_PROGRAMS = [
+    # basic call + returndata read-back
+    f"""
+    add 41, r0, r3
+    st.h 0, r3
+    add code[@abi], r0, r4
+    add code[@dest], r0, r2
+    far_call r4, r2, @on_fail
+    ld.ptr r1, r10          ; returndata[0] == 42
+    ret r0
+    on_fail:
+    add 99, r0, r9
+    ret r0
+    abi: .word {fc_abi(length=32)}
+    dest: .word {CALLEE}
+    """,
+    # revert runs handler + storage rolls back
+    f"""
+    add code[@abi], r0, r4
+    add code[@dest2], r0, r2
+    far_call r4, r2, @on_fail
+    add 1, r0, r8
+    ret r0
+    on_fail:
+    add 5, r0, r1
+    log.sread r1, r9       ; rolled-back 0
+    add 7, r0, r11
+    ret r0
+    abi: .word {fc_abi()}
+    dest2: .word {CALLEE2}
+    """,
+    # unknown-address call with zero default AA: masked AA hash 0 -> panic
+    f"""
+    add code[@abi], r0, r4
+    add code[@dest3], r0, r2
+    far_call r4, r2, @on_fail
+    add 1, r0, r8
+    ret r0
+    on_fail:
+    add 7, r0, r9
+    ret r0
+    abi: .word {fc_abi()}
+    dest3: .word 0x77777
+    """,
+    # repeat decommit: second call is stale (refund path)
+    f"""
+    add 1, r0, r3
+    st.h 0, r3
+    add code[@abi], r0, r4
+    add code[@dest], r0, r2
+    far_call r4, r2, @fail
+    add code[@abi], r0, r4
+    add code[@dest], r0, r2
+    far_call r4, r2, @fail
+    ld.ptr r1, r10
+    ret r0
+    fail:
+    add 99, r0, r9
+    ret r0
+    abi: .word {fc_abi(length=32)}
+    dest: .word {CALLEE}
+    """,
+    # zero-ergs far call: callee immediately out of ergs -> handler
+    f"""
+    add code[@abi0], r0, r4
+    add code[@dest], r0, r2
+    far_call r4, r2, @on_fail
+    add 1, r0, r8
+    ret r0
+    on_fail:
+    add 3, r0, r9
+    ret r0
+    abi0: .word {fc_abi(ergs=0)}
+    dest: .word {CALLEE}
+    """,
+    # static far call: callee's storage write masks to panic
+    f"""
+    add code[@abi], r0, r4
+    add code[@dest2], r0, r2
+    far_call.static r4, r2, @on_fail
+    add 1, r0, r8
+    ret r0
+    on_fail:
+    add 11, r0, r9
+    ret r0
+    abi: .word {fc_abi()}
+    dest2: .word {CALLEE2}
+    """,
+]
+
+DELEGATE_PROGRAMS = [
+    # delegate keeps identity; callee writes ctx.this into storage
+    f"""
+    add code[@abi], r0, r4
+    add code[@dest], r0, r2
+    delegate_call r4, r2, @fail
+    add 1, r0, r6
+    log.sread r6, r10
+    ret r0
+    fail:
+    add 99, r0, r9
+    ret r0
+    abi: .word {fc_abi()}
+    dest: .word {CALLEE}
+    """,
+]
+
+DELEGATE_CONTRACTS = [
+    (CALLEE, """
+        ctx.this r5
+        add 1, r0, r6
+        log.swrite r6, r5
+        ret r0
+    """),
+]
+
+
+class TestFarCallDifferential:
+    def test_far_calls(self):
+        diff_run(FAR_PROGRAMS, contracts=CONTRACTS, max_cycles=128)
+
+    def test_delegate(self):
+        diff_run(DELEGATE_PROGRAMS, contracts=DELEGATE_CONTRACTS,
+                 max_cycles=128)
+
+    def test_default_aa(self):
+        aa = f"""
+            add 123, r0, r5
+            st.h 0, r5
+            add code[@rabi], r0, r7
+            ret r7
+            rabi: .word {ret_abi(0, 32)}
+        """
+        prog = f"""
+            add code[@abi], r0, r4
+            add code[@dest], r0, r2
+            far_call r4, r2, @on_fail
+            ld.ptr r1, r10
+            ret r0
+            on_fail:
+            add 9, r0, r9
+            ret r0
+            abi: .word {fc_abi()}
+            dest: .word 0x99999
+        """
+        diff_run([prog], contracts=[], default_aa_source=aa, max_cycles=128)
