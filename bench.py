@@ -80,6 +80,41 @@ def bench(batch: int, n_cycles: int, witness: bool, repeats: int = 3) -> dict:
     }
 
 
+STORAGE_WORKLOAD = """
+    add 1, r0, r10
+    add code[@n], r0, r1
+    add 0, r0, r2
+    loop:
+    and r1, r10, r3
+    add r3, r10, r3
+    log.swrite r3, r1
+    log.sread r3, r4
+    log.event r3, r4
+    add r4, r2, r2
+    sub! r1, r10, r1
+    jump.if_ne @loop
+    ret r0
+    n: .word 32768
+"""
+
+
+def bench_storage(batch: int, n_cycles: int) -> float:
+    """Storage/event-heavy workload (driver config 3 shape)."""
+    config = VmConfig(batch=batch, code_words=16, stack_words=256,
+                      stack_abs_words=64, stack_sp_base=960,
+                      heap_words=16, aux_heap_words=16, max_depth=8,
+                      queue_capacity=0, storage_slots=8, journal_slots=64,
+                      event_slots=64, log_queue_capacity=0)
+    program = assemble_to_code_words(STORAGE_WORKLOAD)
+    state = make_entry_state(config, [program] * batch, ergs=(1 << 31) - 1)
+    state = run_cycles(state, config, n_cycles)
+    jax.block_until_ready(state)
+    t0 = time.time()
+    state = run_cycles(state, config, n_cycles)
+    jax.block_until_ready(state)
+    return batch * n_cycles / (time.time() - t0)
+
+
 def bench_keccak(batch: int = 65536, iters: int = 32) -> float:
     """Chained batched Keccak-f[1600] permutations/sec (verified kernel)."""
     import jax.numpy as jnp
@@ -121,6 +156,8 @@ def main() -> None:
     print(f"no-witness: {fast}", file=sys.stderr)
     traced = bench(batch, n_cycles, witness=True)
     print(f"witness-traced: {traced}", file=sys.stderr)
+    storage_rate = bench_storage(batch, n_cycles)
+    print(f"storage/event workload: {storage_rate:.0f} cycles/s", file=sys.stderr)
 
     value = traced["cycles_per_sec"]
     print(json.dumps({
