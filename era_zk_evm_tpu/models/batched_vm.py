@@ -416,8 +416,10 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     is_uma = opcode == OP.UMA
     is_log = opcode == OP.LOG
     log_enabled = config.storage_slots > 0
+    precompile_enabled = config.precompile_keccak_blocks > 0
     unsupported = ((opcode == OP.FAR_CALL) & (not log_enabled)) \
-        | (is_log & ((sub_variant == LogOp.PRECOMPILE_CALL) | (not log_enabled)))
+        | (is_log & ((sub_variant == LogOp.PRECOMPILE_CALL)
+                     & (not precompile_enabled) | (not log_enabled)))
     lane_error = lane_error | (active & unsupported)
 
     sum_val, carry = u256.add(src0, src1)
@@ -645,15 +647,18 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     l_event = is_log & (log_sub == LogOp.EVENT)
     l_tol1 = is_log & (log_sub == LogOp.TO_L1_MESSAGE)
     if log_enabled:
+        l_precomp = is_log & (log_sub == LogOp.PRECOMPILE_CALL)
         ergs_on_pubdata = jnp.where(
             l_swrite & is_rollup,
             state.ergs_per_pubdata * params.INITIAL_STORAGE_WRITE_PUBDATA_BYTES,
             jnp.where(l_tol1,
                       state.ergs_per_pubdata * params.L1_MESSAGE_PUBDATA_BYTES,
                       0))
-        log_not_enough = ergs_on_pubdata > ergs2
+        log_extra_cost = jnp.where(l_precomp, src1[:, 0], 0)
+        log_total_cost = ergs_on_pubdata + log_extra_cost
+        log_not_enough = log_total_cost > ergs2
         ergs_after_log = jnp.where(is_log & log_not_enough, 0,
-                                   ergs2 - jnp.where(is_log, ergs_on_pubdata, 0))
+                                   ergs2 - jnp.where(is_log, log_total_cost, 0))
         new_spent_pubdata = state.spent_pubdata + jnp.where(
             active & is_log,
             jnp.where(log_not_enough, jnp.minimum(ergs2, ergs_on_pubdata),
@@ -673,6 +678,7 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
         do_sread = l_sread & active & ~zeroed
         do_swrite = l_swrite & active & ~log_skipped
         do_event = (l_event | l_tol1) & active & ~log_skipped
+        do_precomp = l_precomp & active & ~log_skipped
 
         # write target slot: the match, or a fresh slot at st_count
         fresh_needed = do_swrite & ~slot_found
@@ -726,10 +732,145 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
         new_ev_key, new_ev_val = state.ev_key, state.ev_val
         new_ev_meta, new_ev_count = state.ev_meta, state.ev_count
         do_sread = jnp.zeros((B,), dtype=BOOL)
-        do_swrite = do_event = do_sread
+        do_swrite = do_event = do_precomp = do_sread
+        l_precomp = do_sread
         log_read_result = jnp.zeros((B, 8), dtype=U32)
         current_val = log_read_result
         aux_byte = jnp.zeros((B,), dtype=U32)
+
+    # ---------------- precompile unit (keccak256 / sha256 in-cycle) -------
+    # (log.rs:252-328 + DefaultPrecompilesProcessor; ecrecover is round-2)
+    pp_write_h = jnp.zeros((B,), dtype=BOOL)
+    pp_write_a = jnp.zeros((B,), dtype=BOOL)
+    pp_out_val = jnp.zeros((B, 8), dtype=U32)
+    pp_out_idx = jnp.zeros((B,), dtype=U32)
+    if precompile_enabled and log_enabled:
+        MK = config.precompile_keccak_blocks
+        MS = max(config.precompile_sha_rounds, 1)
+        pp_in_off = src0[:, 0]
+        pp_in_len = src0[:, 1]
+        pp_out_off = src0[:, 2]
+        pp_page_r = jnp.where(src0[:, 4] == 0, heap_page, src0[:, 4])
+        pp_page_w = jnp.where(src0[:, 5] == 0, heap_page, src0[:, 5])
+        pp_rounds = src0[:, 6]
+        addr16 = this_addr[:, 0] & 0xFFFF
+        is_keccak_pc = do_precomp & (
+            addr16 == params.KECCAK256_ROUND_FUNCTION_PRECOMPILE_ADDRESS)
+        is_sha_pc = do_precomp & (
+            addr16 == params.SHA256_ROUND_FUNCTION_PRECOMPILE_ADDRESS)
+        pp_any = is_keccak_pc | is_sha_pc
+
+        def page_slot(page):
+            hm = state.hp_page == page[:, None]
+            am = state.ap_page == page[:, None]
+            on_h = jnp.any(hm, axis=1)
+            on_a = ~on_h & jnp.any(am, axis=1)
+            slot = jnp.where(
+                on_h,
+                jnp.sum(jnp.arange(config.heap_frames, dtype=U32)[None, :]
+                        * hm.astype(U32), axis=1),
+                jnp.sum(jnp.arange(config.heap_frames, dtype=U32)[None, :]
+                        * am.astype(U32), axis=1))
+            return on_h, on_a, slot
+
+        r_on_h, r_on_a, r_slot = page_slot(pp_page_r)
+        w_on_h, w_on_a, pp_w_slot = page_slot(pp_page_w)
+        lane_error = lane_error | (pp_any & ~(r_on_h | r_on_a)) \
+            | (pp_any & ~(w_on_h | w_on_a))
+
+        def read_in_word(idx):
+            hv = _gather_rows(state.heap, r_slot * config.heap_words + idx)
+            av = _gather_rows(state.aux_heap,
+                              r_slot * config.aux_heap_words + idx)
+            return _sel(r_on_h, hv, av)
+
+        # ---- keccak256: byte-stream sponge with XOR-padding ----
+        kc_blocks = pp_in_len // 136 + 1
+        kc_last = kc_blocks * 136 - 1
+        lane_error = lane_error | (is_keccak_pc & (kc_blocks > MK))
+
+        def keccak_unit(_):
+            lo = [jnp.zeros((B,), U32) for _ in range(25)]
+            hi = [jnp.zeros((B,), U32) for _ in range(25)]
+            from ..ops.keccak import keccak_f1600 as _perm
+            for k in range(MK):
+                blk_on = is_keccak_pc & (k < kc_blocks)
+                base_byte = pp_in_off + k * 136
+                base_word = base_byte >> 5
+                window = [read_in_word(base_word + w) for w in range(6)]
+                wb = []
+                for w in range(6):
+                    for j in range(32):  # BE byte j of the 32-byte word
+                        limb = window[w][:, 7 - j // 4]
+                        wb.append((limb >> (8 * (3 - j % 4))) & 0xFF)
+                bytes_arr = jnp.stack(wb, axis=1)          # u32[B, 192]
+                sh = base_byte & 31
+                aligned = jnp.zeros((B, 136), dtype=U32)
+                for s in range(32):
+                    aligned = aligned + (sh == s)[:, None].astype(U32) \
+                        * bytes_arr[:, s:s + 136]
+                g = jnp.arange(136, dtype=U32)[None, :] + k * 136
+                data = jnp.where(g < pp_in_len[:, None], aligned, 0)
+                blk = data ^ jnp.where(g == pp_in_len[:, None], 0x01, 0) \
+                    ^ jnp.where(g == kc_last[:, None], 0x80, 0)
+                for l in range(17):
+                    lane_lo = sum((blk[:, 8 * l + t] << (8 * t))
+                                  for t in range(4))
+                    lane_hi = sum((blk[:, 8 * l + t] << (8 * (t - 4)))
+                                  for t in range(4, 8))
+                    lo[l] = lo[l] ^ jnp.where(blk_on, lane_lo, 0)
+                    hi[l] = hi[l] ^ jnp.where(blk_on, lane_hi, 0)
+                plo, phi = _perm(lo, hi, unroll=False)
+                lo = [jnp.where(blk_on, plo[i], lo[i]) for i in range(25)]
+                hi = [jnp.where(blk_on, phi[i], hi[i]) for i in range(25)]
+            # digest = LE bytes of lanes 0..3; output word is that BE value
+            dbytes = []
+            for i in range(32):
+                lane_v = lo[i // 8] if (i % 8) < 4 else hi[i // 8]
+                dbytes.append((lane_v >> (8 * ((i % 8) % 4))) & 0xFF)
+            out = jnp.zeros((B, 8), dtype=U32)
+            for j in range(8):
+                limb = (dbytes[28 - 4 * j] << 24) | (dbytes[29 - 4 * j] << 16) \
+                    | (dbytes[30 - 4 * j] << 8) | dbytes[31 - 4 * j]
+                out = out.at[:, j].set(limb)
+            return out
+
+        keccak_out = jax.lax.cond(
+            jnp.any(is_keccak_pc), keccak_unit,
+            lambda _: jnp.zeros((B, 8), dtype=U32), None)
+
+        # ---- sha256 rounds ----
+        lane_error = lane_error | (is_sha_pc & (pp_rounds > MS))
+
+        def sha_unit(_):
+            from ..ops.sha256 import sha256_compress_batched, sha256_iv
+            st8 = sha256_iv(B)
+            for k in range(MS):
+                r_on = is_sha_pc & (k < pp_rounds)
+                w0 = read_in_word(pp_in_off + 2 * k)
+                w1 = read_in_word(pp_in_off + 2 * k + 1)
+                block16 = jnp.concatenate(
+                    [w0[:, ::-1], w1[:, ::-1]], axis=1)  # BE u32 words
+                ns = sha256_compress_batched(st8, block16)
+                st8 = _sel(r_on, ns, st8)
+            return st8[:, ::-1]  # state as one BE u256 word
+
+        sha_out = jax.lax.cond(
+            jnp.any(is_sha_pc), sha_unit,
+            lambda _: jnp.zeros((B, 8), dtype=U32), None)
+
+        pp_out_val = _sel(is_keccak_pc, keccak_out, sha_out)
+        pp_out_idx = pp_out_off
+        hw_ok = pp_out_off < jnp.where(w_on_h, config.heap_words,
+                                       config.aux_heap_words)
+        lane_error = lane_error | (pp_any & ~hw_ok)
+        pp_write_h = pp_any & w_on_h & hw_ok
+        pp_write_a = pp_any & w_on_a & hw_ok
+        pp_write_h = pp_write_h & active
+        pp_write_a = pp_write_a & active
+        pp_key = src0.at[:, 4].set(pp_page_r).at[:, 5].set(pp_page_w)
+    else:
+        pp_key = src0
 
     # ---------------- near call (near_call.rs) ----------------
     nc_abi = src0[:, 0]
@@ -1019,10 +1160,13 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     dst0_val = _sel(uma_is_write & uma_increment,
                     incremented_src0, dst0_val)
     dst0_val = _sel(do_sread, log_read_result, dst0_val)
+    precomp_one = jnp.zeros((B, 8), dtype=U32).at[:, 0].set(
+        do_precomp.astype(U32))
+    dst0_val = _sel(l_precomp & active, precomp_one, dst0_val)
     dst0_is_ptr = ptr_writes  # only ptr ops produce tagged dst0 here
 
     dst0_write = is_add | is_sub | is_mul | is_div | is_shift | is_binop \
-        | ctx_writes_dst | ptr_writes | do_sread \
+        | ctx_writes_dst | ptr_writes | do_sread | (l_precomp & active) \
         | (uma_is_read & ~uma_set_panic) \
         | (uma_is_write & uma_increment & ~uma_set_panic)
 
@@ -1250,6 +1394,14 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     new_heap = _scatter_rows(new_heap, h_base + word1, new_w1, w_heap1)
     new_aux = _scatter_rows(state.aux_heap, a_base + word0, new_w0, w_aux0)
     new_aux = _scatter_rows(new_aux, a_base + word1, new_w1, w_aux1)
+    if precompile_enabled and log_enabled:
+        # precompile output word (defined in the precompile unit above)
+        new_heap = _scatter_rows(
+            new_heap, pp_w_slot * config.heap_words + pp_out_idx,
+            pp_out_val, pp_write_h)
+        new_aux = _scatter_rows(
+            new_aux, pp_w_slot * config.aux_heap_words + pp_out_idx,
+            pp_out_val, pp_write_a)
 
     # ==================================================================
     # Witness queue (memory queries, golden order; see golden/vm.py)
@@ -1320,11 +1472,13 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
         lpos = jnp.minimum(jnp.asarray(step, I32),
                            config.log_queue_capacity - 1)
         loverflow = jnp.asarray(step, I32) >= config.log_queue_capacity
-        lvalid = (do_sread | do_swrite | do_event | fc_do_sread) & ~loverflow
+        lvalid = (do_sread | do_swrite | do_event | do_precomp
+                  | fc_do_sread) & ~loverflow
         lane_error = lane_error | ((do_sread | do_swrite | do_event
-                                    | fc_do_sread) & loverflow)
-        l_aux = jnp.where(do_sread | do_swrite | fc_do_sread,
-                          jnp.uint32(params.STORAGE_AUX_BYTE), aux_byte)
+                                    | do_precomp | fc_do_sread) & loverflow)
+        l_aux = jnp.where(do_precomp, jnp.uint32(params.PRECOMPILE_AUX_BYTE),
+                jnp.where(do_sread | do_swrite | fc_do_sread,
+                          jnp.uint32(params.STORAGE_AUX_BYTE), aux_byte))
         l_rw = (do_swrite | do_event).astype(U32)
         l_svc = jnp.where(fc_do_sread, False, vflag0).astype(U32)
         l_shard = jnp.where(fc_do_sread, fc_code_shard, shard_this_u8)
@@ -1336,6 +1490,7 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
              jnp.where(lvalid, state.tx_number, 0),
              lvalid.astype(U32)], axis=1)
         read_row = jnp.where((do_sread | do_swrite)[:, None], current_val, 0)
+        read_row = jnp.where(do_precomp[:, None], 0, read_row)
         # reads copy read_value into written_value (helpers.rs:145-148)
         written_row = jnp.where(do_sread[:, None], current_val,
                                 jnp.where((do_swrite | do_event)[:, None],
@@ -1347,7 +1502,8 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
         deployer5_row = jnp.zeros((B, 5), dtype=U32) \
             .at[:, 0].set(params.DEPLOYER_SYSTEM_CONTRACT_ADDRESS)
         addr_row = _sel(fc_do_sread, deployer5_row, this_addr)
-        key_row = _sel(fc_do_sread, _addr_to_u256(fc_addr5), src0)
+        key_row = _sel(fc_do_sread, _addr_to_u256(fc_addr5),
+                       _sel(do_precomp, pp_key, src0))
         read_row = _sel(fc_do_sread, fc_hash_storage, read_row)
         written_row = _sel(fc_do_sread, fc_hash_storage, written_row)
         lq_addr = upd(lq_addr, jnp.where(lvalid[:, None], addr_row, 0))

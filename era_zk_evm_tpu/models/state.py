@@ -50,6 +50,9 @@ class VmConfig:
     heap_frames: int = 1          # global-frame heap/aux arena slots per lane
     code_pages: int = 1           # code-bank slots per lane (slot 0 = entry)
     decommit_queue_capacity: int = 0  # decommit-witness queue (1 slot/cycle)
+    # -- precompile unit --
+    precompile_keccak_blocks: int = 0  # max 136-byte blocks (0 = disabled)
+    precompile_sha_rounds: int = 0     # max 64-byte rounds per call
 
     def __post_init__(self):
         if self.stack_abs_words is None:

@@ -39,39 +39,62 @@ def _rotl(lo, hi, n: int):
     return new_lo, new_hi
 
 
-def keccak_f1600(lo: list, hi: list) -> tuple[list, list]:
-    """One permutation over 25 (lo, hi) [B] uint32 vector pairs (flat x+5y)."""
+def keccak_f1600(lo: list, hi: list, unroll: bool = True) -> tuple[list, list]:
+    """One permutation over 25 (lo, hi) [B] uint32 vector pairs (flat x+5y).
+
+    `unroll=False` runs the 24 rounds under lax.fori_loop — ~24x smaller XLA
+    graph (XLA:CPU's simplifier is super-linear on the unrolled chain), at a
+    modest runtime cost on TPU; the fully unrolled form stays the default for
+    peak-throughput use.
+    """
+    if not unroll:
+        rc_lo = jnp.asarray([c & 0xFFFFFFFF for c in KECCAK_RC], dtype=U32)
+        rc_hi = jnp.asarray([c >> 32 for c in KECCAK_RC], dtype=U32)
+
+        def body(i, carry):
+            lo, hi = list(carry[0]), list(carry[1])
+            lo, hi = _round(lo, hi, rc_lo[i], rc_hi[i])
+            return (tuple(lo), tuple(hi))
+
+        lo_t, hi_t = jax.lax.fori_loop(0, 24, body, (tuple(lo), tuple(hi)))
+        return list(lo_t), list(hi_t)
+
     lo, hi = list(lo), list(hi)
     for rnd in range(24):
-        # theta
-        c_lo = [lo[x] ^ lo[x + 5] ^ lo[x + 10] ^ lo[x + 15] ^ lo[x + 20]
-                for x in range(5)]
-        c_hi = [hi[x] ^ hi[x + 5] ^ hi[x + 10] ^ hi[x + 15] ^ hi[x + 20]
-                for x in range(5)]
-        d = []
-        for x in range(5):
-            r_lo, r_hi = _rotl(c_lo[(x + 1) % 5], c_hi[(x + 1) % 5], 1)
-            d.append((c_lo[(x - 1) % 5] ^ r_lo, c_hi[(x - 1) % 5] ^ r_hi))
-        lo = [lo[i] ^ d[i % 5][0] for i in range(25)]
-        hi = [hi[i] ^ d[i % 5][1] for i in range(25)]
-        # rho + pi
-        b_lo, b_hi = [None] * 25, [None] * 25
-        for x in range(5):
-            for y in range(5):
-                src = x + 5 * y
-                dst = y + 5 * ((2 * x + 3 * y) % 5)
-                b_lo[dst], b_hi[dst] = _rotl(lo[src], hi[src],
-                                             KECCAK_ROTATIONS[src])
-        # chi
-        lo = [b_lo[i] ^ (~b_lo[(i % 5 + 1) % 5 + 5 * (i // 5)]
-                         & b_lo[(i % 5 + 2) % 5 + 5 * (i // 5)])
-              for i in range(25)]
-        hi = [b_hi[i] ^ (~b_hi[(i % 5 + 1) % 5 + 5 * (i // 5)]
-                         & b_hi[(i % 5 + 2) % 5 + 5 * (i // 5)])
-              for i in range(25)]
-        # iota
-        lo[0] = lo[0] ^ jnp.uint32(KECCAK_RC[rnd] & 0xFFFFFFFF)
-        hi[0] = hi[0] ^ jnp.uint32(KECCAK_RC[rnd] >> 32)
+        lo, hi = _round(lo, hi, jnp.uint32(KECCAK_RC[rnd] & 0xFFFFFFFF),
+                        jnp.uint32(KECCAK_RC[rnd] >> 32))
+    return lo, hi
+
+
+def _round(lo, hi, rc_lo, rc_hi):
+    # theta
+    c_lo = [lo[x] ^ lo[x + 5] ^ lo[x + 10] ^ lo[x + 15] ^ lo[x + 20]
+            for x in range(5)]
+    c_hi = [hi[x] ^ hi[x + 5] ^ hi[x + 10] ^ hi[x + 15] ^ hi[x + 20]
+            for x in range(5)]
+    d = []
+    for x in range(5):
+        r_lo, r_hi = _rotl(c_lo[(x + 1) % 5], c_hi[(x + 1) % 5], 1)
+        d.append((c_lo[(x - 1) % 5] ^ r_lo, c_hi[(x - 1) % 5] ^ r_hi))
+    lo = [lo[i] ^ d[i % 5][0] for i in range(25)]
+    hi = [hi[i] ^ d[i % 5][1] for i in range(25)]
+    # rho + pi
+    b_lo, b_hi = [None] * 25, [None] * 25
+    for x in range(5):
+        for y in range(5):
+            s = x + 5 * y
+            dst = y + 5 * ((2 * x + 3 * y) % 5)
+            b_lo[dst], b_hi[dst] = _rotl(lo[s], hi[s], KECCAK_ROTATIONS[s])
+    # chi
+    lo = [b_lo[i] ^ (~b_lo[(i % 5 + 1) % 5 + 5 * (i // 5)]
+                     & b_lo[(i % 5 + 2) % 5 + 5 * (i // 5)])
+          for i in range(25)]
+    hi = [b_hi[i] ^ (~b_hi[(i % 5 + 1) % 5 + 5 * (i // 5)]
+                     & b_hi[(i % 5 + 2) % 5 + 5 * (i // 5)])
+          for i in range(25)]
+    # iota
+    lo[0] = lo[0] ^ rc_lo
+    hi[0] = hi[0] ^ rc_hi
     return lo, hi
 
 

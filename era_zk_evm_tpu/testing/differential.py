@@ -46,7 +46,8 @@ def diff_run(sources: list[str], config: VmConfig | None = None,
              max_cycles: int = 256, ergs: int = 1 << 20,
              compare_witness: bool = True,
              contracts: list[tuple[int, str]] | None = None,
-             default_aa_source: str | None = None) -> None:
+             default_aa_source: str | None = None,
+             entry_address: int = harness.ENTRY_ADDRESS) -> None:
     """Run each program on both engines and compare exhaustively.
 
     `contracts` registers callable contracts (address, asm source) on both
@@ -89,14 +90,16 @@ def diff_run(sources: list[str], config: VmConfig | None = None,
             tools.decommitter.populate(
                 [(h, list(w)) for h, w in bank])
         vm = harness.build_vm(assemble_to_code_words(src), tools=tools,
-                              ergs=ergs, block_properties=block_properties)
+                              ergs=ergs, block_properties=block_properties,
+                              entry_address=entry_address)
         cycles = harness.run(vm, max_cycles)
         return vm, tools, cycles
 
     goldens = [golden_with_setup(src) for src in sources]
 
     programs = [assemble_to_code_words(src) for src in sources]
-    state = make_entry_state(config, programs, ergs=ergs)
+    state = make_entry_state(config, programs, ergs=ergs,
+                             entry_address=entry_address)
     if contract_entries:
         state = populate_storage(state, config, [contract_entries] * B)
     if bank:

@@ -1,0 +1,163 @@
+"""Device precompile unit vs golden: keccak256 / sha256 through log.precompile."""
+
+import hashlib
+
+from era_zk_evm_tpu.golden.precompiles import keccak256
+from era_zk_evm_tpu.isa import params
+from era_zk_evm_tpu.isa.abi import PrecompileCallABI
+from era_zk_evm_tpu.models import VmConfig
+from era_zk_evm_tpu.testing.differential import diff_run
+
+
+def _config(batch, max_cycles):
+    return VmConfig(
+        batch=batch, queue_capacity=max_cycles * 8, heap_words=64,
+        stack_words=2048, code_words=64, max_depth=8,
+        storage_slots=16, journal_slots=32, event_slots=32,
+        log_queue_capacity=max_cycles, heap_frames=2, code_pages=2,
+        decommit_queue_capacity=max_cycles,
+        precompile_keccak_blocks=3, precompile_sha_rounds=3)
+
+
+def keccak_abi(offset, length, out_word):
+    return PrecompileCallABI(
+        input_memory_offset=offset, input_memory_length=length,
+        output_memory_offset=out_word, output_memory_length=0,
+        memory_page_to_read=0, memory_page_to_write=0,
+        precompile_interpreted_data=0).to_u256()
+
+
+def sha_abi(in_word, rounds, out_word):
+    return PrecompileCallABI(
+        input_memory_offset=in_word, input_memory_length=2 * rounds,
+        output_memory_offset=out_word, output_memory_length=1,
+        memory_page_to_read=0, memory_page_to_write=0,
+        precompile_interpreted_data=rounds).to_u256()
+
+
+class TestDevicePrecompiles:
+    def test_keccak_cases(self):
+        data4 = (0x61626364).to_bytes(4, "big")
+        programs = [
+            # 4 bytes, aligned
+            f"""
+            add code[@d], r0, r2
+            st.h 0, r2
+            add code[@abi], r0, r4
+            log.precompile r4, r0, r5
+            add 64, r0, r6
+            ld.h r6, r7
+            ret r0
+            abi: .word {keccak_abi(0, 4, 2)}
+            d: .word {int.from_bytes(data4 + bytes(28), 'big')}
+            """,
+            # empty input
+            f"""
+            add code[@abi], r0, r4
+            log.precompile r4, r0, r5
+            ld.h 0, r7
+            ret r0
+            abi: .word {keccak_abi(0, 0, 0)}
+            """,
+            # 2 full words (64 bytes), output word 3
+            f"""
+            add code[@w0], r0, r2
+            st.h 0, r2
+            add code[@w1], r0, r3
+            st.h 32, r3
+            add code[@abi], r0, r4
+            log.precompile r4, r0, r5
+            add 96, r0, r6
+            ld.h r6, r7
+            ret r0
+            abi: .word {keccak_abi(0, 64, 3)}
+            w0: .word {int.from_bytes(bytes(range(32)), 'big')}
+            w1: .word {int.from_bytes(bytes(range(32, 64)), 'big')}
+            """,
+            # unaligned byte offset 3, 40 bytes spanning two words
+            f"""
+            add code[@w0], r0, r2
+            st.h 0, r2
+            add code[@w1], r0, r3
+            st.h 32, r3
+            add code[@abi], r0, r4
+            log.precompile r4, r0, r5
+            add 96, r0, r6
+            ld.h r6, r7
+            ret r0
+            abi: .word {keccak_abi(3, 40, 3)}
+            w0: .word {int.from_bytes(bytes(range(32)), 'big')}
+            w1: .word {int.from_bytes(bytes(range(32, 64)), 'big')}
+            """,
+            # two-block input: 200 bytes of 0x7b starting at offset 0
+            f"""
+            add code[@fill], r0, r2
+            st.h 0, r2
+            st.h 32, r2
+            st.h 64, r2
+            st.h 96, r2
+            st.h 128, r2
+            st.h 160, r2
+            st.h 192, r2
+            add code[@abi], r0, r4
+            log.precompile r4, r0, r5
+            add code[@outw], r0, r6
+            ld.h r6, r7
+            ret r0
+            abi: .word {keccak_abi(0, 200, 8)}
+            fill: .word {int.from_bytes(bytes([0x7B] * 32), 'big')}
+            outw: .word 256
+            """,
+        ]
+        diff_run(programs, config=_config(len(programs), 128),
+                 max_cycles=128, ergs=1 << 20,
+                 entry_address=params.KECCAK256_ROUND_FUNCTION_PRECOMPILE_ADDRESS)
+
+    def test_sha256_rounds(self):
+        msg = b"abc"
+        block = msg + b"\x80" + b"\x00" * (64 - len(msg) - 1 - 8) \
+            + (len(msg) * 8).to_bytes(8, "big")
+        w0 = int.from_bytes(block[:32], "big")
+        w1 = int.from_bytes(block[32:], "big")
+        programs = [
+            f"""
+            add code[@w0], r0, r2
+            st.h 0, r2
+            add code[@w1], r0, r3
+            st.h 32, r3
+            add code[@abi], r0, r4
+            log.precompile r4, r0, r5
+            add 64, r0, r6
+            ld.h r6, r7
+            ret r0
+            abi: .word {sha_abi(0, 1, 2)}
+            w0: .word {w0}
+            w1: .word {w1}
+            """,
+        ]
+        diff_run(programs, config=_config(1, 96), max_cycles=96,
+                 ergs=1 << 20,
+                 entry_address=params.SHA256_ROUND_FUNCTION_PRECOMPILE_ADDRESS)
+
+    def test_precompile_extra_cost_out_of_ergs(self):
+        # src1 = extra ergs cost exceeding the frame budget: dst0 = 0
+        programs = [
+            f"""
+            add 3000, r0, r9
+            near_call r9, @w, @h
+            done:
+            ret r0
+            w:
+            add code[@abi], r0, r4
+            add 60000, r0, r6      ; extra cost > passed ergs
+            log.precompile r4, r6, r5
+            add r5, r0, stack[7]   ; store result flag (0)
+            ret r0
+            h:
+            add 1, r0, r8
+            jump @done
+            abi: .word {keccak_abi(0, 0, 0)}
+            """,
+        ]
+        diff_run(programs, config=_config(1, 96), max_cycles=96, ergs=1 << 20,
+                 entry_address=params.KECCAK256_ROUND_FUNCTION_PRECOMPILE_ADDRESS)

@@ -164,3 +164,87 @@ class TestPrecompileViaVm:
         assert len(tools.witness.precompile_calls) == 1
         pc_result = tools.witness.precompile_calls[0]
         assert pc_result.mem_out[0].value == expected
+
+
+class TestSha256PrecompileViaVm:
+    def test_sha256_rounds_from_program(self):
+        # one padded block of "abc" staged as 2 heap words; 1 round
+        msg = b"abc"
+        block = msg + b"\x80" + b"\x00" * (64 - len(msg) - 1 - 8) \
+            + (len(msg) * 8).to_bytes(8, "big")
+        w0 = int.from_bytes(block[:32], "big")
+        w1 = int.from_bytes(block[32:], "big")
+        expected = int.from_bytes(hashlib.sha256(msg).digest(), "big")
+        abi = PrecompileCallABI(
+            input_memory_offset=0, input_memory_length=2,
+            output_memory_offset=2, output_memory_length=1,
+            memory_page_to_read=0, memory_page_to_write=0,
+            precompile_interpreted_data=1).to_u256()
+        vm, tools, _ = run_asm(f"""
+            add code[@w0], r0, r2
+            st.h 0, r2
+            add code[@w1], r0, r3
+            st.h 32, r3
+            add code[@abi], r0, r4
+            log.precompile r4, r0, r5
+            add 64, r0, r6
+            ld.h r6, r7
+            ret r0
+            abi: .word {abi}
+            w0: .word {w0}
+            w1: .word {w1}
+        """, entry_address=params.SHA256_ROUND_FUNCTION_PRECOMPILE_ADDRESS)
+        assert reg(vm, 5) == 1
+        assert reg(vm, 7) == expected
+
+
+class TestEcrecoverPrecompileViaVm:
+    def test_ecrecover_from_program(self):
+        from era_zk_evm_tpu.golden.precompiles import (
+            SECP_GX, SECP_GY, SECP_N, _ec_mul, _inv_mod, keccak256,
+        )
+
+        d = 0xA5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5
+        pub = _ec_mul(d, (SECP_GX, SECP_GY))
+        expected_address = int.from_bytes(
+            keccak256(pub[0].to_bytes(32, "big")
+                      + pub[1].to_bytes(32, "big"))[12:], "big")
+        digest = int.from_bytes(keccak256(b"tx payload"), "big")
+        k = 0x1357913579135791357913579135791357913579135791357913579135791357
+        R = _ec_mul(k, (SECP_GX, SECP_GY))
+        r = R[0] % SECP_N
+        s = _inv_mod(k, SECP_N) * (digest + r * d) % SECP_N
+        v = R[1] & 1
+        if s > SECP_N // 2:
+            s = SECP_N - s
+            v ^= 1
+        abi = PrecompileCallABI(
+            input_memory_offset=0, input_memory_length=4,
+            output_memory_offset=4, output_memory_length=2,
+            memory_page_to_read=0, memory_page_to_write=0,
+            precompile_interpreted_data=0).to_u256()
+        vm, tools, _ = run_asm(f"""
+            add code[@dg], r0, r2
+            st.h 0, r2
+            add {v}, r0, r3
+            st.h 32, r3
+            add code[@sr], r0, r4
+            st.h 64, r4
+            add code[@ss], r0, r5
+            st.h 96, r5
+            add code[@abi], r0, r6
+            log.precompile r6, r0, r7
+            add 128, r0, r8
+            ld.h r8, r9             ; success marker
+            add 160, r0, r10
+            ld.h r10, r11           ; recovered address
+            ret r0
+            abi: .word {abi}
+            dg: .word {digest}
+            sr: .word {r}
+            ss: .word {s}
+        """, entry_address=params.ECRECOVER_INNER_FUNCTION_PRECOMPILE_ADDRESS,
+            max_cycles=200)
+        assert reg(vm, 7) == 1
+        assert reg(vm, 9) == 1
+        assert reg(vm, 11) == expected_address
