@@ -183,3 +183,151 @@ class TestFarCallDifferential:
             dest: .word 0x99999
         """
         diff_run([prog], contracts=[], default_aa_source=aa, max_cycles=128)
+
+
+PTR_FWD_CONTRACTS = [
+    (CALLEE, f"""
+        ld.ptr r1, r5           ; calldata[0]
+        st.h 0, r5
+        ptr.add r1, r0, r6      ; copy of calldata ptr (offset +0)
+        add 32, r0, r7
+        ptr.add r6, r7, r6      ; offset 32
+        ld.ptr r6, r8           ; calldata[1]
+        st.h 32, r8
+        ptr.shrink r1, r7, r9   ; length -= 32
+        ptr.pack r9, r0, r10    ; pack with zero high -> same ptr
+        add code[@rabi], r0, r7
+        ret r7
+        rabi: .word {ret_abi(0, 64)}
+    """),
+    (CALLEE2, f"""
+        ld.ptr r1, r5
+        add 1, r0, r6
+        add r5, r6, r5
+        st.h 0, r5
+        add code[@rfwd], r0, r7
+        ret r7                  ; forward our own CALLDATA pointer? banned ->
+                                ; instead forward heap normally
+        rfwd: .word {ret_abi(0, 32)}
+    """),
+]
+
+PTR_FWD_PROGRAMS = [
+    # two-word calldata; callee echoes both words via ptr arithmetic
+    f"""
+    add 1111, r0, r3
+    st.h 0, r3
+    add 2222, r0, r5
+    st.h 32, r5
+    add code[@abi], r0, r4
+    add code[@dest], r0, r2
+    far_call r4, r2, @fail
+    ld.ptr r1, r10          ; returndata[0] == 1111
+    add 32, r0, r3
+    ptr.add r1, r3, r6
+    ld.ptr r6, r11          ; returndata[1] == 2222
+    ret r0
+    fail:
+    add 99, r0, r9
+    ret r0
+    abi: .word {fc_abi(length=64)}
+    dest: .word {CALLEE}
+    """,
+    # nested far calls: A calls B which calls A's sibling? use CALLEE2 -> heap fwd
+    f"""
+    add 41, r0, r3
+    st.h 0, r3
+    add code[@abi], r0, r4
+    add code[@dest2], r0, r2
+    far_call r4, r2, @fail
+    ld.ptr r1, r10          ; 42
+    ret r0
+    fail:
+    add 99, r0, r9
+    ret r0
+    abi: .word {fc_abi(length=32)}
+    dest2: .word {CALLEE2}
+    """,
+    # revert with returndata: callee writes then reverts forwarding heap
+    f"""
+    add code[@abi], r0, r4
+    add code[@dest3], r0, r2
+    far_call r4, r2, @on_fail
+    add 1, r0, r8
+    ret r0
+    on_fail:
+    ld.ptr r1, r10          ; revert data readable in the handler
+    add 2, r0, r11
+    ret r0
+    abi: .word {fc_abi()}
+    dest3: .word 0x10077
+    """,
+]
+
+REVERTDATA_CONTRACT = [(0x10077, f"""
+    add 5151, r0, r2
+    st.h 0, r2
+    add code[@rabi], r0, r7
+    revert r7
+    rabi: .word {ret_abi(0, 32)}
+""")]
+
+
+class TestPointerForwarding:
+    def test_ptr_ops_on_calldata(self):
+        diff_run(PTR_FWD_PROGRAMS[:2], contracts=PTR_FWD_CONTRACTS,
+                 max_cycles=160)
+
+    def test_revert_with_returndata(self):
+        diff_run([PTR_FWD_PROGRAMS[2]], contracts=REVERTDATA_CONTRACT,
+                 max_cycles=160)
+
+
+NESTED_CONTRACTS = [
+    (CALLEE, f"""
+        ld.ptr r1, r5
+        add 1, r0, r6
+        add r5, r6, r5          ; +1
+        st.h 0, r5
+        add code[@abi2], r0, r4
+        add code[@dest2], r0, r2
+        far_call r4, r2, @fail  ; nested call to CALLEE2
+        ld.ptr r1, r7           ; nested returndata
+        st.h 0, r7
+        add code[@rabi], r0, r7
+        ret r7
+        fail:
+        panic
+        abi2: .word {fc_abi(length=32)}
+        dest2: .word {CALLEE2}
+        rabi: .word {ret_abi(0, 32)}
+    """),
+    (CALLEE2, f"""
+        ld.ptr r1, r5
+        add 10, r0, r6
+        add r5, r6, r5          ; +10
+        st.h 0, r5
+        add code[@rabi], r0, r7
+        ret r7
+        rabi: .word {ret_abi(0, 32)}
+    """),
+]
+
+
+class TestNestedFarCalls:
+    def test_two_level_call_chain(self):
+        prog = f"""
+        add 100, r0, r3
+        st.h 0, r3
+        add code[@abi], r0, r4
+        add code[@dest], r0, r2
+        far_call r4, r2, @fail
+        ld.ptr r1, r10          ; 100 + 1 + 10 = 111
+        ret r0
+        fail:
+        add 99, r0, r9
+        ret r0
+        abi: .word {fc_abi(length=32)}
+        dest: .word {CALLEE}
+        """
+        diff_run([prog], contracts=NESTED_CONTRACTS, max_cycles=200)
