@@ -115,6 +115,22 @@ def bench_storage(batch: int, n_cycles: int) -> float:
     return batch * n_cycles / (time.time() - t0)
 
 
+def bench_rolling(batch: int, n_cycles: int) -> float:
+    """Witness-committed mode: rolling sponge per query, no queue arrays."""
+    config = VmConfig(batch=batch, code_words=16, stack_words=256,
+                      stack_abs_words=64, stack_sp_base=960,
+                      heap_words=64, aux_heap_words=16, max_depth=8,
+                      queue_capacity=0, rolling_commitment=True)
+    program = assemble_to_code_words(WORKLOAD)
+    state = make_entry_state(config, [program] * batch, ergs=(1 << 31) - 1)
+    state = run_cycles(state, config, n_cycles)
+    jax.block_until_ready(state)
+    t0 = time.time()
+    state = run_cycles(state, config, n_cycles)
+    jax.block_until_ready(state)
+    return batch * n_cycles / (time.time() - t0)
+
+
 def bench_keccak(batch: int = 65536, iters: int = 32) -> float:
     """Chained batched Keccak-f[1600] permutations/sec (verified kernel)."""
     import jax.numpy as jnp
@@ -158,6 +174,8 @@ def main() -> None:
     print(f"witness-traced: {traced}", file=sys.stderr)
     storage_rate = bench_storage(batch, n_cycles)
     print(f"storage/event workload: {storage_rate:.0f} cycles/s", file=sys.stderr)
+    rolling_rate = bench_rolling(batch, n_cycles)
+    print(f"rolling-commitment mode: {rolling_rate:.0f} cycles/s", file=sys.stderr)
 
     value = traced["cycles_per_sec"]
     print(json.dumps({

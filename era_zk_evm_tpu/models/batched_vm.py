@@ -1408,16 +1408,18 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     # ==================================================================
     wq_count = state.wq_count
     wq_meta, wq_value, wq_flags = state.wq_meta, state.wq_value, state.wq_flags
-    if config.queue_capacity > 0:
+    wc_state, wc_count = state.wc_state, state.wc_count
+    if config.queue_capacity > 0 or config.rolling_commitment:
         # Every cycle owns a fixed 8-slot block at a batch-uniform position
         # (dynamic_update_slice with a scalar index — no per-lane scatter);
         # slot validity rides in bit2 of wq_flags and the dense stream is
         # reconstructed by filtering valid slots in order.
+        cap = max(config.queue_capacity, SLOTS_PER_CYCLE)
         base = jnp.minimum(
-            jnp.asarray(step, I32) * SLOTS_PER_CYCLE,
-            config.queue_capacity - SLOTS_PER_CYCLE)
-        overflow = jnp.asarray(step, I32) * SLOTS_PER_CYCLE \
-            > config.queue_capacity - SLOTS_PER_CYCLE
+            jnp.asarray(step, I32) * SLOTS_PER_CYCLE, cap - SLOTS_PER_CYCLE)
+        overflow = (jnp.asarray(step, I32) * SLOTS_PER_CYCLE
+                    > cap - SLOTS_PER_CYCLE) \
+            if config.queue_capacity > 0 else jnp.bool_(False)
         ts0 = state.timestamp
         ts3 = state.timestamp + 3
         stack_page_arr = base_page + 1
@@ -1445,24 +1447,79 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
             (uma_do_write & is_unaligned, uma_type, uma_page, word1, new_w1,
              jnp.zeros((B,), BOOL), True, ts3),
         ]
-        meta_block, value_block, flag_block = [], [], []
+        if config.queue_capacity > 0:
+            meta_block, value_block, flag_block = [], [], []
+            for valid, mtype, mpage, midx, mval, mptr, rw, ts in slots:
+                lane_error = lane_error | (valid & active & overflow)
+                valid = valid & active & ~overflow
+                meta_block.append(jnp.stack(
+                    [ts, mtype.astype(U32), mpage.astype(U32),
+                     midx.astype(U32)], axis=1))
+                value_block.append(mval)
+                flag_block.append((jnp.uint32(1) if rw else jnp.uint32(0))
+                                  | (mptr.astype(U32) << 1)
+                                  | (valid.astype(U32) << 2))
+                wq_count = wq_count + valid.astype(I32)
+            meta_b = jnp.stack(meta_block, axis=1)     # [B, 8, 4]
+            value_b = jnp.stack(value_block, axis=1)   # [B, 8, 8]
+            flag_b = jnp.stack(flag_block, axis=1)     # [B, 8]
+            wq_meta = jax.lax.dynamic_update_slice(wq_meta, meta_b, (0, base, 0))
+            wq_value = jax.lax.dynamic_update_slice(wq_value, value_b,
+                                                    (0, base, 0))
+            wq_flags = jax.lax.dynamic_update_slice(wq_flags, flag_b, (0, base))
+
+    # ---- rolling memory-queue commitment (witness/commitment.py spec):
+    # absorb each valid query record into the per-lane sponge, one
+    # permutation per query, gated per slot on batch-wide occupancy
+    wc_state, wc_count = state.wc_state, state.wc_count
+    if config.rolling_commitment:
+        from ..ops.keccak import keccak_f1600 as _wc_perm
+
+        def _bswap(x):
+            x = x.astype(U32)
+            return ((x & 0xFF) << 24) | ((x & 0xFF00) << 8) \
+                | ((x >> 8) & 0xFF00) | (x >> 24)
+
+        wlo = [wc_state[:, k, 0] for k in range(25)]
+        whi = [wc_state[:, k, 1] for k in range(25)]
         for valid, mtype, mpage, midx, mval, mptr, rw, ts in slots:
-            lane_error = lane_error | (valid & active & overflow)
-            valid = valid & active & ~overflow
-            meta_block.append(jnp.stack(
-                [ts, mtype.astype(U32), mpage.astype(U32), midx.astype(U32)],
-                axis=1))
-            value_block.append(mval)
-            flag_block.append((jnp.uint32(1) if rw else jnp.uint32(0))
-                              | (mptr.astype(U32) << 1)
-                              | (valid.astype(U32) << 2))
-            wq_count = wq_count + valid.astype(I32)
-        meta_b = jnp.stack(meta_block, axis=1)     # [B, 8, 4]
-        value_b = jnp.stack(value_block, axis=1)   # [B, 8, 8]
-        flag_b = jnp.stack(flag_block, axis=1)     # [B, 8]
-        wq_meta = jax.lax.dynamic_update_slice(wq_meta, meta_b, (0, base, 0))
-        wq_value = jax.lax.dynamic_update_slice(wq_value, value_b, (0, base, 0))
-        wq_flags = jax.lax.dynamic_update_slice(wq_flags, flag_b, (0, base))
+            valid = valid & active
+            fl = (jnp.uint32(1) if rw else jnp.uint32(0)) | (mptr.astype(U32) << 1)
+            mpage = mpage.astype(U32)
+            midx = midx.astype(U32)
+            rec_lo = [None] * 8
+            rec_hi = [None] * 8
+            rec_lo[0] = _bswap(ts)
+            rec_hi[0] = (mtype.astype(U32) & 0xFF) \
+                | (((mpage >> 24) & 0xFF) << 8) \
+                | (((mpage >> 16) & 0xFF) << 16) \
+                | (((mpage >> 8) & 0xFF) << 24)
+            rec_lo[1] = (mpage & 0xFF) | (((midx >> 24) & 0xFF) << 8) \
+                | (((midx >> 16) & 0xFF) << 16) | (((midx >> 8) & 0xFF) << 24)
+            rec_hi[1] = (midx & 0xFF) | (fl << 8)
+            rec_lo[2] = rec_hi[2] = rec_lo[3] = rec_hi[3] = \
+                jnp.zeros((B,), dtype=U32)
+            for k in range(4):
+                rec_lo[4 + k] = _bswap(mval[:, 7 - 2 * k])
+                rec_hi[4 + k] = _bswap(mval[:, 6 - 2 * k])
+            ab_lo = [jnp.where(valid, wlo[i] ^ rec_lo[i], wlo[i])
+                     if i < 8 else wlo[i] for i in range(25)]
+            ab_hi = [jnp.where(valid, whi[i] ^ rec_hi[i], whi[i])
+                     if i < 8 else whi[i] for i in range(25)]
+
+            def absorb(_, _lo=tuple(ab_lo), _hi=tuple(ab_hi)):
+                plo, phi = _wc_perm(list(_lo), list(_hi), unroll=False)
+                return tuple(plo), tuple(phi)
+
+            plo, phi = jax.lax.cond(
+                jnp.any(valid), absorb,
+                lambda _, _lo=tuple(ab_lo), _hi=tuple(ab_hi): (_lo, _hi),
+                None)
+            wlo = [jnp.where(valid, plo[i], wlo[i]) for i in range(25)]
+            whi = [jnp.where(valid, phi[i], whi[i]) for i in range(25)]
+            wc_count = wc_count + valid.astype(U32)
+        wc_state = jnp.stack(
+            [jnp.stack(wlo, axis=1), jnp.stack(whi, axis=1)], axis=2)
 
     # ---- log-witness queue (add_log_query stream; 1 slot per cycle)
     lq_count = state.lq_count
@@ -1595,6 +1652,7 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
         default_aa_hash=state.default_aa_hash,
         dq_hash=dq_hash, dq_meta=dq_meta,
         dq_count=jnp.where(frozen, state.dq_count, dq_count),
+        wc_state=wc_state, wc_count=wc_count,
     )
 
 

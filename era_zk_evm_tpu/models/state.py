@@ -53,6 +53,9 @@ class VmConfig:
     # -- precompile unit --
     precompile_keccak_blocks: int = 0  # max 136-byte blocks (0 = disabled)
     precompile_sha_rounds: int = 0     # max 64-byte rounds per call
+    #: streaming memory-queue commitment: one keccak-f absorb per query
+    #: (witness/commitment.py rolling spec); O(1) memory, unbounded streams
+    rolling_commitment: bool = False
 
     def __post_init__(self):
         if self.stack_abs_words is None:
@@ -128,6 +131,9 @@ class BatchedVmState:
     dq_hash: jax.Array               # u32[B, DQ, 8]
     dq_meta: jax.Array               # u32[B, DQ, 4]: ts, page, len, fresh|valid<<1
     dq_count: jax.Array              # i32[B]
+    # rolling memory-queue commitment sponge (zero-size when disabled)
+    wc_state: jax.Array              # u32[B, 25, 2] (or [B, 0, 2])
+    wc_count: jax.Array              # u32[B]
 
     # lane status
     done: jax.Array                  # bool[B] — execution has ended
@@ -208,6 +214,8 @@ def empty_state(config: VmConfig) -> BatchedVmState:
         dq_hash=z((B, config.decommit_queue_capacity, 8)),
         dq_meta=z((B, config.decommit_queue_capacity, 4)),
         dq_count=jnp.zeros((B,), dtype=I32),
+        wc_state=z((B, 25 if config.rolling_commitment else 0, 2)),
+        wc_count=z((B,)),
         done=jnp.zeros((B,), dtype=BOOL),
         lane_error=jnp.zeros((B,), dtype=BOOL),
         wq_count=jnp.zeros((B,), dtype=I32),

@@ -53,6 +53,54 @@ def block_commitment(lane_commitments: list[bytes]) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# Rolling (streaming) commitment — the device-native form
+# ---------------------------------------------------------------------------
+# One Keccak-f[1600] permutation per query: the 64-byte record is XORed into
+# sponge lanes 0..7 (little-endian u64 lanes) and the state permuted.
+# Finalization XORs the query count into lane 0 and 0x80<<56 into lane 7,
+# permutes once more, and takes the first 32 bytes.  Unlike the dense
+# keccak256 form above, this absorbs queries as they are emitted, so the
+# device can commit unbounded streams with O(1) memory (no queue arrays).
+
+def _absorb_record(state: list[int], record: bytes) -> list[int]:
+    from ..golden.precompiles import keccak_f1600
+
+    st = list(state)
+    for k in range(8):
+        st[k] ^= int.from_bytes(record[8 * k:8 * k + 8], "little")
+    return keccak_f1600(st)
+
+
+def rolling_commit(queries: list[MemoryQuery]) -> bytes:
+    """Host reference for the streaming commitment (device: models layer)."""
+    from ..golden.precompiles import keccak_f1600
+
+    state = [0] * 25
+    for q in queries:
+        state = _absorb_record(state, serialize_memory_query(q))
+    state[0] ^= len(queries)
+    state[7] ^= 0x80 << 56
+    state = keccak_f1600(state)
+    return b"".join(state[k].to_bytes(8, "little") for k in range(4))
+
+
+def device_rolling_commitments(state) -> list[bytes]:
+    """Finalize per-lane device sponge states (wc_state/wc_count) to digests."""
+    from ..golden.precompiles import keccak_f1600
+
+    wc = np.asarray(state.wc_state)
+    counts = np.asarray(state.wc_count)
+    out = []
+    for b in range(wc.shape[0]):
+        st = [int(wc[b, k, 0]) | (int(wc[b, k, 1]) << 32) for k in range(25)]
+        st[0] ^= int(counts[b])
+        st[7] ^= 0x80 << 56
+        st = keccak_f1600(st)
+        out.append(b"".join(st[k].to_bytes(8, "little") for k in range(4)))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Device-queue extraction
 # ---------------------------------------------------------------------------
 

@@ -93,3 +93,45 @@ class TestCommitments:
         combined = block_commitment(
             [d for shard in shard_digests for d in shard])
         assert combined == unsharded_block
+
+
+class TestRollingCommitment:
+    def test_device_rolling_matches_host_spec(self):
+        from era_zk_evm_tpu.models import VmConfig, make_entry_state, run_cycles
+        from era_zk_evm_tpu.witness.commitment import (
+            device_rolling_commitments, rolling_commit,
+        )
+
+        max_cycles = 64
+        config = VmConfig(batch=len(PROGRAMS), queue_capacity=max_cycles * 8,
+                          heap_words=64, stack_words=2048, code_words=64,
+                          max_depth=8, rolling_commitment=True)
+        words = [assemble_to_code_words(p) for p in PROGRAMS]
+        state = make_entry_state(config, words, ergs=1 << 20)
+        state = run_cycles(state, config, max_cycles)
+        assert not np.any(np.asarray(state.lane_error))
+
+        device_digests = device_rolling_commitments(state)
+        for b, src in enumerate(PROGRAMS):
+            _, tools, _ = run_golden(src, max_cycles, ergs=1 << 20)
+            want = rolling_commit([q for _, q in tools.witness.memory_queries])
+            assert device_digests[b] == want, f"lane {b}"
+
+    def test_rolling_without_queue_arrays(self):
+        # commitment-only mode: zero queue capacity, unbounded-stream shape
+        from era_zk_evm_tpu.models import VmConfig, make_entry_state, run_cycles
+        from era_zk_evm_tpu.witness.commitment import (
+            device_rolling_commitments, rolling_commit,
+        )
+
+        src_prog = PROGRAMS[0]
+        config = VmConfig(batch=2, queue_capacity=0, heap_words=64,
+                          stack_words=2048, code_words=64, max_depth=8,
+                          rolling_commitment=True)
+        words = [assemble_to_code_words(src_prog)] * 2
+        state = make_entry_state(config, words, ergs=1 << 20)
+        state = run_cycles(state, config, 64)
+        assert not np.any(np.asarray(state.lane_error))
+        _, tools, _ = run_golden(src_prog, 64, ergs=1 << 20)
+        want = rolling_commit([q for _, q in tools.witness.memory_queries])
+        assert device_rolling_commitments(state) == [want, want]
