@@ -188,9 +188,11 @@ class GoldenVm:
     # =====================================================================
     # decode stage (cycle.rs:19-236)
     # =====================================================================
-    def _read_and_decode(self):
+    def _read_and_decode(self, tracer=None):
         ls = self.local_state
         self.witness_tracer.start_new_execution_cycle(ls)
+        if tracer is not None and tracer.CALL_BEFORE_DECODING:
+            tracer.before_decoding(ls, self.memory)
 
         delayed: dict = {"previous_code_memory_page": ls.callstack.current.code_page}
 
@@ -259,6 +261,15 @@ class GoldenVm:
         if not condition_met and not masked_into_panic:
             decoded.mask_into_nop()
 
+        if tracer is not None and tracer.CALL_AFTER_DECODING:
+            from .tracing import AfterDecodingData
+            tracer.after_decoding(ls, AfterDecodingData(
+                raw_opcode_unmasked=raw,
+                opcode_masked=decoded,
+                error_flags_accumulated=error_flags,
+                resolved_condition=condition_met,
+                did_skip_cycle=skip_cycle), self.memory)
+
         return decoded, delayed, skip_cycle
 
     def _apply_delayed(self, delayed: dict) -> None:
@@ -311,9 +322,9 @@ class GoldenVm:
     # =====================================================================
     # execute stage (cycle.rs:257-429)
     # =====================================================================
-    def cycle(self) -> None:
+    def cycle(self, tracer=None) -> None:
         ls = self.local_state
-        decoded, delayed, skip_cycle = self._read_and_decode()
+        decoded, delayed, skip_cycle = self._read_and_decode(tracer)
         self._apply_delayed(delayed)
 
         sp = ls.callstack.current.sp
@@ -364,6 +375,13 @@ class GoldenVm:
                 and not is_kernel_mode:
             src1 = PrimitiveValue(erase_fat_pointer_metadata(src1.value), False)
 
+        if tracer is not None and tracer.CALL_BEFORE_EXECUTION:
+            from .tracing import BeforeExecutionData
+            tracer.before_execution(ls, BeforeExecutionData(
+                opcode=decoded, src0_value=src0, src1_value=src1,
+                src0_mem_location=src0_mem_location, new_pc=new_pc),
+                self.memory)
+
         self._dispatch(decoded, src0, src1, dst0_mem_location, new_pc,
                        is_kernel_mode)
 
@@ -371,6 +389,11 @@ class GoldenVm:
             ls.timestamp += params.TIME_DELTA_PER_CYCLE
         ls.monotonic_cycle_counter += 1
         self.witness_tracer.end_execution_cycle(ls)
+        if tracer is not None and tracer.CALL_AFTER_EXECUTION:
+            from .tracing import AfterExecutionData
+            tracer.after_execution(ls, AfterExecutionData(
+                opcode=decoded, dst0_mem_location=dst0_mem_location),
+                self.memory)
 
     # =====================================================================
     # opcode semantics (opcodes/execution/*)

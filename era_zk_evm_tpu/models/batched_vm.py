@@ -138,6 +138,11 @@ def _map_stack_index(config: VmConfig, idx):
 @partial(jax.jit, static_argnames=("config",))
 def cycle_step(state: BatchedVmState, config: VmConfig,
                step: jax.Array | int = 0) -> BatchedVmState:
+    # the queue-block clock comes from the state itself, not the loop index,
+    # so checkpoint/resume keeps positions (`step` is accepted for backward
+    # compatibility but unused)
+    del step
+    step = jnp.min(state.global_step)
     tab = _tables()
     B = config.batch
     D = config.max_depth
@@ -1631,6 +1636,7 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
         heap=new_heap, aux_heap=new_aux,
         done=jnp.where(frozen, state.done, new_done),
         lane_error=lane_error,
+        global_step=state.global_step + 1,
         wq_count=wq_count, wq_meta=wq_meta, wq_value=wq_value,
         wq_flags=wq_flags,
         st_key=new_st_key, st_val=new_st_val, st_used=new_st_used,

@@ -138,6 +138,9 @@ class BatchedVmState:
     # lane status
     done: jax.Array                  # bool[B] — execution has ended
     lane_error: jax.Array            # bool[B] — hit an unsupported/oob path
+    #: global cycle-step clock (uniform across lanes, never frozen) — drives
+    #: the batch-uniform witness-queue block positions; survives checkpoints
+    global_step: jax.Array           # i32[B]
 
     # memory witness queue (optional; zero-size arrays when off)
     wq_count: jax.Array              # i32[B]
@@ -218,6 +221,7 @@ def empty_state(config: VmConfig) -> BatchedVmState:
         wc_count=z((B,)),
         done=jnp.zeros((B,), dtype=BOOL),
         lane_error=jnp.zeros((B,), dtype=BOOL),
+        global_step=jnp.zeros((B,), dtype=I32),
         wq_count=jnp.zeros((B,), dtype=I32),
         wq_meta=z((B, Q, 4)),
         wq_value=z((B, Q, 8)),

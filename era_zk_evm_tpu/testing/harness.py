@@ -83,7 +83,7 @@ def build_vm(code_words: list[int], tools: Tools | None = None,
     return vm
 
 
-def run(vm: GoldenVm, max_cycles: int = 10_000) -> int:
+def run(vm: GoldenVm, max_cycles: int = 10_000, tracer=None) -> int:
     """Cycle until execution ends; returns the number of cycles executed.
 
     The final non-local `ret` wipes the register file and flags (the
@@ -95,7 +95,7 @@ def run(vm: GoldenVm, max_cycles: int = 10_000) -> int:
     while not vm.execution_has_ended():
         vm.pre_exit_registers = [r.copy() for r in vm.local_state.registers]
         vm.pre_exit_flags = dataclasses.replace(vm.local_state.flags)
-        vm.cycle()
+        vm.cycle(tracer)
         cycles += 1
         if cycles >= max_cycles:
             raise RuntimeError(f"program did not terminate in {max_cycles} cycles")

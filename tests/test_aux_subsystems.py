@@ -1,0 +1,108 @@
+"""Auxiliary subsystems (SURVEY.md §5): debug tracing, checkpoint/resume,
+bootloader calldata."""
+
+import numpy as np
+
+from era_zk_evm_tpu.golden.tracing import CollectingDebugTracer
+from era_zk_evm_tpu.isa import params
+from era_zk_evm_tpu.isa.assembler import assemble_to_code_words
+from era_zk_evm_tpu.models import VmConfig, make_entry_state, run_cycles
+from era_zk_evm_tpu.models.checkpoint import load_checkpoint, save_checkpoint
+from era_zk_evm_tpu.testing.harness import build_vm, create_default_tools, run
+from era_zk_evm_tpu.utils import from_limbs
+
+
+class TestDebugTracer:
+    def test_hooks_fire_with_payloads(self):
+        src = """
+        add 7, r0, r1
+        sub! r1, r1, r2
+        add.if_ne 99, r0, r3
+        ret r0
+        """
+        tracer = CollectingDebugTracer()
+        vm = build_vm(assemble_to_code_words(src))
+        cycles = run(vm, 32, tracer=tracer)
+        kinds = [k for k, _ in tracer.events]
+        # 4 hook sites per cycle
+        assert kinds.count("before_decoding") == cycles
+        assert kinds.count("after_decoding") == cycles
+        assert kinds.count("before_execution") == cycles
+        assert kinds.count("after_execution") == cycles
+        # the masked-to-nop cycle is visible: condition resolved False
+        decodings = [d for k, d in tracer.events if k == "after_decoding"]
+        assert any(not d.resolved_condition for d in decodings)
+        # operand payloads carry real values
+        execs = [d for k, d in tracer.events if k == "before_execution"]
+        assert any(d.src0_value.value == 7 for d in execs)
+
+    def test_noop_tracer_is_free(self):
+        from era_zk_evm_tpu.golden.tracing import NoopTracer
+
+        vm = build_vm(assemble_to_code_words("add 1, r0, r1\nret r0"))
+        run(vm, 16, tracer=NoopTracer())  # gates off: no hook calls
+
+
+class TestCheckpointResume:
+    def test_roundtrip_bit_exact(self, tmp_path):
+        src = """
+        add 1, r0, r10
+        add 30, r0, r1
+        loop:
+        add r2, r1, r2
+        st.h 0, r2
+        sub! r1, r10, r1
+        jump.if_ne @loop
+        ret r0
+        """
+        config = VmConfig(batch=4, queue_capacity=512, heap_words=16,
+                          stack_words=2048, code_words=16, max_depth=4,
+                          rolling_commitment=True)
+        words = [assemble_to_code_words(src)] * 4
+        state = make_entry_state(config, words, ergs=1 << 20)
+
+        # straight-through run
+        full = run_cycles(state, config, 40)
+
+        # checkpointed run: 15 cycles, save, load, 25 more
+        state2 = make_entry_state(config, words, ergs=1 << 20)
+        part = run_cycles(state2, config, 15)
+        save_checkpoint(tmp_path / "ckpt", part, config)
+        loaded, config2 = load_checkpoint(tmp_path / "ckpt")
+        assert config2 == config
+        resumed = run_cycles(loaded, config2, 25)
+
+        import dataclasses
+
+        for f in dataclasses.fields(full):
+            a = np.asarray(getattr(full, f.name))
+            b = np.asarray(getattr(resumed, f.name))
+            assert np.array_equal(a, b), f"field {f.name} diverged"
+
+    def test_resume_on_mesh(self, tmp_path):
+        from era_zk_evm_tpu.parallel import make_mesh
+
+        config = VmConfig(batch=8, queue_capacity=64, heap_words=16,
+                          stack_words=2048, code_words=16, max_depth=4)
+        words = [assemble_to_code_words("add 5, r0, r1\nret r0")] * 8
+        state = make_entry_state(config, words, ergs=1 << 20)
+        state = run_cycles(state, config, 1)
+        save_checkpoint(tmp_path / "ck2", state, config)
+        mesh = make_mesh(8)
+        loaded, config2 = load_checkpoint(tmp_path / "ck2", mesh=mesh)
+        assert len(loaded.regs.sharding.device_set) == 8
+        out = run_cycles(loaded, config2, 4)
+        assert bool(np.all(np.asarray(out.done)))
+
+
+class TestBootloaderCalldata:
+    def test_golden_bootloader_calldata_page(self):
+        tools = create_default_tools()
+        tools.memory.populate_bootloader_calldata([111, 222])
+        # a fat pointer to the bootloader calldata page is readable
+        from era_zk_evm_tpu.golden.queries import MemoryQuery, MemoryType
+
+        q = tools.memory.execute_partial_query(0, MemoryQuery(
+            0, MemoryType.FAT_POINTER, params.BOOTLOADER_CALLDATA_PAGE, 1,
+            0, False, False))
+        assert q.value == 222
