@@ -134,6 +134,18 @@ def _from_digits(d: jax.Array) -> jax.Array:
     pairs = d.reshape(*d.shape[:-1], d.shape[-1] // 2, 2)
     return pairs[..., 0] | (pairs[..., 1] << 16)
 
+def _column_selectors():
+    import numpy as np
+
+    sel_lo = np.zeros((DIGITS * DIGITS, 2 * DIGITS), dtype=np.float32)
+    sel_hi = np.zeros((DIGITS * DIGITS, 2 * DIGITS), dtype=np.float32)
+    for i in range(DIGITS):
+        for j in range(DIGITS):
+            sel_lo[i * DIGITS + j, i + j] = 1.0
+            sel_hi[i * DIGITS + j, i + j + 1] = 1.0
+    return jnp.asarray(sel_lo), jnp.asarray(sel_hi)
+
+
 def mul_full(a: jax.Array, b: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Full 512-bit product -> (low 256, high 256).
 
@@ -146,28 +158,44 @@ def mul_full(a: jax.Array, b: jax.Array) -> tuple[jax.Array, jax.Array]:
     bd = _to_digits(b)
     # outer product of digits: [..., 16, 16], each < 2^32
     prod = ad[..., :, None] * bd[..., None, :]
-    plo = prod & _MASK16
-    phi = prod >> 16
-    # column sums: product digit k gets plo[i, k-i] and phi[i, k-1-i]
-    cols = []
-    for k in range(2 * DIGITS):
-        acc = jnp.zeros(a.shape[:-1], dtype=U32)
-        for i in range(DIGITS):
-            j = k - i
-            if 0 <= j < DIGITS:
-                acc = acc + plo[..., i, j]
-            j = k - 1 - i
-            if 0 <= j < DIGITS:
-                acc = acc + phi[..., i, j]
-        cols.append(acc)
-    # carry propagation over 32 digit columns
-    digits = []
-    carry = jnp.zeros(a.shape[:-1], dtype=U32)
-    for k in range(2 * DIGITS):
-        v = cols[k] + carry
-        digits.append(v & _MASK16)
-        carry = v >> 16
-    d = jnp.stack(digits, axis=-1)  # [..., 32]
+    plo = (prod & _MASK16).astype(jnp.float32)
+    phi = (prod >> 16).astype(jnp.float32)
+    # Column sums as an MXU matmul against constant selection matrices:
+    # product digit k collects plo[i, j] with i+j == k and phi[i, j] with
+    # i+j == k-1.  The 16-bit half-products and the <= 32-term column sums
+    # stay far below 2^24, so float32 accumulation is exact — and the
+    # formulation cuts the XLA graph ~5x vs unrolled adds (XLA:CPU compile
+    # cost is super-linear in chain length) while mapping onto the MXU.
+    sel_lo, sel_hi = _column_selectors()
+    flat_shape = a.shape[:-1] + (DIGITS * DIGITS,)
+    cols = jnp.dot(plo.reshape(flat_shape), sel_lo,
+                   preferred_element_type=jnp.float32) \
+        + jnp.dot(phi.reshape(flat_shape), sel_hi,
+                  preferred_element_type=jnp.float32)
+    cols = cols.astype(U32)  # [..., 32]
+    # Carry resolution in log depth (Kogge-Stone lookahead) instead of a
+    # 32-step ripple: column values are < 2^22, so one local split leaves
+    # digits e < 2^16+64 with carries in {0,1}; generate/propagate prefixes
+    # then settle everything at depth 5.  Keeps the XLA graph shallow (the
+    # sequential ripple made mod-arithmetic chains pathological to compile
+    # on XLA:CPU) and the VPU busy.
+    local = cols & _MASK16
+    carry0 = cols >> 16
+    e = local + jnp.concatenate(
+        [jnp.zeros((*cols.shape[:-1], 1), dtype=U32), carry0[..., :-1]],
+        axis=-1)
+    g = (e >> 16).astype(jnp.bool_)          # generates a carry
+    p = e == _MASK16                          # propagates an incoming carry
+
+    def shift1(x, sh):
+        pad = jnp.zeros((*x.shape[:-1], sh), dtype=x.dtype)
+        return jnp.concatenate([pad, x[..., :-sh]], axis=-1)
+
+    for sh in (1, 2, 4, 8, 16):
+        g = g | (p & shift1(g, sh))
+        p = p & shift1(p, sh)
+    carry_in = shift1(g.astype(U32), 1)
+    d = (e + carry_in) & _MASK16
     limbs = _from_digits(d)  # [..., 16]
     return limbs[..., :N], limbs[..., N:]
 
