@@ -763,7 +763,10 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
             addr16 == params.KECCAK256_ROUND_FUNCTION_PRECOMPILE_ADDRESS)
         is_sha_pc = do_precomp & (
             addr16 == params.SHA256_ROUND_FUNCTION_PRECOMPILE_ADDRESS)
-        pp_any = is_keccak_pc | is_sha_pc
+        is_ec_pc = do_precomp & (
+            addr16 == params.ECRECOVER_INNER_FUNCTION_PRECOMPILE_ADDRESS) \
+            & jnp.bool_(config.precompile_ecrecover)
+        pp_any = is_keccak_pc | is_sha_pc | is_ec_pc
 
         def page_slot(page):
             hm = state.hp_page == page[:, None]
@@ -864,15 +867,39 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
             jnp.any(is_sha_pc), sha_unit,
             lambda _: jnp.zeros((B, 8), dtype=U32), None)
 
-        pp_out_val = _sel(is_keccak_pc, keccak_out, sha_out)
+        # ---- ecrecover (ops/secp256k1): 4 input words -> 2 output words
+        if config.precompile_ecrecover:
+            from ..ops.secp256k1 import ecrecover_batched
+
+            ec_digest = read_in_word(pp_in_off + 0)
+            ec_v = read_in_word(pp_in_off + 1)[:, 0] & 1
+            ec_r = read_in_word(pp_in_off + 2)
+            ec_s = read_in_word(pp_in_off + 3)
+
+            def ec_unit(_):
+                return ecrecover_batched(ec_digest, ec_v, ec_r, ec_s)
+
+            ec_ok, ec_addr = jax.lax.cond(
+                jnp.any(is_ec_pc), ec_unit,
+                lambda _: (jnp.zeros((B,), dtype=BOOL),
+                           jnp.zeros((B, 8), dtype=U32)), None)
+            ec_ok_word = jnp.zeros((B, 8), dtype=U32).at[:, 0].set(
+                ec_ok.astype(U32))
+        else:
+            ec_ok_word = jnp.zeros((B, 8), dtype=U32)
+            ec_addr = jnp.zeros((B, 8), dtype=U32)
+
+        pp_out_val = _sel(is_keccak_pc, keccak_out,
+                          _sel(is_ec_pc, ec_ok_word, sha_out))
+        pp_out_val2 = ec_addr            # second output word (ecrecover only)
         pp_out_idx = pp_out_off
-        hw_ok = pp_out_off < jnp.where(w_on_h, config.heap_words,
-                                       config.aux_heap_words)
+        hw_ok = (pp_out_off + is_ec_pc.astype(U32)) < jnp.where(
+            w_on_h, config.heap_words, config.aux_heap_words)
         lane_error = lane_error | (pp_any & ~hw_ok)
-        pp_write_h = pp_any & w_on_h & hw_ok
-        pp_write_a = pp_any & w_on_a & hw_ok
-        pp_write_h = pp_write_h & active
-        pp_write_a = pp_write_a & active
+        pp_write_h = pp_any & w_on_h & hw_ok & active
+        pp_write_a = pp_any & w_on_a & hw_ok & active
+        pp_write2_h = pp_write_h & is_ec_pc
+        pp_write2_a = pp_write_a & is_ec_pc
         pp_key = src0.at[:, 4].set(pp_page_r).at[:, 5].set(pp_page_w)
     else:
         pp_key = src0
@@ -1400,13 +1427,19 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     new_aux = _scatter_rows(state.aux_heap, a_base + word0, new_w0, w_aux0)
     new_aux = _scatter_rows(new_aux, a_base + word1, new_w1, w_aux1)
     if precompile_enabled and log_enabled:
-        # precompile output word (defined in the precompile unit above)
+        # precompile output word(s) (defined in the precompile unit above)
         new_heap = _scatter_rows(
             new_heap, pp_w_slot * config.heap_words + pp_out_idx,
             pp_out_val, pp_write_h)
         new_aux = _scatter_rows(
             new_aux, pp_w_slot * config.aux_heap_words + pp_out_idx,
             pp_out_val, pp_write_a)
+        new_heap = _scatter_rows(
+            new_heap, pp_w_slot * config.heap_words + pp_out_idx + 1,
+            pp_out_val2, pp_write2_h)
+        new_aux = _scatter_rows(
+            new_aux, pp_w_slot * config.aux_heap_words + pp_out_idx + 1,
+            pp_out_val2, pp_write2_a)
 
     # ==================================================================
     # Witness queue (memory queries, golden order; see golden/vm.py)

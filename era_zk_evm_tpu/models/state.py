@@ -53,6 +53,7 @@ class VmConfig:
     # -- precompile unit --
     precompile_keccak_blocks: int = 0  # max 136-byte blocks (0 = disabled)
     precompile_sha_rounds: int = 0     # max 64-byte rounds per call
+    precompile_ecrecover: bool = False  # secp256k1 recovery in-cycle
     #: streaming memory-queue commitment: one keccak-f absorb per query
     #: (witness/commitment.py rolling spec); O(1) memory, unbounded streams
     rolling_commitment: bool = False

@@ -20,3 +20,7 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the differential suite compiles one cycle-step
+# program per VmConfig (~30-120 s each on XLA:CPU); cached reruns are fast
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu_eravm")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)

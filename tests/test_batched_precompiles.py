@@ -161,3 +161,52 @@ class TestDevicePrecompiles:
         ]
         diff_run(programs, config=_config(1, 96), max_cycles=96, ergs=1 << 20,
                  entry_address=params.KECCAK256_ROUND_FUNCTION_PRECOMPILE_ADDRESS)
+
+
+class TestDeviceEcrecover:
+    def test_ecrecover_via_vm(self):
+        from era_zk_evm_tpu.golden.precompiles import (
+            SECP_GX, SECP_GY, SECP_N, _ec_mul, _inv_mod, keccak256,
+        )
+        import dataclasses
+
+        d = 0xC0FFEE0DDF00DC0FFEE0DDF00DC0FFEE0DDF00DC0FFEE0DDF00DC0FFEE0DD01
+        pub = _ec_mul(d, (SECP_GX, SECP_GY))
+        digest = int.from_bytes(keccak256(b"device recovery"), "big")
+        k = 0x8BADF00D8BADF00D8BADF00D8BADF00D8BADF00D8BADF00D8BADF00D8BADF00D
+        R = _ec_mul(k, (SECP_GX, SECP_GY))
+        r = R[0] % SECP_N
+        s = _inv_mod(k, SECP_N) * (digest + r * d) % SECP_N
+        v = R[1] & 1
+        if s > SECP_N // 2:
+            s = SECP_N - s
+            v ^= 1
+        abi = PrecompileCallABI(
+            input_memory_offset=0, input_memory_length=4,
+            output_memory_offset=4, output_memory_length=2,
+            memory_page_to_read=0, memory_page_to_write=0,
+            precompile_interpreted_data=0).to_u256()
+        prog = f"""
+            add code[@dg], r0, r2
+            st.h 0, r2
+            add {v}, r0, r3
+            st.h 32, r3
+            add code[@sr], r0, r4
+            st.h 64, r4
+            add code[@ss], r0, r5
+            st.h 96, r5
+            add code[@abi], r0, r6
+            log.precompile r6, r0, r7
+            add 128, r0, r8
+            ld.h r8, r9
+            add 160, r0, r10
+            ld.h r10, r11
+            ret r0
+            abi: .word {abi}
+            dg: .word {digest}
+            sr: .word {r}
+            ss: .word {s}
+        """
+        config = dataclasses.replace(_config(1, 96), precompile_ecrecover=True)
+        diff_run([prog], config=config, max_cycles=96, ergs=1 << 20,
+                 entry_address=params.ECRECOVER_INNER_FUNCTION_PRECOMPILE_ADDRESS)
