@@ -4,10 +4,12 @@ Runs on the real TPU chip (the session's default JAX platform, `axon`).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline anchor: the reference publishes no numbers (BASELINE.md) and the
-image has no Rust toolchain to measure the crate locally, so the baseline is
-pinned to an assumed 10e6 witness-traced cycles/sec for the single-core Rust
-reference — the upper end of published EraVM-emulator throughput figures, i.e.
-a baseline chosen to be generous to the reference.  vs_baseline = ours / that.
+image has no Rust toolchain, so the baseline is MEASURED live on this machine
+with the framework's native C++ scalar oracle (era_zk_evm_tpu/native — the
+runtime counterpart of the Rust crate, bit-exact vs the golden model on the
+shared subset), running the same workload single-core with witness records.
+vs_baseline = TPU rate / native single-core rate.  Falls back to an assumed
+10e6 cycles/s if the native build is unavailable.
 """
 
 from __future__ import annotations
@@ -23,7 +25,22 @@ from era_zk_evm_tpu.isa.assembler import assemble_to_code_words
 from era_zk_evm_tpu.models import VmConfig, make_entry_state
 from era_zk_evm_tpu.models.batched_vm import run_cycles
 
-RUST_SINGLE_CORE_WITNESS_CYCLES_PER_SEC = 10e6  # assumed; see module docstring
+ASSUMED_BASELINE_CYCLES_PER_SEC = 10e6  # fallback; see module docstring
+
+
+def measure_native_baseline() -> float:
+    """Single-core witness-traced cycles/sec of the native C++ oracle."""
+    try:
+        from era_zk_evm_tpu.native import run_oracle
+
+        code = assemble_to_code_words(WORKLOAD)
+        out = run_oracle(code, ergs=(1 << 31) - 1, max_cycles=350_000,
+                         witness_cap=1 << 21, collect_witness=True)
+        if out["status"] == 0 and out["run_seconds"] > 0:
+            return out["cycles"] / out["run_seconds"]
+    except Exception as exc:  # noqa: BLE001 — fall back to the pinned figure
+        print(f"native baseline unavailable: {exc}", file=sys.stderr)
+    return ASSUMED_BASELINE_CYCLES_PER_SEC
 
 # a sustained mixed workload: arithmetic, stack traffic, unaligned-capable
 # heap access, conditional control flow — ~10 cycles per iteration, 2^15 iters
@@ -164,6 +181,9 @@ def main() -> None:
     n_cycles = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 
     print(f"platform: {jax.default_backend()} {jax.devices()}", file=sys.stderr)
+    baseline = measure_native_baseline()
+    print(f"native single-core baseline: {baseline / 1e6:.2f}M "
+          f"witness-traced cycles/s", file=sys.stderr)
 
     print(f"keccak-f[1600]: {bench_keccak() / 1e6:.0f}M perms/s", file=sys.stderr)
     print(f"sha256 compress: {bench_sha256() / 1e6:.0f}M rounds/s", file=sys.stderr)
@@ -182,7 +202,7 @@ def main() -> None:
         "metric": "eravm_witness_traced_cycles_per_sec_per_chip",
         "value": value,
         "unit": "cycles/s",
-        "vs_baseline": value / RUST_SINGLE_CORE_WITNESS_CYCLES_PER_SEC,
+        "vs_baseline": value / baseline,
     }))
 
 

@@ -1,0 +1,120 @@
+"""Native runtime layer: the C++ scalar EraVM oracle (ctypes-bound).
+
+Role: the reference's VM is itself native (Rust); this is the framework's
+native sequential counterpart — used for high-volume differential fuzzing
+against the golden Python model / the TPU interpreter, and to measure a real
+single-core witness-traced cycles/sec baseline on the local machine
+(bench.py's vs_baseline anchor).
+
+Build happens on demand with g++ (no pybind11 in the image — plain ctypes).
+Decode tables are generated from the Python ISA layer, keeping a single
+source of truth for variant semantics.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+
+import numpy as np
+
+_DIR = pathlib.Path(__file__).parent
+_LIB_PATH = _DIR / "liberavm_oracle.so"
+
+ST_DONE = 0
+ST_MAX_CYCLES = 1
+ST_UNSUPPORTED = 2
+ST_OOB = 3
+
+
+def build(force: bool = False) -> pathlib.Path:
+    src = _DIR / "eravm_oracle.cpp"
+    tables = _DIR / "tables.h"
+    if force or not tables.exists() or \
+            tables.stat().st_mtime < (_DIR / "gen_tables.py").stat().st_mtime:
+        from .gen_tables import generate
+
+        generate(tables)
+    if force or not _LIB_PATH.exists() or \
+            _LIB_PATH.stat().st_mtime < max(src.stat().st_mtime,
+                                            tables.stat().st_mtime):
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-o", str(_LIB_PATH), str(src)],
+            check=True, capture_output=True)
+    return _LIB_PATH
+
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is None:
+        lib = ctypes.CDLL(str(build()))
+        lib.eravm_oracle_run.restype = ctypes.c_int
+        lib.eravm_oracle_run.argtypes = [
+            ctypes.c_char_p, ctypes.c_int,                  # code, n words
+            ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int,  # addr, ergs, max
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,       # arena sizes
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,  # regs/tags/heap
+            ctypes.c_char_p, ctypes.c_int,                  # witness buf/cap
+            ctypes.POINTER(ctypes.c_int),                   # witness count
+            ctypes.POINTER(ctypes.c_int),                   # cycles
+            ctypes.POINTER(ctypes.c_int),                   # flags
+            ctypes.POINTER(ctypes.c_uint64),                # entry ergs
+        ]
+        _lib = lib
+    return _lib
+
+
+def run_oracle(code_words: list[int], entry_address: int = 0x8001,
+               ergs: int = 1 << 20, max_cycles: int = 10_000,
+               stack_words: int = 2048, heap_words: int = 64,
+               aux_words: int = 64, witness_cap: int = 1 << 16,
+               collect_witness: bool = True) -> dict:
+    """Run a program on the native oracle; returns final state + witness.
+
+    The result dict carries ``run_seconds`` — wall time of the native call
+    only (excludes Python-side result extraction) for baseline measurement.
+    """
+    import time
+
+    lib = _load()
+    code = b"".join(w.to_bytes(32, "big") for w in code_words)
+    regs = ctypes.create_string_buffer(15 * 32)
+    tags = ctypes.create_string_buffer(15)
+    heap = ctypes.create_string_buffer(heap_words * 32)
+    wit = ctypes.create_string_buffer(witness_cap * 64) if collect_witness \
+        else None
+    wc = ctypes.c_int(0)
+    cycles = ctypes.c_int(0)
+    flags = ctypes.c_int(0)
+    entry_ergs = ctypes.c_uint64(0)
+    t0 = time.perf_counter()
+    status = lib.eravm_oracle_run(
+        code, len(code_words), entry_address, ergs, max_cycles,
+        stack_words, heap_words, aux_words,
+        regs, tags, heap, wit, witness_cap if collect_witness else 0,
+        ctypes.byref(wc), ctypes.byref(cycles), ctypes.byref(flags),
+        ctypes.byref(entry_ergs))
+    run_seconds = time.perf_counter() - t0
+    out = {
+        "status": status,
+        "run_seconds": run_seconds,
+        "cycles": cycles.value,
+        "flags": (bool(flags.value & 1), bool(flags.value & 2),
+                  bool(flags.value & 4)),
+        "registers": [int.from_bytes(regs.raw[i * 32:(i + 1) * 32], "big")
+                      for i in range(15)],
+        "reg_ptr": [bool(b) for b in tags.raw],
+        "heap": [int.from_bytes(heap.raw[i * 32:(i + 1) * 32], "big")
+                 for i in range(heap_words)],
+        "witness_count": wc.value,
+        "entry_ergs": entry_ergs.value,
+    }
+    if collect_witness:
+        n = min(wc.value, witness_cap)
+        raw = wit.raw  # single copy out of ctypes (``.raw`` copies per access)
+        out["witness_records"] = [raw[i * 64:(i + 1) * 64] for i in range(n)]
+    return out

@@ -1,0 +1,622 @@
+// Native scalar EraVM oracle — the C++ runtime counterpart of the golden
+// Python model (and of the reference's native Rust VM): a fast sequential
+// interpreter for high-volume differential fuzzing, and the machine's real
+// measured single-core witness-traced baseline for bench.py.
+//
+// Round-1 subset (mirrors golden/vm.py exactly): NOP ADD SUB MUL DIV JUMP
+// CONTEXT SHIFT BINOP PTR NEAR_CALL RET(local+entry) UMA(heap/aux).
+// LOG / FAR_CALL / fat-pointer UMA terminate with ST_UNSUPPORTED.
+//
+// Decode tables are generated from the Python ISA layer (gen_tables.py) so
+// variant semantics have one source of truth; ISA constants are pinned
+// identically to isa/params.py (provenance lives there).
+
+#include <cstdint>
+#include <cstring>
+#include "tables.h"
+
+using u8 = uint8_t;
+using u32 = uint32_t;
+using u64 = uint64_t;
+using u128 = unsigned __int128;
+
+struct U256 { u64 w[4]; };  // little-endian limbs
+
+static inline U256 z256() { return U256{{0, 0, 0, 0}}; }
+static inline bool is_zero(const U256 &a) {
+    return !(a.w[0] | a.w[1] | a.w[2] | a.w[3]);
+}
+static inline U256 add256(const U256 &a, const U256 &b, bool *carry) {
+    U256 r; u128 c = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 s = (u128)a.w[i] + b.w[i] + c;
+        r.w[i] = (u64)s; c = s >> 64;
+    }
+    *carry = c != 0; return r;
+}
+static inline U256 sub256(const U256 &a, const U256 &b, bool *borrow) {
+    U256 r; u64 c = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 s = (u128)a.w[i] - b.w[i] - c;
+        r.w[i] = (u64)s; c = (u64)(s >> 64) ? 1 : 0;
+    }
+    *borrow = c != 0; return r;
+}
+static inline void mul256(const U256 &a, const U256 &b, U256 *lo, U256 *hi) {
+    u64 prod[8] = {0};
+    for (int i = 0; i < 4; i++) {
+        u128 carry = 0;
+        for (int j = 0; j < 4; j++) {
+            u128 cur = (u128)a.w[i] * b.w[j] + prod[i + j] + carry;
+            prod[i + j] = (u64)cur; carry = cur >> 64;
+        }
+        int k = i + 4; u128 c2 = carry;
+        while (c2 && k < 8) {
+            u128 cur = (u128)prod[k] + c2; prod[k] = (u64)cur; c2 = cur >> 64; k++;
+        }
+    }
+    for (int i = 0; i < 4; i++) { lo->w[i] = prod[i]; hi->w[i] = prod[i + 4]; }
+}
+static inline int cmp256(const U256 &a, const U256 &b) {
+    for (int i = 3; i >= 0; i--) {
+        if (a.w[i] < b.w[i]) return -1;
+        if (a.w[i] > b.w[i]) return 1;
+    }
+    return 0;
+}
+static inline void divmod256(const U256 &a, const U256 &b, U256 *q, U256 *r) {
+    *q = z256(); *r = z256();
+    if (is_zero(b)) return;
+    for (int bit = 255; bit >= 0; bit--) {
+        for (int i = 3; i >= 0; i--) {
+            u64 in = (i > 0) ? (r->w[i - 1] >> 63)
+                             : ((a.w[bit / 64] >> (bit % 64)) & 1);
+            r->w[i] = (r->w[i] << 1) | in;
+        }
+        if (cmp256(*r, b) >= 0) {
+            bool bw; *r = sub256(*r, b, &bw);
+            q->w[bit / 64] |= 1ull << (bit % 64);
+        }
+    }
+}
+static inline U256 shl256(const U256 &a, unsigned n) {
+    U256 r = z256();
+    if (n >= 256) return r;
+    unsigned ws = n / 64, bs = n % 64;
+    for (int i = 3; i >= 0; i--) {
+        u64 v = 0;
+        if (i >= (int)ws) v = a.w[i - ws] << bs;
+        if (bs && i > (int)ws) v |= a.w[i - ws - 1] >> (64 - bs);
+        r.w[i] = v;
+    }
+    return r;
+}
+static inline U256 shr256(const U256 &a, unsigned n) {
+    U256 r = z256();
+    if (n >= 256) return r;
+    unsigned ws = n / 64, bs = n % 64;
+    for (int i = 0; i < 4; i++) {
+        u64 v = 0;
+        if (i + ws < 4) v = a.w[i + ws] >> bs;
+        if (bs && i + ws + 1 < 4) v |= a.w[i + ws + 1] << (64 - bs);
+        r.w[i] = v;
+    }
+    return r;
+}
+static inline U256 or256(const U256 &a, const U256 &b) {
+    return U256{{a.w[0]|b.w[0], a.w[1]|b.w[1], a.w[2]|b.w[2], a.w[3]|b.w[3]}};
+}
+static inline U256 and256(const U256 &a, const U256 &b) {
+    return U256{{a.w[0]&b.w[0], a.w[1]&b.w[1], a.w[2]&b.w[2], a.w[3]&b.w[3]}};
+}
+static inline U256 xor256(const U256 &a, const U256 &b) {
+    return U256{{a.w[0]^b.w[0], a.w[1]^b.w[1], a.w[2]^b.w[2], a.w[3]^b.w[3]}};
+}
+static void to_be_bytes(const U256 &a, u8 *out) {
+    for (int i = 0; i < 4; i++)
+        for (int j = 0; j < 8; j++)
+            out[(3 - i) * 8 + j] = (u8)(a.w[i] >> (56 - 8 * j));
+}
+static U256 from_be_bytes(const u8 *in) {
+    U256 r = z256();
+    for (int limb = 0; limb < 4; limb++) {
+        u64 v = 0;
+        const u8 *p = in + (3 - limb) * 8;
+        for (int j = 0; j < 8; j++) v = (v << 8) | p[j];
+        r.w[limb] = v;
+    }
+    return r;
+}
+
+// ISA constants (pinned identically to isa/params.py)
+static const u32 INITIAL_SP = 1024;
+static const u32 TIME_DELTA = 4;
+static const u32 STARTING_TS = 1024;
+static const u32 NEW_FRAME_STIPEND = 1 << 10;
+static const u32 VM_MAX_STACK_DEPTH = 1024;
+static const u64 MAX_OFFSET_TO_DEREF = 0x100000000ull - 33;
+static const u64 KERNEL_BOUND = 1 << 16;
+
+enum { OP_NOP = 0, OP_ADD, OP_SUB, OP_MUL, OP_DIV, OP_JUMP, OP_CONTEXT,
+       OP_SHIFT, OP_BINOP, OP_PTR, OP_NEAR_CALL, OP_LOG, OP_FAR_CALL,
+       OP_RET, OP_UMA, OP_INVALID };
+enum { M_REG = 0, M_RI_REG, M_RI_IMM, M_F_REG, M_F_PUSHPOP, M_F_OFFSET,
+       M_F_ABS, M_F_IMM16, M_F_CODE };
+
+struct Props {
+    u32 opcode, sub, src0_mode, dst0_mode;
+    bool set_flags, swap_ops, flag0, flag1, req_kernel, static_ok,
+         src0_ptr_ok, src1_ptr_ok, explicit_panic;
+};
+static Props unpack(u32 p) {
+    Props r;
+    r.opcode = p & 0xF; r.sub = (p >> 4) & 0xF;
+    r.src0_mode = (p >> 8) & 0xF; r.dst0_mode = (p >> 12) & 0x7;
+    r.set_flags = (p >> 15) & 1; r.swap_ops = (p >> 16) & 1;
+    r.flag0 = (p >> 17) & 1; r.flag1 = (p >> 18) & 1;
+    r.req_kernel = (p >> 19) & 1; r.static_ok = (p >> 20) & 1;
+    r.src0_ptr_ok = (p >> 21) & 1; r.src1_ptr_ok = (p >> 22) & 1;
+    r.explicit_panic = (p >> 23) & 1;
+    return r;
+}
+
+struct Frame {
+    u64 this_addr;
+    u32 sp, pc, eh, ergs, heap_bound, aux_heap_bound;
+    bool is_static, is_local;
+};
+struct Tagged { U256 v; bool ptr; };
+
+struct Witness {
+    u8 *buf; int cap; int count; bool overflow;
+    void record(u32 ts, u8 type, u32 page, u32 index, const U256 &val,
+                bool is_ptr, bool rw) {
+        if (buf == nullptr) { count++; return; }
+        if (count >= cap) { overflow = true; count++; return; }
+        u8 *r = buf + (size_t)count * 64;
+        memset(r, 0, 64);
+        r[0] = ts >> 24; r[1] = ts >> 16; r[2] = ts >> 8; r[3] = (u8)ts;
+        r[4] = type;
+        r[5] = page >> 24; r[6] = page >> 16; r[7] = page >> 8; r[8] = (u8)page;
+        r[9] = index >> 24; r[10] = index >> 16; r[11] = index >> 8;
+        r[12] = (u8)index;
+        r[13] = (rw ? 1 : 0) | (is_ptr ? 2 : 0);
+        to_be_bytes(val, r + 32);
+        count++;
+    }
+};
+
+enum { ST_DONE = 0, ST_MAX_CYCLES = 1, ST_UNSUPPORTED = 2, ST_OOB = 3 };
+
+extern "C" int eravm_oracle_run(
+    const u8 *code_be, int n_code_words,
+    u64 entry_address, u64 ergs, int max_cycles,
+    int stack_words, int heap_words, int aux_words,
+    u8 *regs_out /*15*32B BE*/, u8 *reg_ptr_out /*15 bytes*/,
+    u8 *heap_out /*heap_words*32B BE*/,
+    u8 *witness_buf, int witness_cap, int *witness_count,
+    int *cycles_out, int *flags_out, u64 *entry_ergs_out) {
+
+    const u32 base_page = 8;
+    const u32 code_page = base_page, stack_page = base_page + 1,
+              heap_page = base_page + 2, aux_page_no = base_page + 3;
+
+    U256 *code = new U256[n_code_words];
+    for (int i = 0; i < n_code_words; i++)
+        code[i] = from_be_bytes(code_be + (size_t)i * 32);
+    Tagged *stack = new Tagged[stack_words]();
+    U256 *heap = new U256[heap_words]();
+    U256 *aux = new U256[aux_words]();
+
+    Tagged regs[15] = {};
+    bool f_lt = false, f_eq = false, f_gt = false;
+    u32 timestamp = STARTING_TS;
+    bool pending_exc = false;
+    U256 prev_code_word = z256();
+    u32 prev_super_pc = 0; bool have_prev = false;
+    u32 prev_code_page_v = 0;
+
+    Frame *frames = new Frame[VM_MAX_STACK_DEPTH + 2];
+    int depth = 1;
+    frames[0] = Frame{0, INITIAL_SP, 0, 0, 0, 0, 0, false, false};
+    frames[1] = Frame{entry_address, INITIAL_SP, 0, 0xFFFF, (u32)ergs,
+                      NEW_FRAME_STIPEND, NEW_FRAME_STIPEND, false, false};
+
+    Witness wit{witness_buf, witness_cap, 0, false};
+    u32 last_frame_ergs = 0;  // entry-frame ergs at final ret
+
+    auto read_reg = [&](u32 idx) -> Tagged {
+        if (idx == 0) return Tagged{z256(), false};
+        return regs[idx - 1];
+    };
+    auto write_reg = [&](u32 idx, const U256 &v, bool ptr) {
+        if (idx > 0) { regs[idx - 1].v = v; regs[idx - 1].ptr = ptr; }
+    };
+
+    int status = ST_MAX_CYCLES;
+    int cycle = 0;
+    for (; cycle < max_cycles && status == ST_MAX_CYCLES; cycle++) {
+        if (depth == 0) { status = ST_DONE; break; }
+        Frame &cur = frames[depth];
+        bool is_kernel = cur.this_addr < KERNEL_BOUND;
+
+        // ---- fetch + decode (golden/vm.py _read_and_decode)
+        u32 pc = cur.pc;
+        u32 super_pc = pc >> 2, sub_pc = pc & 3;
+        u32 variant, cond;
+        u32 src0_reg, src1_reg, dst0_reg, dst1_reg, imm0, imm1;
+        if (pending_exc) {
+            pending_exc = false;
+            prev_super_pc = super_pc; have_prev = true;
+            prev_code_page_v = code_page;
+            variant = PANIC_VARIANT; cond = 0;
+            src0_reg = src1_reg = dst0_reg = dst1_reg = 0; imm0 = imm1 = 0;
+        } else {
+            bool need = (code_page != prev_code_page_v) || !have_prev
+                        || (super_pc != prev_super_pc);
+            if (need) {
+                if ((int)super_pc >= n_code_words) { status = ST_OOB; break; }
+                prev_code_word = code[super_pc];
+                prev_super_pc = super_pc; have_prev = true;
+                wit.record(timestamp, 4, code_page, super_pc, prev_code_word,
+                           false, false);
+            }
+            prev_code_page_v = code_page;
+            u64 insn = prev_code_word.w[3 - sub_pc];
+            variant = insn & 0x7FF;
+            cond = (insn >> 11) & 7;
+            src0_reg = (insn >> 16) & 0xF; src1_reg = (insn >> 20) & 0xF;
+            dst0_reg = (insn >> 24) & 0xF; dst1_reg = (insn >> 28) & 0xF;
+            imm0 = (insn >> 32) & 0xFFFF; imm1 = (insn >> 48) & 0xFFFF;
+        }
+
+        Props raw = unpack(VARIANT_PACKED[variant]);
+        u32 price = VARIANT_PRICE[variant];
+        bool not_enough = cur.ergs < price;
+        cur.ergs = not_enough ? 0 : cur.ergs - price;
+        bool mask_panic = raw.explicit_panic || not_enough
+            || (raw.req_kernel && !is_kernel)
+            || (!raw.static_ok && cur.is_static)
+            || (depth >= (int)VM_MAX_STACK_DEPTH);
+
+        bool cond_met;
+        switch (cond) {
+            case 0: cond_met = true; break;
+            case 1: cond_met = f_gt; break;
+            case 2: cond_met = f_lt; break;
+            case 3: cond_met = f_eq; break;
+            case 4: cond_met = f_gt || f_eq; break;
+            case 5: cond_met = f_lt || f_eq; break;
+            case 6: cond_met = !f_eq; break;
+            default: cond_met = f_gt || f_lt; break;
+        }
+        if (mask_panic) {
+            variant = PANIC_VARIANT;
+        } else if (!cond_met) {
+            variant = NOP_VARIANT;
+        }
+        if (mask_panic || !cond_met) {
+            src0_reg = src1_reg = dst0_reg = dst1_reg = 0; imm0 = imm1 = 0;
+        }
+        Props pr = unpack(VARIANT_PACKED[variant]);
+
+        // ---- addressing (golden/vm.py _compute_address)
+        u32 sp = cur.sp;
+        Tagged src0_rv = read_reg(src0_reg);
+        u32 vaddr0 = (u32)((src0_rv.v.w[0] + imm0) & 0xFFFF);
+        bool s0_stack = false, s0_code = false; u32 s0_idx = 0;
+        switch (pr.src0_mode) {
+            case M_F_PUSHPOP:
+                sp = (sp - vaddr0) & 0xFFFF; s0_idx = sp; s0_stack = true; break;
+            case M_F_OFFSET: s0_idx = (sp - vaddr0) & 0xFFFF; s0_stack = true; break;
+            case M_F_ABS: s0_idx = vaddr0; s0_stack = true; break;
+            case M_F_CODE: s0_idx = vaddr0; s0_code = true; break;
+            default: break;
+        }
+        Tagged dst0_rv = read_reg(dst0_reg);
+        u32 vaddr1 = (u32)((dst0_rv.v.w[0] + imm1) & 0xFFFF);
+        bool d0_stack = false; u32 d0_idx = 0;
+        switch (pr.dst0_mode) {
+            case M_F_PUSHPOP:
+                d0_idx = sp; sp = (sp + vaddr1) & 0xFFFF; d0_stack = true; break;
+            case M_F_OFFSET: d0_idx = (sp - vaddr1) & 0xFFFF; d0_stack = true; break;
+            case M_F_ABS: d0_idx = vaddr1; d0_stack = true; break;
+            default: break;
+        }
+        cur.sp = sp;
+
+        bool do_src_read = (s0_stack || s0_code) && pr.opcode != OP_NOP;
+        Tagged src0{z256(), false};
+        if (do_src_read) {
+            if (s0_stack) {
+                if ((int)s0_idx >= stack_words) { status = ST_OOB; break; }
+                src0 = stack[s0_idx];
+                wit.record(timestamp, 0, stack_page, s0_idx, src0.v, src0.ptr,
+                           false);
+            } else {
+                if ((int)s0_idx >= n_code_words) { status = ST_OOB; break; }
+                src0 = Tagged{code[s0_idx], false};
+                wit.record(timestamp, 4, code_page, s0_idx, src0.v, false,
+                           false);
+            }
+        } else if (pr.src0_mode == M_RI_IMM || pr.src0_mode == M_F_IMM16) {
+            src0.v.w[0] = imm0;
+        } else if (pr.src0_mode == M_REG || pr.src0_mode == M_RI_REG
+                   || pr.src0_mode == M_F_REG) {
+            src0 = src0_rv;
+        }
+        Tagged src1 = read_reg(src1_reg);
+        if (pr.swap_ops) { Tagged t = src0; src0 = src1; src1 = t; }
+
+        u32 new_pc = (pc + 1) & 0xFFFF;
+
+        // pointer-taint erasure
+        if (src0.ptr && !pr.src0_ptr_ok && !is_kernel) {
+            src0.v.w[0] &= 0xFFFFFFFFull; src0.v.w[1] = 0; src0.ptr = false;
+        }
+        if (src1.ptr && !pr.src1_ptr_ok && !is_kernel) {
+            src1.v.w[0] &= 0xFFFFFFFFull; src1.v.w[1] = 0; src1.ptr = false;
+        }
+
+        auto dst0_write = [&](const U256 &v, bool ptr) {
+            if (d0_stack) {
+                if ((int)d0_idx >= stack_words) { status = ST_OOB; return; }
+                stack[d0_idx] = Tagged{v, ptr};
+                wit.record(timestamp + 3, 0, stack_page, d0_idx, v, ptr, true);
+            } else {
+                write_reg(dst0_reg, v, ptr);
+            }
+        };
+        auto set_flags3 = [&](bool lt, bool eq, bool gt) {
+            if (pr.set_flags) { f_lt = lt; f_eq = eq; f_gt = gt; }
+        };
+
+        switch (pr.opcode) {
+            case OP_NOP: cur.pc = new_pc; break;
+            case OP_ADD: {
+                cur.pc = new_pc;
+                bool of; U256 r = add256(src0.v, src1.v, &of);
+                bool eq = is_zero(r);
+                set_flags3(of, eq, !eq && !of);
+                dst0_write(r, false);
+                break;
+            }
+            case OP_SUB: {
+                cur.pc = new_pc;
+                bool uf; U256 r = sub256(src0.v, src1.v, &uf);
+                bool eq = is_zero(r);
+                set_flags3(uf, eq, !eq && !uf);
+                dst0_write(r, false);
+                break;
+            }
+            case OP_MUL: {
+                cur.pc = new_pc;
+                U256 lo, hi; mul256(src0.v, src1.v, &lo, &hi);
+                bool of = !is_zero(hi), eq = is_zero(lo);
+                set_flags3(of, eq, !of && !eq);
+                dst0_write(lo, false);
+                write_reg(dst1_reg, hi, false);
+                break;
+            }
+            case OP_DIV: {
+                cur.pc = new_pc;
+                if (is_zero(src1.v)) {
+                    set_flags3(true, false, false);
+                    dst0_write(z256(), false);
+                    write_reg(dst1_reg, z256(), false);
+                } else {
+                    U256 q, r; divmod256(src0.v, src1.v, &q, &r);
+                    set_flags3(false, is_zero(q), is_zero(r));
+                    dst0_write(q, false);
+                    write_reg(dst1_reg, r, false);
+                }
+                break;
+            }
+            case OP_JUMP: cur.pc = (u32)(src0.v.w[0] & 0xFFFF); break;
+            case OP_CONTEXT: {
+                cur.pc = new_pc;
+                U256 v = z256();
+                switch (pr.sub) {
+                    case 0: v.w[0] = cur.this_addr; break;        // this
+                    case 1: break;                                 // caller = 0
+                    case 2: v.w[0] = cur.this_addr; break;         // code addr
+                    case 3:                                        // meta
+                        v.w[1] = cur.heap_bound;
+                        v.w[1] |= (u64)cur.aux_heap_bound << 32;
+                        break;
+                    case 4: v.w[0] = cur.ergs; break;
+                    case 5: v.w[0] = cur.sp; break;
+                    case 6: break;                                 // ctx u128
+                    default: status = ST_UNSUPPORTED; break;       // setters
+                }
+                if (status != ST_MAX_CYCLES) break;
+                dst0_write(v, false);
+                break;
+            }
+            case OP_SHIFT: {
+                cur.pc = new_pc;
+                unsigned n = (unsigned)(src1.v.w[0] & 0xFF);
+                U256 r;
+                bool right = (pr.sub == 1) || (pr.sub == 3);
+                bool cyclic = (pr.sub == 2) || (pr.sub == 3);
+                if (right) {
+                    r = shr256(src0.v, n);
+                    if (cyclic) r = or256(r, shl256(src0.v, 256 - n));
+                } else {
+                    r = shl256(src0.v, n);
+                    if (cyclic) r = or256(r, shr256(src0.v, 256 - n));
+                }
+                if (pr.set_flags) { f_lt = false; f_gt = false; f_eq = is_zero(r); }
+                dst0_write(r, false);
+                break;
+            }
+            case OP_BINOP: {
+                cur.pc = new_pc;
+                U256 r = pr.sub == 0 ? xor256(src0.v, src1.v)
+                        : pr.sub == 1 ? and256(src0.v, src1.v)
+                                      : or256(src0.v, src1.v);
+                if (pr.set_flags) { f_lt = false; f_gt = false; f_eq = is_zero(r); }
+                dst0_write(r, false);
+                break;
+            }
+            case OP_PTR: {
+                cur.pc = new_pc;
+                if (!src0.ptr || src1.ptr) { pending_exc = true; break; }
+                u64 off_field = src0.v.w[0] & 0xFFFFFFFFull;
+                u64 len_field = (src0.v.w[1] >> 32) & 0xFFFFFFFFull;
+                bool src1_big = src1.v.w[1] | src1.v.w[2] | src1.v.w[3]
+                    | (src1.v.w[0] >> 32);
+                U256 r = src0.v;
+                if (pr.sub <= 1) {  // add/sub
+                    if (src1_big) { pending_exc = true; break; }
+                    u64 o = src1.v.w[0] & 0xFFFFFFFFull;
+                    u64 no = pr.sub == 0 ? off_field + o : off_field - o;
+                    if (no >> 32) { pending_exc = true; break; }
+                    r.w[0] = (r.w[0] & ~0xFFFFFFFFull) | no;
+                } else if (pr.sub == 2) {  // pack
+                    if ((src1.v.w[0] | src1.v.w[1])) { pending_exc = true; break; }
+                    r.w[2] = src1.v.w[2]; r.w[3] = src1.v.w[3];
+                } else {  // shrink
+                    u64 o = src1.v.w[0] & 0xFFFFFFFFull;
+                    u64 nl = len_field - o;
+                    if (nl >> 32) { pending_exc = true; break; }
+                    r.w[1] = (r.w[1] & 0xFFFFFFFFull) | (nl << 32);
+                }
+                dst0_write(r, true);
+                break;
+            }
+            case OP_NEAR_CALL: {
+                f_lt = f_eq = f_gt = false;
+                u32 want = (u32)(src0.v.w[0] & 0xFFFFFFFFull);
+                u32 passed, left;
+                if (want == 0 || want > cur.ergs) { passed = cur.ergs; left = 0; }
+                else { passed = want; left = cur.ergs - want; }
+                cur.ergs = left; cur.pc = new_pc;
+                Frame nf = cur;
+                nf.pc = imm0; nf.eh = imm1; nf.ergs = passed; nf.is_local = true;
+                depth++; frames[depth] = nf;
+                break;
+            }
+            case OP_RET: {
+                f_lt = f_eq = f_gt = false;
+                u32 sub = pr.sub;  // 0 ok, 1 revert, 2 panic
+                bool to_label = pr.flag0;
+                Frame fin = frames[depth];
+                if (!fin.is_local && (sub != 2)) {
+                    // entry-frame ok/revert with non-trivial ABI unsupported;
+                    // trivial r0 (zero) ABI means empty returndata — fine.
+                    Tagged abi = src0;
+                    if (!is_zero(abi.v)) { status = ST_UNSUPPORTED; break; }
+                }
+                bool panicked = sub >= 1;
+                depth--;
+                Frame &parent = frames[depth];
+                parent.ergs += fin.ergs;
+                if (to_label && fin.is_local) parent.pc = imm0;
+                else if (panicked) parent.pc = fin.eh;
+                if (fin.is_local) {
+                    parent.heap_bound = fin.heap_bound;
+                    parent.aux_heap_bound = fin.aux_heap_bound;
+                } else {
+                    // register-file protocol (ret.rs:213-236): r1 = empty
+                    // returndata fat pointer bound to the frame heap page
+                    for (int i = 0; i < 15; i++) regs[i] = Tagged{z256(), false};
+                    regs[0].v.w[0] = (u64)heap_page << 32;
+                    regs[0].ptr = true;
+                    last_frame_ergs = parent.ergs;
+                }
+                if (sub == 2) f_lt = true;
+                break;
+            }
+            case OP_UMA: {
+                cur.pc = new_pc;
+                u32 sub = pr.sub;
+                if (sub == 4) { status = ST_UNSUPPORTED; break; }  // fat ptr
+                bool is_aux = (sub == 2) || (sub == 3);
+                bool is_write = (sub == 1) || (sub == 3);
+                bool inc = pr.flag0;
+                u64 offset = src0.v.w[0] & 0xFFFFFFFFull;
+                bool too_far = (src0.v.w[0] >> 32) || src0.v.w[1]
+                    || src0.v.w[2] || src0.v.w[3]
+                    || offset > MAX_OFFSET_TO_DEREF;
+                u32 page = is_aux ? aux_page_no : heap_page;
+                u8 mtype = is_aux ? 2 : 1;
+                u64 incremented = offset + 32;
+                u32 &bound = is_aux ? cur.aux_heap_bound : cur.heap_bound;
+                u32 growth = 0;
+                if (!too_far) {
+                    if ((u32)incremented > bound) {
+                        growth = (u32)incremented - bound;
+                        bound = (u32)incremented;
+                    }
+                }
+                u64 cost = too_far ? 0xFFFFFFFFull : growth;
+                bool no_ergs = cur.ergs < cost;
+                cur.ergs = no_ergs ? 0 : cur.ergs - (u32)cost;
+                bool panic = too_far || no_ergs;
+                if (panic) { pending_exc = true; break; }
+
+                u32 w0 = (u32)(offset / 32), w1 = w0 + 1;
+                u32 una = (u32)(offset % 32);
+                U256 *arena = is_aux ? aux : heap;
+                int arena_n = is_aux ? aux_words : heap_words;
+                if ((int)w1 >= arena_n) { status = ST_OOB; break; }
+                U256 v0 = arena[w0], v1 = una ? arena[w1] : z256();
+                wit.record(timestamp, mtype, page, w0, v0, false, false);
+                if (una) wit.record(timestamp, mtype, page, w1, v1, false, false);
+                if (!is_write) {
+                    U256 r = shl256(v0, una * 8);
+                    if (una) r = or256(r, shr256(v1, (32 - una) * 8));
+                    dst0_write(r, false);
+                    if (inc) {
+                        U256 up = src0.v;
+                        up.w[0] = (up.w[0] & ~0xFFFFFFFFull) | incremented;
+                        write_reg(dst1_reg, up, src0.ptr);
+                    }
+                } else {
+                    U256 keep0 = shl256(shr256(v0, (32 - una) * 8),
+                                        (32 - una) * 8);
+                    U256 n0 = or256(keep0, shr256(src1.v, una * 8));
+                    arena[w0] = n0;
+                    wit.record(timestamp + 3, mtype, page, w0, n0, false, true);
+                    if (una) {
+                        U256 keep1 = shr256(shl256(v1, una * 8), una * 8);
+                        U256 n1 = or256(keep1, shl256(src1.v, (32 - una) * 8));
+                        arena[w1] = n1;
+                        wit.record(timestamp + 3, mtype, page, w1, n1, false,
+                                   true);
+                    }
+                    if (inc) {
+                        U256 up = src0.v;
+                        up.w[0] = (up.w[0] & ~0xFFFFFFFFull) | incremented;
+                        dst0_write(up, false);
+                    }
+                }
+                break;
+            }
+            default:
+                status = ST_UNSUPPORTED;
+                break;
+        }
+        if (status != ST_MAX_CYCLES) { cycle++; break; }
+        timestamp += TIME_DELTA;
+    }
+
+    if (depth == 0 && status == ST_MAX_CYCLES) status = ST_DONE;
+
+    if (regs_out)
+        for (int i = 0; i < 15; i++) to_be_bytes(regs[i].v, regs_out + i * 32);
+    if (reg_ptr_out)
+        for (int i = 0; i < 15; i++) reg_ptr_out[i] = regs[i].ptr;
+    if (heap_out)
+        for (int i = 0; i < heap_words; i++)
+            to_be_bytes(heap[i], heap_out + (size_t)i * 32);
+    if (witness_count) *witness_count = wit.count;
+    if (cycles_out) *cycles_out = cycle;
+    if (flags_out) *flags_out = (f_lt ? 1 : 0) | (f_eq ? 2 : 0) | (f_gt ? 4 : 0);
+    if (entry_ergs_out) *entry_ergs_out = last_frame_ergs;
+
+    delete[] code; delete[] stack; delete[] heap; delete[] aux;
+    delete[] frames;
+    return status;
+}

@@ -124,6 +124,14 @@ def get_final_net_states(tools: Tools):
     }
 
 
+def run_golden_like(source: str, max_cycles: int = 256, ergs: int = 1 << 20):
+    """Golden run with the native oracle's default entry setup."""
+    tools = create_default_tools()
+    vm = build_vm(assemble_to_code_words(source), tools=tools, ergs=ergs)
+    cycles = run(vm, max_cycles)
+    return vm, tools, cycles
+
+
 def reg(vm: GoldenVm, n: int) -> int:
     """Architectural register rN value as of just before the exit cycle."""
     assert 1 <= n <= params.REGISTERS_COUNT
