@@ -65,7 +65,9 @@ WORKLOAD = """
 
 
 def bench(batch: int, n_cycles: int, witness: bool, repeats: int = 3) -> dict:
-    q = n_cycles * 8 if witness else 0
+    # queue slots are consumed across ALL run_cycles calls (the global-step
+    # clock persists for checkpoint/resume), so size for warmup + repeats
+    q = n_cycles * 8 * (repeats + 2) if witness else 0
     config = VmConfig(batch=batch, code_words=16, stack_words=256,
                       stack_abs_words=64, stack_sp_base=960,
                       heap_words=64, aux_heap_words=16, max_depth=8,
@@ -190,7 +192,7 @@ def main() -> None:
 
     fast = bench(batch, n_cycles, witness=False)
     print(f"no-witness: {fast}", file=sys.stderr)
-    traced = bench(batch, n_cycles, witness=True)
+    traced = bench(batch, n_cycles, witness=True, repeats=1)
     print(f"witness-traced: {traced}", file=sys.stderr)
     storage_rate = bench_storage(batch, n_cycles)
     print(f"storage/event workload: {storage_rate:.0f} cycles/s", file=sys.stderr)
