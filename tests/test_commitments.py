@@ -135,3 +135,13 @@ class TestRollingCommitment:
         _, tools, _ = run_golden(src_prog, 64, ergs=1 << 20)
         want = rolling_commit([q for _, q in tools.witness.memory_queries])
         assert device_rolling_commitments(state) == [want, want]
+
+
+class TestScalingHarness:
+    def test_weak_scaling_runs_on_virtual_mesh(self):
+        from era_zk_evm_tpu.parallel.scaling import measure
+
+        # functional check: 1- and 8-device meshes both execute cleanly
+        r1 = measure(1, lanes_per_device=16, n_cycles=8)
+        r8 = measure(8, lanes_per_device=16, n_cycles=8)
+        assert r1 > 0 and r8 > 0

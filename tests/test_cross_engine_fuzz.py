@@ -1,0 +1,71 @@
+"""Three-engine fuzz: batched TPU interpreter vs the native C++ oracle.
+
+Both engines are independently proven against the golden Python model; this
+campaign cross-checks them directly on a wide random batch (the native oracle
+is ~10M cycles/s, so the bottleneck is the device run, which executes all
+programs in one batch).  Compared: status, cycle counts, final registers +
+pointer tags, flags, heap, and byte-identical witness record streams.
+"""
+
+import random
+
+import numpy as np
+
+from era_zk_evm_tpu.isa.assembler import assemble_to_code_words
+from era_zk_evm_tpu.models import VmConfig, make_entry_state, run_cycles
+from era_zk_evm_tpu.native import ST_DONE, run_oracle
+from era_zk_evm_tpu.utils import from_limbs
+from era_zk_evm_tpu.witness.commitment import (
+    device_queue_streams, serialize_memory_query,
+)
+from tests.test_batched_vm import _random_program
+
+MAX_CYCLES = 160
+
+
+def _gen_programs(n: int, seed: int) -> list[str]:
+    rng = random.Random(seed)
+    out = []
+    while len(out) < n:
+        src = _random_program(rng)
+        if "log." in src:  # native subset excludes LOG
+            continue
+        out.append(src)
+    return out
+
+
+class TestCrossEngineFuzz:
+    def test_device_vs_native_wide_batch(self):
+        programs = _gen_programs(48, seed=0xF00D)
+        words = [assemble_to_code_words(p) for p in programs]
+
+        config = VmConfig(batch=len(programs), queue_capacity=MAX_CYCLES * 8,
+                          heap_words=64, stack_words=2048, code_words=64,
+                          max_depth=8)
+        state = make_entry_state(config, words, ergs=1 << 20)
+        state = run_cycles(state, config, MAX_CYCLES)
+        assert not np.any(np.asarray(state.lane_error))
+        assert np.all(np.asarray(state.done))
+
+        streams = device_queue_streams(state)
+        regs = np.asarray(state.regs)
+        tags = np.asarray(state.reg_ptr)
+        flags = np.asarray(state.flags)
+        mcc = np.asarray(state.monotonic_cycle_counter)
+        heap = np.asarray(state.heap)
+
+        for b, w in enumerate(words):
+            native = run_oracle(w, ergs=1 << 20, max_cycles=MAX_CYCLES,
+                                witness_cap=MAX_CYCLES * 8)
+            assert native["status"] == ST_DONE, (b, native["status"])
+            assert native["cycles"] == int(mcc[b]), b
+            for i in range(15):
+                assert native["registers"][i] == from_limbs(regs[b, i]), \
+                    (b, f"r{i+1}")
+                assert native["reg_ptr"][i] == bool(tags[b, i]), (b, f"r{i+1}")
+            lt, eq, gt = native["flags"]
+            assert (lt, eq, gt) == tuple(bool(x) for x in flags[b]), b
+            got_heap = [from_limbs(heap[b, i]) for i in range(64)]
+            assert got_heap == native["heap"], b
+            device_records = [serialize_memory_query(q) for q in streams[b]]
+            assert device_records == native["witness_records"], b
