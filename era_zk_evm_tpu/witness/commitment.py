@@ -52,6 +52,37 @@ def block_commitment(lane_commitments: list[bytes]) -> bytes:
     return keccak256(b"".join(lane_commitments))
 
 
+def serialize_log_query(q) -> bytes:
+    """Log-query record (128 bytes): header + address + key/read/written."""
+    flags = int(q.rw_flag) | (int(q.rollback) << 1) | (int(q.is_service) << 2)
+    return (q.timestamp.to_bytes(4, "big")
+            + bytes([q.aux_byte, q.shard_id, flags])
+            + q.tx_number_in_block.to_bytes(2, "big")
+            + bytes(3)
+            + q.address.to_bytes(20, "big")
+            + q.key.to_bytes(32, "big")
+            + q.read_value.to_bytes(32, "big")
+            + q.written_value.to_bytes(32, "big"))
+
+
+def commit_log_queue(queries) -> bytes:
+    return keccak256(b"".join(serialize_log_query(q) for q in queries))
+
+
+def serialize_decommittment(q) -> bytes:
+    """Decommitment record (64 bytes): hash + page/length/timestamp/fresh."""
+    return (q.hash.to_bytes(32, "big")
+            + q.timestamp.to_bytes(4, "big")
+            + q.memory_page.to_bytes(4, "big")
+            + q.decommitted_length.to_bytes(4, "big")
+            + bytes([int(q.is_fresh)])
+            + bytes(19))
+
+
+def commit_decommitter_queue(queries) -> bytes:
+    return keccak256(b"".join(serialize_decommittment(q) for q in queries))
+
+
 # ---------------------------------------------------------------------------
 # Rolling (streaming) commitment — the device-native form
 # ---------------------------------------------------------------------------
@@ -129,7 +160,76 @@ def device_queue_streams(state) -> list[list[MemoryQuery]]:
     return streams
 
 
+def device_log_streams(state) -> list[list]:
+    """Reconstruct per-lane log-query streams from the device log queue."""
+    from ..golden.queries import LogQuery
+    from ..utils import from_limbs
+
+    lq_meta = np.asarray(state.lq_meta)
+    lq_addr = np.asarray(state.lq_addr)
+    lq_key = np.asarray(state.lq_key)
+    lq_read = np.asarray(state.lq_read)
+    lq_written = np.asarray(state.lq_written)
+    B, LQ = lq_meta.shape[:2]
+    out = []
+    for b in range(B):
+        lane = []
+        for s in range(LQ):
+            if not lq_meta[b, s, 3]:
+                continue
+            packed = int(lq_meta[b, s, 1])
+            lane.append(LogQuery(
+                timestamp=int(lq_meta[b, s, 0]),
+                tx_number_in_block=int(lq_meta[b, s, 2]),
+                aux_byte=packed & 0xFF,
+                shard_id=(packed >> 16) & 0xFF,
+                address=sum(int(lq_addr[b, s, i]) << (32 * i) for i in range(5)),
+                key=from_limbs(lq_key[b, s]),
+                read_value=from_limbs(lq_read[b, s]),
+                written_value=from_limbs(lq_written[b, s]),
+                rw_flag=bool((packed >> 8) & 1),
+                rollback=False,
+                is_service=bool((packed >> 9) & 1)))
+        out.append(lane)
+    return out
+
+
+def device_decommit_streams(state) -> list[list]:
+    from ..golden.queries import DecommittmentQuery
+    from ..utils import from_limbs
+
+    dq_meta = np.asarray(state.dq_meta)
+    dq_hash = np.asarray(state.dq_hash)
+    B, DQ = dq_meta.shape[:2]
+    out = []
+    for b in range(B):
+        lane = []
+        for s in range(DQ):
+            if not (dq_meta[b, s, 3] & 1):
+                continue
+            lane.append(DecommittmentQuery(
+                hash=from_limbs(dq_hash[b, s]),
+                timestamp=int(dq_meta[b, s, 0]),
+                memory_page=int(dq_meta[b, s, 1]),
+                decommitted_length=int(dq_meta[b, s, 2]),
+                is_fresh=bool(dq_meta[b, s, 3] & 2)))
+        out.append(lane)
+    return out
+
+
 def commit_device_queues(state) -> tuple[list[bytes], bytes]:
-    """(per-lane commitments, block commitment) for a batched VM state."""
+    """(per-lane memory-queue commitments, block commitment)."""
     lanes = [commit_memory_queue(s) for s in device_queue_streams(state)]
     return lanes, block_commitment(lanes)
+
+
+def commit_all_device_queues(state) -> dict:
+    """All three queue families committed per lane + folded per block."""
+    mem = [commit_memory_queue(s) for s in device_queue_streams(state)]
+    logs = [commit_log_queue(s) for s in device_log_streams(state)]
+    dec = [commit_decommitter_queue(s) for s in device_decommit_streams(state)]
+    return {
+        "memory_lanes": mem, "memory_block": block_commitment(mem),
+        "log_lanes": logs, "log_block": block_commitment(logs),
+        "decommitter_lanes": dec, "decommitter_block": block_commitment(dec),
+    }

@@ -145,3 +145,71 @@ class TestScalingHarness:
         r1 = measure(1, lanes_per_device=16, n_cycles=8)
         r8 = measure(8, lanes_per_device=16, n_cycles=8)
         assert r1 > 0 and r8 > 0
+
+
+class TestAllQueueCommitments:
+    def test_log_and_decommit_commitments_match_golden(self):
+        from era_zk_evm_tpu.models import VmConfig
+        from era_zk_evm_tpu.testing.differential import diff_run  # noqa: F401
+        from era_zk_evm_tpu.witness import (
+            commit_all_device_queues, commit_decommitter_queue,
+            commit_log_queue,
+        )
+        from era_zk_evm_tpu.models import make_entry_state, run_cycles
+        from era_zk_evm_tpu.models.state import (
+            populate_code_bank, populate_storage,
+        )
+        from era_zk_evm_tpu.isa import params as isa_params
+        from era_zk_evm_tpu.isa.abi import code_hash_for_bytecode
+
+        callee_src = """
+            add 3, r0, r1
+            log.swrite r1, r1
+            ret r0
+        """
+        callee_words = assemble_to_code_words(callee_src)
+        h = code_hash_for_bytecode(callee_words)
+        caller = f"""
+            add 1, r0, r1
+            log.swrite r1, r1
+            log.event r1, r1
+            add code[@abi], r0, r4
+            add code[@dest], r0, r2
+            far_call r4, r2, @fail
+            add 1, r0, r8
+            ret r0
+            fail:
+            panic
+            abi: .word {0xFFFFFFFF << 192}
+            dest: .word 0x10042
+        """
+        B = 2
+        config = VmConfig(batch=B, queue_capacity=64 * 8, heap_words=32,
+                          stack_words=2048, code_words=32, max_depth=8,
+                          storage_slots=8, journal_slots=16, event_slots=16,
+                          log_queue_capacity=64, heap_frames=2, code_pages=2,
+                          decommit_queue_capacity=64)
+        words = [assemble_to_code_words(caller)] * B
+        state = make_entry_state(config, words, ergs=1 << 20)
+        entries = [(0, isa_params.DEPLOYER_SYSTEM_CONTRACT_ADDRESS,
+                    0x10042, h)]
+        state = populate_storage(state, config, [entries] * B)
+        state = populate_code_bank(state, config, [[(h, callee_words)]] * B)
+        state = run_cycles(state, config, 64)
+        assert not np.any(np.asarray(state.lane_error))
+
+        device = commit_all_device_queues(state)
+
+        # golden side
+        from era_zk_evm_tpu.testing import harness
+        tools = harness.create_default_tools()
+        tools.storage.populate(entries)
+        tools.decommitter.populate([(h, list(callee_words))])
+        vm = harness.build_vm(assemble_to_code_words(caller), tools=tools,
+                              ergs=1 << 20)
+        harness.run(vm, 64)
+        want_log = commit_log_queue([q for _, q in tools.witness.log_queries])
+        want_dec = commit_decommitter_queue(
+            [q for _, q, _ in tools.witness.decommittments])
+        assert device["log_lanes"] == [want_log] * B
+        assert device["decommitter_lanes"] == [want_dec] * B
