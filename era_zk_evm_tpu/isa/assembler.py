@@ -372,3 +372,95 @@ def assemble_to_code_words(source: str) -> list[int]:
         for i in range(0, len(instructions), params.OPCODES_PER_WORD)
     ]
     return words + data_words
+
+
+# ---------------------------------------------------------------------------
+# Disassembler
+# ---------------------------------------------------------------------------
+
+_REV_MNEMONICS: dict[tuple, str] = {}
+for _m, (_op, _sub, _sig) in _MNEMONICS.items():
+    _REV_MNEMONICS.setdefault((_op, int(_sub)), _m)
+_REV_MNEMONICS[(Opcode.INVALID, 0)] = "<invalid>"
+
+_REV_CONDITIONS = {v: k for k, v in _CONDITIONS.items()}
+
+
+def _fmt_src(mode: OperandMode, reg: int, imm: int) -> str:
+    if mode in (OperandMode.REG_ONLY, OperandMode.REG_OR_IMM_REG,
+                OperandMode.FULL_REG):
+        return f"r{reg}"
+    if mode in (OperandMode.REG_OR_IMM_IMM, OperandMode.FULL_IMM16):
+        return str(imm)
+    expr = f"r{reg}+{imm}" if reg else str(imm)
+    return {
+        OperandMode.FULL_STACK_PUSH_POP: f"stack-=[{expr}]",
+        OperandMode.FULL_STACK_OFFSET: f"stack-[{expr}]",
+        OperandMode.FULL_ABS_STACK: f"stack[{expr}]",
+        OperandMode.FULL_CODE_PAGE: f"code[{expr}]",
+    }[mode]
+
+
+def _fmt_dst(mode: OperandMode, reg: int, imm: int) -> str:
+    if mode is OperandMode.REG_ONLY or mode is OperandMode.FULL_REG:
+        return f"r{reg}"
+    expr = f"r{reg}+{imm}" if reg else str(imm)
+    return {
+        OperandMode.FULL_STACK_PUSH_POP: f"stack+=[{expr}]",
+        OperandMode.FULL_STACK_OFFSET: f"stack-[{expr}]",
+        OperandMode.FULL_ABS_STACK: f"stack[{expr}]",
+    }[mode]
+
+
+def disassemble_one(word: int) -> str:
+    """64-bit instruction -> assembler syntax (best-effort round-trippable)."""
+    from .encoding import parse_preliminary
+    from .opcodes import get_variant
+
+    dec, raw_idx = parse_preliminary(word)
+    v = dec.variant
+    base = _REV_MNEMONICS.get((v.opcode, v.sub), f"<op{int(v.opcode)}.{v.sub}>")
+    mods = []
+    if v.swap_operands:
+        mods.append("s")
+    if v.opcode is Opcode.UMA and v.flag0:
+        mods.append("inc")
+    if v.opcode is Opcode.LOG and v.flag0:
+        mods.append("first")
+    if v.opcode is Opcode.RET and v.flag0:
+        mods.append("to_label")
+    if v.opcode is Opcode.FAR_CALL:
+        if v.flag0:
+            mods.append("static")
+        if v.flag1:
+            mods.append("shard")
+    if dec.condition is not Condition.ALWAYS:
+        mods.append(_REV_CONDITIONS[dec.condition])
+    mnem = ".".join([base] + mods)
+    if v.set_flags:
+        mnem += "!"
+
+    _, _, sig = _MNEMONICS.get(base, (v.opcode, v.sub, ()))
+    if v.opcode is Opcode.UMA and v.flag0:
+        sig = sig + (("d0",) if v.sub in (1, 3) else ("d1",))
+    if v.opcode is Opcode.RET and v.flag0:
+        sig = sig + ("dst_label",)
+    ops = []
+    for spec in sig:
+        if spec == "s0":
+            ops.append(_fmt_src(v.src0_mode, dec.src0_reg, dec.imm0))
+        elif spec == "s1":
+            ops.append(f"r{dec.src1_reg}")
+        elif spec == "d0":
+            ops.append(_fmt_dst(v.dst0_mode, dec.dst0_reg, dec.imm1))
+        elif spec == "d1":
+            ops.append(f"r{dec.dst1_reg}")
+        elif spec == "dst_label":
+            ops.append(str(dec.imm0))
+        elif spec == "eh":
+            ops.append(str(dec.imm0 if v.opcode is Opcode.FAR_CALL else dec.imm1))
+    return mnem + (" " + ", ".join(ops) if ops else "")
+
+
+def disassemble(instructions: list[int]) -> list[str]:
+    return [disassemble_one(w) for w in instructions]

@@ -250,3 +250,32 @@ class TestAssembler:
     def test_bad_register_raises(self):
         with pytest.raises(assembler.AsmError):
             assembler.assemble("add r99, r0, r1")
+
+
+class TestDisassembler:
+    def test_round_trip(self):
+        src = """
+        add 7, r0, r1
+        sub.s! r1, r2, r3
+        add stack[5], r0, r2
+        add r2, r0, stack+=[1]
+        add code[3], r0, r5
+        jump.if_eq 9
+        mul r1, r2, r3, r4
+        ld.h.inc r1, r2, r3
+        st.h r1, r2
+        near_call r1, 12, 13
+        log.swrite r1, r2
+        ret r0
+        panic
+        """
+        words = assembler.assemble(src)
+        text = assembler.disassemble(words)
+        words2 = assembler.assemble("\n".join(text))
+        assert words2 == words
+
+    def test_invalid_renders(self):
+        from era_zk_evm_tpu.isa.opcodes import INVALID_VARIANT_INDEX
+
+        text = assembler.disassemble_one(encoding.encode(INVALID_VARIANT_INDEX))
+        assert "invalid" in text
