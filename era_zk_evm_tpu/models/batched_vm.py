@@ -366,10 +366,18 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     do_src0_mem_read = (src0_is_stack_mem | src0_code) & ~is_nop_op
 
     src0_phys, src0_in_window = _map_stack_index(config, src0_loc)
-    stack_val = _gather_rows(state.stack, src0_phys)
-    stack_tag = _gather_rows(state.stack_ptr_tag, src0_phys)
-    code_val = _gather_rows(state.code,
-                            code_slot * config.code_words + src0_loc)
+    any_stack_read = jnp.any(do_src0_mem_read & src0_is_stack_mem)
+    stack_val, stack_tag = jax.lax.cond(
+        any_stack_read,
+        lambda _: (_gather_rows(state.stack, src0_phys),
+                   _gather_rows(state.stack_ptr_tag, src0_phys)),
+        lambda _: (jnp.zeros((B, 8), dtype=U32), jnp.zeros((B,), dtype=BOOL)),
+        None)
+    code_val = jax.lax.cond(
+        jnp.any(do_src0_mem_read & src0_code),
+        lambda _: _gather_rows(state.code,
+                               code_slot * config.code_words + src0_loc),
+        lambda _: jnp.zeros((B, 8), dtype=U32), None)
     lane_error = lane_error | (active & do_src0_mem_read & src0_is_stack_mem
                                & ~src0_in_window)
     lane_error = lane_error | (active & do_src0_mem_read & src0_code
@@ -610,14 +618,23 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
 
     h_base = uma_slot * config.heap_words
     a_base = uma_slot * config.aux_heap_words
-    w0_heap = _gather_rows(state.heap, h_base + word0)
-    w1_heap = _gather_rows(state.heap, h_base + word1)
-    w0_aux = _gather_rows(state.aux_heap, a_base + word0)
-    w1_aux = _gather_rows(state.aux_heap, a_base + word1)
-    w0 = _sel(do_mem, _sel(use_heap_arena, w0_heap, w0_aux),
-              jnp.zeros((B, 8), dtype=U32))
-    w1 = _sel(do_mem & is_unaligned, _sel(use_heap_arena, w1_heap, w1_aux),
-              jnp.zeros((B, 8), dtype=U32))
+
+    def uma_reads(_):
+        w0_heap = _gather_rows(state.heap, h_base + word0)
+        w1_heap = _gather_rows(state.heap, h_base + word1)
+        w0_aux = _gather_rows(state.aux_heap, a_base + word0)
+        w1_aux = _gather_rows(state.aux_heap, a_base + word1)
+        w0r = _sel(do_mem, _sel(use_heap_arena, w0_heap, w0_aux),
+                   jnp.zeros((B, 8), dtype=U32))
+        w1r = _sel(do_mem & is_unaligned,
+                   _sel(use_heap_arena, w1_heap, w1_aux),
+                   jnp.zeros((B, 8), dtype=U32))
+        return w0r, w1r
+
+    w0, w1 = jax.lax.cond(
+        jnp.any(do_mem), uma_reads,
+        lambda _: (jnp.zeros((B, 8), dtype=U32), jnp.zeros((B, 8), dtype=U32)),
+        None)
 
     una_bits = unalign * 8
     read_val = u256.shl(w0, una_bits) | u256.shr(w1, 256 - una_bits)
@@ -1414,18 +1431,29 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     dst0_to_stack = dst0_write & dst0_is_stack_mem & active
     dst0_phys, dst0_in_window = _map_stack_index(config, dst0_loc)
     lane_error = lane_error | (dst0_to_stack & ~dst0_in_window)
-    new_stack = _scatter_rows(state.stack, dst0_phys, dst0_val, dst0_to_stack)
-    new_stack_tag = _scatter_rows(state.stack_ptr_tag, dst0_phys, dst0_is_ptr,
-                                  dst0_to_stack)
+    new_stack, new_stack_tag = jax.lax.cond(
+        jnp.any(dst0_to_stack),
+        lambda sv: (_scatter_rows(sv[0], dst0_phys, dst0_val, dst0_to_stack),
+                    _scatter_rows(sv[1], dst0_phys, dst0_is_ptr,
+                                  dst0_to_stack)),
+        lambda sv: sv, (state.stack, state.stack_ptr_tag))
 
     w_heap0 = uma_do_write & use_heap_arena & active
     w_heap1 = w_heap0 & is_unaligned
     w_aux0 = uma_do_write & use_aux_arena & active
     w_aux1 = w_aux0 & is_unaligned
-    new_heap = _scatter_rows(state.heap, h_base + word0, new_w0, w_heap0)
-    new_heap = _scatter_rows(new_heap, h_base + word1, new_w1, w_heap1)
-    new_aux = _scatter_rows(state.aux_heap, a_base + word0, new_w0, w_aux0)
-    new_aux = _scatter_rows(new_aux, a_base + word1, new_w1, w_aux1)
+    new_heap = jax.lax.cond(
+        jnp.any(w_heap0),
+        lambda h: _scatter_rows(_scatter_rows(h, h_base + word0, new_w0,
+                                              w_heap0),
+                                h_base + word1, new_w1, w_heap1),
+        lambda h: h, state.heap)
+    new_aux = jax.lax.cond(
+        jnp.any(w_aux0),
+        lambda a: _scatter_rows(_scatter_rows(a, a_base + word0, new_w0,
+                                              w_aux0),
+                                a_base + word1, new_w1, w_aux1),
+        lambda a: a, state.aux_heap)
     if precompile_enabled and log_enabled:
         # precompile output word(s) (defined in the precompile unit above)
         new_heap = _scatter_rows(
