@@ -60,6 +60,12 @@ def _load():
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,  # regs/tags/heap
             ctypes.c_char_p, ctypes.c_int,                  # witness buf/cap
             ctypes.POINTER(ctypes.c_int),                   # witness count
+            ctypes.c_char_p, ctypes.c_int,                  # log buf/cap
+            ctypes.POINTER(ctypes.c_int),                   # log count
+            ctypes.c_char_p, ctypes.c_int,                  # storage buf/cap
+            ctypes.POINTER(ctypes.c_int),                   # storage count
+            ctypes.c_char_p, ctypes.c_int,                  # events buf/cap
+            ctypes.POINTER(ctypes.c_int),                   # events count
             ctypes.POINTER(ctypes.c_int),                   # cycles
             ctypes.POINTER(ctypes.c_int),                   # flags
             ctypes.POINTER(ctypes.c_uint64),                # entry ergs
@@ -88,6 +94,13 @@ def run_oracle(code_words: list[int], entry_address: int = 0x8001,
     wit = ctypes.create_string_buffer(witness_cap * 64) if collect_witness \
         else None
     wc = ctypes.c_int(0)
+    log_cap, st_cap, ev_cap = 4096, 64, 256
+    logb = ctypes.create_string_buffer(log_cap * 128)
+    stb = ctypes.create_string_buffer(st_cap * 96)
+    evb = ctypes.create_string_buffer(ev_cap * 72)
+    lc = ctypes.c_int(0)
+    sc = ctypes.c_int(0)
+    ec = ctypes.c_int(0)
     cycles = ctypes.c_int(0)
     flags = ctypes.c_int(0)
     entry_ergs = ctypes.c_uint64(0)
@@ -96,7 +109,11 @@ def run_oracle(code_words: list[int], entry_address: int = 0x8001,
         code, len(code_words), entry_address, ergs, max_cycles,
         stack_words, heap_words, aux_words,
         regs, tags, heap, wit, witness_cap if collect_witness else 0,
-        ctypes.byref(wc), ctypes.byref(cycles), ctypes.byref(flags),
+        ctypes.byref(wc),
+        logb, log_cap, ctypes.byref(lc),
+        stb, st_cap, ctypes.byref(sc),
+        evb, ev_cap, ctypes.byref(ec),
+        ctypes.byref(cycles), ctypes.byref(flags),
         ctypes.byref(entry_ergs))
     run_seconds = time.perf_counter() - t0
     out = {
@@ -117,4 +134,22 @@ def run_oracle(code_words: list[int], entry_address: int = 0x8001,
         n = min(wc.value, witness_cap)
         raw = wit.raw  # single copy out of ctypes (``.raw`` copies per access)
         out["witness_records"] = [raw[i * 64:(i + 1) * 64] for i in range(n)]
+    lraw = logb.raw
+    out["log_records"] = [lraw[i * 128:(i + 1) * 128]
+                          for i in range(min(lc.value, log_cap))]
+    sraw = stb.raw
+    out["storage"] = {}
+    for i in range(sc.value):
+        r = sraw[i * 96:(i + 1) * 96]
+        address = int.from_bytes(r[12:32], "big")
+        key = int.from_bytes(r[32:64], "big")
+        out["storage"][(address, key)] = int.from_bytes(r[64:96], "big")
+    eraw = evb.raw
+    out["events"] = []
+    for i in range(ec.value):
+        r = eraw[i * 72:(i + 1) * 72]
+        out["events"].append({
+            "aux": r[0], "is_first": bool(r[1]),
+            "key": int.from_bytes(r[8:40], "big"),
+            "value": int.from_bytes(r[40:72], "big")})
     return out

@@ -16,6 +16,7 @@
 #include "tables.h"
 
 using u8 = uint8_t;
+using u16 = uint16_t;
 using u32 = uint32_t;
 using u64 = uint64_t;
 using u128 = unsigned __int128;
@@ -163,6 +164,7 @@ static Props unpack(u32 p) {
 struct Frame {
     u64 this_addr;
     u32 sp, pc, eh, ergs, heap_bound, aux_heap_bound;
+    u32 j_snap, ev_snap;   // storage-journal / event-journal snapshots
     bool is_static, is_local;
 };
 struct Tagged { U256 v; bool ptr; };
@@ -186,6 +188,30 @@ struct Witness {
     }
 };
 
+struct KV { U256 key; u64 addr; U256 val; bool used; };
+struct JEntry { int slot; U256 prev; };
+struct Event { U256 key, val; u32 ts; u8 aux; bool first; u16 tx; bool cancelled; };
+
+struct LogWitness {
+    u8 *buf; int cap; int count;
+    void record(u32 ts, u8 aux, u8 shard, u8 flags, u16 tx, u64 addr,
+                const U256 &key, const U256 &rd, const U256 &wr) {
+        if (buf && count < cap) {
+            u8 *r = buf + (size_t)count * 128;
+            memset(r, 0, 128);
+            r[0] = ts >> 24; r[1] = ts >> 16; r[2] = ts >> 8; r[3] = (u8)ts;
+            r[4] = aux; r[5] = shard; r[6] = flags;
+            r[7] = tx >> 8; r[8] = (u8)tx;
+            for (int i = 0; i < 8; i++)
+                r[12 + 12 + i] = (u8)(addr >> (56 - 8 * i));  // bytes 24..32
+            to_be_bytes(key, r + 32);
+            to_be_bytes(rd, r + 64);
+            to_be_bytes(wr, r + 96);
+        }
+        count++;
+    }
+};
+
 enum { ST_DONE = 0, ST_MAX_CYCLES = 1, ST_UNSUPPORTED = 2, ST_OOB = 3 };
 
 extern "C" int eravm_oracle_run(
@@ -195,6 +221,9 @@ extern "C" int eravm_oracle_run(
     u8 *regs_out /*15*32B BE*/, u8 *reg_ptr_out /*15 bytes*/,
     u8 *heap_out /*heap_words*32B BE*/,
     u8 *witness_buf, int witness_cap, int *witness_count,
+    u8 *log_buf, int log_cap, int *log_count,
+    u8 *storage_buf, int storage_cap, int *storage_count,
+    u8 *events_buf, int events_cap, int *events_count,
     int *cycles_out, int *flags_out, u64 *entry_ergs_out) {
 
     const u32 base_page = 8;
@@ -223,6 +252,14 @@ extern "C" int eravm_oracle_run(
                       NEW_FRAME_STIPEND, NEW_FRAME_STIPEND, false, false};
 
     Witness wit{witness_buf, witness_cap, 0, false};
+    LogWitness logw{log_buf, log_cap, 0};
+    const int KV_CAP = 64, J_CAP = 256, EV_CAP = 256;
+    KV kv[KV_CAP] = {};
+    int kv_count = 0;
+    JEntry journal[J_CAP];
+    int j_count = 0;
+    Event events[EV_CAP];
+    int ev_count = 0;
     u32 last_frame_ergs = 0;  // entry-frame ergs at final ret
 
     auto read_reg = [&](u32 idx) -> Tagged {
@@ -494,6 +531,7 @@ extern "C" int eravm_oracle_run(
                 cur.ergs = left; cur.pc = new_pc;
                 Frame nf = cur;
                 nf.pc = imm0; nf.eh = imm1; nf.ergs = passed; nf.is_local = true;
+                nf.j_snap = j_count; nf.ev_snap = ev_count;
                 depth++; frames[depth] = nf;
                 break;
             }
@@ -509,6 +547,15 @@ extern "C" int eravm_oracle_run(
                     if (!is_zero(abi.v)) { status = ST_UNSUPPORTED; break; }
                 }
                 bool panicked = sub >= 1;
+                if (panicked) {
+                    // storage value rollback (storage.rs:156-181) + event
+                    // segment cancellation
+                    for (int j = j_count - 1; j >= (int)fin.j_snap; j--)
+                        kv[journal[j].slot].val = journal[j].prev;
+                    j_count = fin.j_snap;
+                    for (int e = fin.ev_snap; e < ev_count; e++)
+                        events[e].cancelled = true;
+                }
                 depth--;
                 Frame &parent = frames[depth];
                 parent.ergs += fin.ergs;
@@ -594,6 +641,50 @@ extern "C" int eravm_oracle_run(
                 }
                 break;
             }
+            case OP_LOG: {
+                cur.pc = new_pc;
+                u32 sub = pr.sub;  // 0 sread 1 swrite 2 event 3 to_l1 4 pc
+                if (sub == 4) { status = ST_UNSUPPORTED; break; }
+                bool is_first = pr.flag0;
+                u32 ts_log = timestamp + 1;
+                // pubdata ergs: ergs_per_pubdata is 0 (no kernel setter in
+                // this subset), so the cost term vanishes (log.rs:119)
+                auto find_slot = [&](const U256 &key, u64 addr) {
+                    for (int i = 0; i < kv_count; i++)
+                        if (kv[i].used && kv[i].addr == addr
+                            && cmp256(kv[i].key, key) == 0) return i;
+                    return -1;
+                };
+                if (sub == 0 || sub == 1) {
+                    int s = find_slot(src0.v, cur.this_addr);
+                    U256 current = (s >= 0) ? kv[s].val : z256();
+                    if (sub == 1) {
+                        if (s < 0) {
+                            if (kv_count >= KV_CAP) { status = ST_OOB; break; }
+                            s = kv_count++;
+                            kv[s] = KV{src0.v, cur.this_addr, z256(), true};
+                        }
+                        if (j_count >= J_CAP) { status = ST_OOB; break; }
+                        journal[j_count++] = JEntry{s, current};
+                        kv[s].val = src1.v;
+                        logw.record(ts_log, 0, 0,
+                                    1 | (is_first ? 4 : 0), 0,
+                                    cur.this_addr, src0.v, current, src1.v);
+                    } else {
+                        logw.record(ts_log, 0, 0, (is_first ? 4 : 0), 0,
+                                    cur.this_addr, src0.v, current, current);
+                        dst0_write(current, false);
+                    }
+                } else {
+                    if (ev_count >= EV_CAP) { status = ST_OOB; break; }
+                    u8 aux = (sub == 2) ? 2 : 3;
+                    events[ev_count++] = Event{src0.v, src1.v, ts_log, aux,
+                                               is_first, 0, false};
+                    logw.record(ts_log, aux, 0, 1 | (is_first ? 4 : 0), 0,
+                                cur.this_addr, src0.v, z256(), src1.v);
+                }
+                break;
+            }
             default:
                 status = ST_UNSUPPORTED;
                 break;
@@ -612,6 +703,36 @@ extern "C" int eravm_oracle_run(
         for (int i = 0; i < heap_words; i++)
             to_be_bytes(heap[i], heap_out + (size_t)i * 32);
     if (witness_count) *witness_count = wit.count;
+    if (log_count) *log_count = logw.count;
+    if (storage_count) {
+        int n = 0;
+        for (int i = 0; i < kv_count && storage_buf && n < storage_cap; i++) {
+            if (!kv[i].used) continue;
+            u8 *r = storage_buf + (size_t)n * 96;
+            memset(r, 0, 96);
+            for (int j = 0; j < 8; j++)
+                r[24 + j] = (u8)(kv[i].addr >> (56 - 8 * j));
+            to_be_bytes(kv[i].key, r + 32);
+            to_be_bytes(kv[i].val, r + 64);
+            n++;
+        }
+        *storage_count = n;
+    }
+    if (events_count) {
+        int n = 0;
+        for (int i = 0; i < ev_count && events_buf && n < events_cap; i++) {
+            if (events[i].cancelled) continue;
+            u8 *r = events_buf + (size_t)n * 72;
+            memset(r, 0, 72);
+            r[0] = events[i].aux; r[1] = events[i].first;
+            r[2] = (u8)(events[i].ts >> 24); r[3] = (u8)(events[i].ts >> 16);
+            r[4] = (u8)(events[i].ts >> 8); r[5] = (u8)events[i].ts;
+            to_be_bytes(events[i].key, r + 8);
+            to_be_bytes(events[i].val, r + 40);
+            n++;
+        }
+        *events_count = n;
+    }
     if (cycles_out) *cycles_out = cycle;
     if (flags_out) *flags_out = (f_lt ? 1 : 0) | (f_eq ? 2 : 0) | (f_gt ? 4 : 0);
     if (entry_ergs_out) *entry_ergs_out = last_frame_ergs;

@@ -402,12 +402,43 @@ def _random_program(rng: random.Random) -> str:
     return "\n".join(lines)
 
 
+def _random_call_program(rng: random.Random) -> str:
+    """Random program with near-call structure: a main body that calls 1-2
+    random leaf functions (some of which panic) under exception handlers."""
+    n_funcs = rng.randrange(1, 3)
+    lines = [f"add {rng.randrange(500, 4000)}, r0, r14"]
+    for i in range(n_funcs):
+        lines.append(f"near_call r14, @fn{i}, @h{i}")
+        lines.append(f"add {rng.randrange(100)}, r0, r{rng.randrange(1, 6)}")
+    lines.append("ret r0")
+    for i in range(n_funcs):
+        lines.append(f"fn{i}:")
+        body = _random_program(rng).splitlines()
+        # strip the trailing ret; keep the body short
+        lines.extend(line for line in body[:-1][:8]
+                     if "near_call" not in line)
+        if rng.random() < 0.4:
+            lines.append("panic")
+        else:
+            lines.append("ret r0")
+        lines.append(f"h{i}:")
+        lines.append(f"add {200 + i}, r0, r{10 + i}")
+        lines.append("ret r0")
+    return "\n".join(lines)
+
+
 class TestRandomDifferential:
     @pytest.mark.parametrize("seed", range(6))
     def test_random_straightline(self, seed):
         rng = random.Random(0xC0FFEE + seed)
         programs = [_random_program(rng) for _ in range(8)]
         diff_run(programs, max_cycles=128)
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_random_call_structured(self, seed):
+        rng = random.Random(0xFACADE + seed)
+        programs = [_random_call_program(rng) for _ in range(8)]
+        diff_run(programs, max_cycles=192)
 
 
 LOG_PROGRAMS = [

@@ -16,7 +16,8 @@ from era_zk_evm_tpu.models import VmConfig, make_entry_state, run_cycles
 from era_zk_evm_tpu.native import ST_DONE, run_oracle
 from era_zk_evm_tpu.utils import from_limbs
 from era_zk_evm_tpu.witness.commitment import (
-    device_queue_streams, serialize_memory_query,
+    device_log_streams, device_queue_streams, serialize_log_query,
+    serialize_memory_query,
 )
 from tests.test_batched_vm import _random_program
 
@@ -25,13 +26,7 @@ MAX_CYCLES = 160
 
 def _gen_programs(n: int, seed: int) -> list[str]:
     rng = random.Random(seed)
-    out = []
-    while len(out) < n:
-        src = _random_program(rng)
-        if "log." in src:  # native subset excludes LOG
-            continue
-        out.append(src)
-    return out
+    return [_random_program(rng) for _ in range(n)]
 
 
 class TestCrossEngineFuzz:
@@ -41,13 +36,15 @@ class TestCrossEngineFuzz:
 
         config = VmConfig(batch=len(programs), queue_capacity=MAX_CYCLES * 8,
                           heap_words=64, stack_words=2048, code_words=64,
-                          max_depth=8)
+                          max_depth=8, storage_slots=16, journal_slots=64,
+                          event_slots=64, log_queue_capacity=MAX_CYCLES)
         state = make_entry_state(config, words, ergs=1 << 20)
         state = run_cycles(state, config, MAX_CYCLES)
         assert not np.any(np.asarray(state.lane_error))
         assert np.all(np.asarray(state.done))
 
         streams = device_queue_streams(state)
+        log_streams = device_log_streams(state)
         regs = np.asarray(state.regs)
         tags = np.asarray(state.reg_ptr)
         flags = np.asarray(state.flags)
@@ -69,3 +66,5 @@ class TestCrossEngineFuzz:
             assert got_heap == native["heap"], b
             device_records = [serialize_memory_query(q) for q in streams[b]]
             assert device_records == native["witness_records"], b
+            device_logs = [serialize_log_query(q) for q in log_streams[b]]
+            assert device_logs == native["log_records"], b

@@ -8,9 +8,32 @@ import pytest
 from era_zk_evm_tpu.isa.assembler import assemble_to_code_words
 from era_zk_evm_tpu.native import ST_DONE, run_oracle
 from era_zk_evm_tpu.testing.harness import run_golden_like
-from era_zk_evm_tpu.witness.commitment import serialize_memory_query
+from era_zk_evm_tpu.witness.commitment import (
+    serialize_log_query, serialize_memory_query,
+)
 
 PROGRAMS = [
+    # storage + events with near-call rollback
+    """
+    add 5, r0, r1
+    add 70, r0, r2
+    log.swrite r1, r2
+    log.sread r1, r3
+    log.event.first r1, r2
+    log.to_l1 r2, r1
+    add 3000, r0, r9
+    near_call r9, @m, @h
+    done:
+    log.sread r1, r4
+    ret r0
+    m:
+    add 99, r0, r3
+    log.swrite r1, r3
+    log.event r3, r3
+    panic
+    h:
+    jump @done
+    """,
     """
     add 7, r0, r1
     add 35, r0, r2
@@ -118,6 +141,21 @@ def _compare(src: str, max_cycles: int = 256) -> None:
                     for _, q in tools.witness.memory_queries]
     assert native["witness_count"] == len(want_records)
     assert native["witness_records"] == want_records
+    # LOG-family observables
+    want_logs = [serialize_log_query(q) for _, q in tools.witness.log_queries]
+    assert native["log_records"] == want_logs
+    for shard in range(len(vm.storage.inner)):
+        for address, slots in vm.storage.inner[shard].items():
+            for key, val in slots.items():
+                assert native["storage"].get((address, key), 0) == val
+    _, want_events, want_l1 = __import__(
+        "era_zk_evm_tpu.testing.differential",
+        fromlist=["_flatten_copy"])._flatten_copy(tools)
+    want_all = [(2, e.is_first, e.key, e.value) for e in want_events] \
+        + [(3, e.is_first, e.key, e.value) for e in want_l1]
+    got_all = [(e["aux"], e["is_first"], e["key"], e["value"])
+               for e in native["events"]]
+    assert sorted(got_all) == sorted(want_all)
     # entry-frame leftover ergs returned to the root (the golden root frame
     # started at VM_INITIAL_FRAME_ERGS - ergs; the native root starts at 0)
     from era_zk_evm_tpu.isa import params
@@ -136,13 +174,5 @@ class TestNativeOracle:
         from tests.test_batched_vm import _random_program
 
         rng = random.Random(0xBEEF)
-        checked = 0
-        for _ in range(200):
-            src = _random_program(rng)
-            if "log." in src:  # native subset excludes LOG
-                continue
-            _compare(src, max_cycles=192)
-            checked += 1
-            if checked >= 12:
-                break
-        assert checked >= 12
+        for _ in range(20):
+            _compare(_random_program(rng), max_cycles=192)
