@@ -38,3 +38,24 @@ def batch_from_limbs(arr) -> list[int]:
     """uint32[B, 8] -> [B] ints."""
     arr = np.asarray(arr, dtype=np.uint32)
     return [from_limbs(arr[i]) for i in range(arr.shape[0])]
+
+
+def contract_bytecode_to_words(code: bytes) -> list[int]:
+    """32-byte BE chunks -> u256 word list (utils.rs:12-34 role); pads the
+    tail chunk with zeros."""
+    words = []
+    for i in range(0, len(code), 32):
+        chunk = code[i:i + 32].ljust(32, b"\x00")
+        words.append(int.from_bytes(chunk, "big"))
+    return words
+
+
+def address_to_u256(address: int) -> int:
+    """160-bit address -> u256 (utils.rs:36-41 role; addresses are ints
+    throughout this framework, so this is a masked identity)."""
+    return address & ((1 << 160) - 1)
+
+
+def u256_to_address(value: int) -> int:
+    """u256 -> 160-bit address, truncating high bits (utils.rs:43-48 role)."""
+    return value & ((1 << 160) - 1)
