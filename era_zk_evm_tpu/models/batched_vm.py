@@ -103,6 +103,17 @@ def _scatter_rows(arr, idx, values, mask):
     return jnp.where(oh, vals, arr)
 
 
+def _occupancy_cond(enabled: bool, pred, true_fn, false_fn, operand):
+    """Batch-occupancy gating for arena sweeps: skips untouched arenas on
+    cycles where no lane needs them (a big win for sparse opcode mixes), but
+    measurably de-optimizes the rolling-commitment pipeline (the per-slot
+    sponge conds stop fusing with cond-produced record values), so callers
+    disable it when that mode is on."""
+    if not enabled:
+        return true_fn(operand)
+    return jax.lax.cond(pred, true_fn, false_fn, operand)
+
+
 def _addr_is_kernel(addr5):
     """uint32[B,5] 160-bit address < 2^16?"""
     high_zero = jnp.all(addr5[:, 1:] == 0, axis=1)
@@ -366,15 +377,15 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     do_src0_mem_read = (src0_is_stack_mem | src0_code) & ~is_nop_op
 
     src0_phys, src0_in_window = _map_stack_index(config, src0_loc)
-    any_stack_read = jnp.any(do_src0_mem_read & src0_is_stack_mem)
-    stack_val, stack_tag = jax.lax.cond(
-        any_stack_read,
+    gate = not config.rolling_commitment
+    stack_val, stack_tag = _occupancy_cond(
+        gate, jnp.any(do_src0_mem_read & src0_is_stack_mem),
         lambda _: (_gather_rows(state.stack, src0_phys),
                    _gather_rows(state.stack_ptr_tag, src0_phys)),
         lambda _: (jnp.zeros((B, 8), dtype=U32), jnp.zeros((B,), dtype=BOOL)),
         None)
-    code_val = jax.lax.cond(
-        jnp.any(do_src0_mem_read & src0_code),
+    code_val = _occupancy_cond(
+        gate, jnp.any(do_src0_mem_read & src0_code),
         lambda _: _gather_rows(state.code,
                                code_slot * config.code_words + src0_loc),
         lambda _: jnp.zeros((B, 8), dtype=U32), None)
@@ -631,8 +642,8 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
                    jnp.zeros((B, 8), dtype=U32))
         return w0r, w1r
 
-    w0, w1 = jax.lax.cond(
-        jnp.any(do_mem), uma_reads,
+    w0, w1 = _occupancy_cond(
+        not config.rolling_commitment, jnp.any(do_mem), uma_reads,
         lambda _: (jnp.zeros((B, 8), dtype=U32), jnp.zeros((B, 8), dtype=U32)),
         None)
 
@@ -1431,8 +1442,8 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     dst0_to_stack = dst0_write & dst0_is_stack_mem & active
     dst0_phys, dst0_in_window = _map_stack_index(config, dst0_loc)
     lane_error = lane_error | (dst0_to_stack & ~dst0_in_window)
-    new_stack, new_stack_tag = jax.lax.cond(
-        jnp.any(dst0_to_stack),
+    new_stack, new_stack_tag = _occupancy_cond(
+        not config.rolling_commitment, jnp.any(dst0_to_stack),
         lambda sv: (_scatter_rows(sv[0], dst0_phys, dst0_val, dst0_to_stack),
                     _scatter_rows(sv[1], dst0_phys, dst0_is_ptr,
                                   dst0_to_stack)),
@@ -1442,14 +1453,14 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     w_heap1 = w_heap0 & is_unaligned
     w_aux0 = uma_do_write & use_aux_arena & active
     w_aux1 = w_aux0 & is_unaligned
-    new_heap = jax.lax.cond(
-        jnp.any(w_heap0),
+    new_heap = _occupancy_cond(
+        not config.rolling_commitment, jnp.any(w_heap0),
         lambda h: _scatter_rows(_scatter_rows(h, h_base + word0, new_w0,
                                               w_heap0),
                                 h_base + word1, new_w1, w_heap1),
         lambda h: h, state.heap)
-    new_aux = jax.lax.cond(
-        jnp.any(w_aux0),
+    new_aux = _occupancy_cond(
+        not config.rolling_commitment, jnp.any(w_aux0),
         lambda a: _scatter_rows(_scatter_rows(a, a_base + word0, new_w0,
                                               w_aux0),
                                 a_base + word1, new_w1, w_aux1),
