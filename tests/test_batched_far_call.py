@@ -331,3 +331,59 @@ class TestNestedFarCalls:
         dest: .word {CALLEE}
         """
         diff_run([prog], contracts=NESTED_CONTRACTS, max_cycles=200)
+
+
+def _random_far_call_scenario(seed: int):
+    """Random callee contracts + random callers exercising the call protocol."""
+    import random
+
+    from tests.test_batched_vm import _random_program
+
+    rng = random.Random(seed)
+    addrs = [0x20000 + 0x111 * i for i in range(2)]
+    contracts = []
+    for address in addrs:
+        body = [ln for ln in _random_program(rng).splitlines()[:-1][:10]
+                if "near_call" not in ln]
+        exit_kind = rng.randrange(3)
+        if exit_kind == 0:
+            tail = ["ld.ptr r1, r5", "add 1, r0, r6", "add r5, r6, r5",
+                    "st.h 0, r5", "add code[@rabi], r0, r7", "ret r7",
+                    f"rabi: .word {ret_abi(0, 32)}"]
+        elif exit_kind == 1:
+            tail = ["add 7, r0, r5", "st.h 0, r5",
+                    "add code[@rabi], r0, r7", "revert r7",
+                    f"rabi: .word {ret_abi(0, 32)}"]
+        else:
+            tail = ["ret r0"]
+        contracts.append((address, "\n".join(body + tail)))
+
+    callers = []
+    for _ in range(6):
+        target = rng.choice(addrs)
+        ergs_mode = rng.choice([PASS_ALL, 0, rng.randrange(500, 5000)])
+        pre = [ln for ln in _random_program(rng).splitlines()[:-1][:6]
+               if "near_call" not in ln]
+        callers.append("\n".join(pre + [
+            f"add {rng.randrange(1, 1000)}, r0, r3",
+            "st.h 0, r3",
+            "add code[@abi], r0, r4",
+            "add code[@dest], r0, r2",
+            "far_call r4, r2, @on_fail",
+            "ld.ptr r1, r10",
+            "add 1, r0, r11",
+            "ret r0",
+            "on_fail:",
+            "add 99, r0, r9",
+            "ret r0",
+            f"abi: .word {fc_abi(ergs=ergs_mode, length=32)}",
+            f"dest: .word {target}",
+        ]))
+    return callers, contracts
+
+
+class TestRandomFarCalls:
+    def test_random_scenarios(self):
+        for seed in (0xAB1, 0xAB2):
+            callers, contracts = _random_far_call_scenario(seed)
+            diff_run(callers, contracts=contracts, max_cycles=192)
