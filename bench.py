@@ -134,6 +134,68 @@ def bench_storage(batch: int, n_cycles: int) -> float:
     return batch * n_cycles / (time.time() - t0)
 
 
+def bench_farcall(batch: int = 16384, n_calls: int = 12) -> float:
+    """Far-call/decommit-heavy workload (driver config 4 shape)."""
+    from era_zk_evm_tpu.isa import params
+    from era_zk_evm_tpu.isa.abi import (
+        FarCallABI, FatPointer, ForwardingMode, RetABI, code_hash_for_bytecode,
+    )
+    from era_zk_evm_tpu.models.state import populate_code_bank, populate_storage
+
+    callee_addr = 0x20042
+    r_abi = RetABI(FatPointer(0, 0, 0, 32), ForwardingMode.USE_HEAP).to_u256()
+    f_abi = FarCallABI(FatPointer(0, 0, 0, 32), (1 << 32) - 1, 0,
+                       ForwardingMode.USE_HEAP, False, False).to_u256()
+    callee_words = assemble_to_code_words(f"""
+        ld.ptr r1, r5
+        add 1, r0, r6
+        add r5, r6, r5
+        st.h 0, r5
+        add code[@rabi], r0, r7
+        ret r7
+        rabi: .word {r_abi}
+    """)
+    h = code_hash_for_bytecode(callee_words)
+    caller = assemble_to_code_words(f"""
+        add 1, r0, r10
+        add code[@n], r0, r13
+        add 0, r0, r3
+        loop:
+        st.h 0, r3
+        add code[@abi], r0, r4
+        add code[@dest], r0, r2
+        far_call r4, r2, @fail
+        ld.ptr r1, r3
+        sub! r13, r10, r13
+        jump.if_ne @loop
+        ret r0
+        fail:
+        panic
+        abi: .word {f_abi}
+        dest: .word {callee_addr}
+        n: .word 4096
+    """)
+    config = VmConfig(batch=batch, code_words=16, stack_words=256,
+                      stack_abs_words=64, stack_sp_base=960, heap_words=16,
+                      aux_heap_words=8, max_depth=8, queue_capacity=0,
+                      storage_slots=4, journal_slots=8, event_slots=8,
+                      heap_frames=n_calls + 2, code_pages=2)
+    entries = [(0, params.DEPLOYER_SYSTEM_CONTRACT_ADDRESS, callee_addr, h)]
+
+    def fresh():
+        s = make_entry_state(config, [caller] * batch, ergs=(1 << 31) - 1)
+        s = populate_storage(s, config, [entries] * batch)
+        return populate_code_bank(s, config, [[(h, callee_words)]] * batch)
+
+    n_cycles = n_calls * 12
+    jax.block_until_ready(run_cycles(fresh(), config, n_cycles))
+    state = fresh()
+    jax.block_until_ready(state)
+    t0 = time.time()
+    jax.block_until_ready(run_cycles(state, config, n_cycles))
+    return batch * n_cycles / (time.time() - t0)
+
+
 def bench_rolling(batch: int, n_cycles: int) -> float:
     """Witness-committed mode: rolling sponge per query, no queue arrays."""
     config = VmConfig(batch=batch, code_words=16, stack_words=256,
@@ -198,6 +260,8 @@ def main() -> None:
     print(f"storage/event workload: {storage_rate:.0f} cycles/s", file=sys.stderr)
     rolling_rate = bench_rolling(batch, n_cycles)
     print(f"rolling-commitment mode: {rolling_rate:.0f} cycles/s", file=sys.stderr)
+    farcall_rate = bench_farcall()
+    print(f"far-call/decommit workload: {farcall_rate:.0f} cycles/s", file=sys.stderr)
 
     value = traced["cycles_per_sec"]
     print(json.dumps({
