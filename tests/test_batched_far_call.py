@@ -387,3 +387,84 @@ class TestRandomFarCalls:
         for seed in (0xAB1, 0xAB2):
             callers, contracts = _random_far_call_scenario(seed)
             diff_run(callers, contracts=contracts, max_cycles=192)
+
+
+EDGE_CONTRACT = [(CALLEE, f"""
+    ld.ptr r1, r5
+    st.h 0, r5
+    st.h 32, r5
+    add code[@rabi], r0, r7
+    ret r7                    ; 40-byte returndata (unaligned length)
+    rabi: .word {ret_abi(0, 40)}
+""")]
+
+
+class TestFatPointerEdges:
+    def test_tail_masking_and_oob_reads(self):
+        # returndata is 40 bytes: reads near/past the bound exercise the
+        # beyond-bound tail masking (uma.rs:305-320) and the silent-zero skip
+        prog = f"""
+        add code[@v], r0, r3
+        st.h 0, r3
+        add code[@abi], r0, r4
+        add code[@dest], r0, r2
+        far_call r4, r2, @fail
+        ld.ptr r1, r10          ; offset 0: full word, last 24 bytes masked?
+                                ; no: length 40 -> offset 0..8 unmasked
+        add 8, r0, r3
+        ptr.add r1, r3, r6
+        ld.ptr r6, r11          ; offset 8: 32 bytes fully in bounds
+        add 9, r0, r3
+        ptr.add r1, r3, r6
+        ld.ptr r6, r12          ; offset 9: tail byte masked
+        add 39, r0, r3
+        ptr.add r1, r3, r6
+        ld.ptr r6, r13          ; offset 39: last byte only
+        add 40, r0, r3
+        ptr.add r1, r3, r6
+        ld.ptr r6, r14          ; offset == length: out of bounds -> 0
+        add 2, r0, r3
+        ptr.shrink r1, r3, r6   ; length 38
+        add 7, r0, r3
+        ptr.add r6, r3, r6
+        ld.ptr r6, r15          ; offset 7 with shrunk length 38
+        ret r0
+        fail:
+        panic
+        abi: .word {fc_abi(length=32)}
+        dest: .word {CALLEE}
+        v: .word 0x0102030405060708090A0B0C0D0E0F101112131415161718191A1B1C1D1E1F20
+        """
+        diff_run([prog], contracts=EDGE_CONTRACT, max_cycles=192)
+
+    def test_unaligned_calldata_window(self):
+        # calldata with byte-granular ptr.add offsets: unaligned two-word reads
+        prog = f"""
+        add code[@v], r0, r3
+        st.h 0, r3
+        add code[@w], r0, r5
+        st.h 32, r5
+        add code[@abi], r0, r4
+        add code[@dest2], r0, r2
+        far_call r4, r2, @fail
+        add 1, r0, r8
+        ret r0
+        fail:
+        panic
+        abi: .word {fc_abi(length=64)}
+        dest2: .word 0x30011
+        v: .word 0x1111111111111111222222222222222233333333333333334444444444444444
+        w: .word 0x5555555555555555666666666666666677777777777777778888888888888888
+        """
+        callee = [(0x30011, """
+            add 3, r0, r9
+            ptr.add r1, r9, r6
+            ld.ptr r6, r5          ; unaligned read spanning both words
+            st.h 0, r5
+            add 31, r0, r9
+            ptr.add r1, r9, r6
+            ld.ptr r6, r7          ; maximal unalignment
+            st.h 32, r7
+            ret r0
+        """)]
+        diff_run([prog], contracts=callee, max_cycles=192)
