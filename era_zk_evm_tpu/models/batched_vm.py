@@ -929,8 +929,86 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
         pp_write2_h = pp_write_h & is_ec_pc
         pp_write2_a = pp_write_a & is_ec_pc
         pp_key = src0.at[:, 4].set(pp_page_r).at[:, 5].set(pp_page_w)
+
+        # ---- precompile round-witness queue (mem_in/mem_out streams) ----
+        # (reference: add_precompile_call_result hook, helpers.rs:211-221;
+        # golden: GoldenPrecompilesProcessor.execute_precompile emission)
+        pq_meta, pq_value, pq_flags = state.pq_meta, state.pq_value, state.pq_flags
+        pq_count, pq_blocks = state.pq_count, state.pq_blocks
+        if config.precompile_queue_capacity > 0:
+            from .state import precompile_queue_slots
+
+            PS_IN, PS_OUT = precompile_queue_slots(config)
+            PS = PS_IN + PS_OUT
+            cap_p = config.precompile_queue_capacity
+            blocks0 = jnp.min(pq_blocks)
+            p_base = jnp.minimum(blocks0 * PS, cap_p - PS)
+            p_overflow = blocks0 * PS > cap_p - PS
+            # input words are consecutive from the call's first word
+            first_word_q = jnp.where(is_keccak_pc, pp_in_off >> 5, pp_in_off)
+            kq_words = jnp.where(
+                pp_in_len == 0, 0,
+                ((pp_in_off + pp_in_len - 1) >> 5) - (pp_in_off >> 5) + 1)
+            n_words = jnp.where(is_keccak_pc, kq_words,
+                                jnp.where(is_sha_pc, 2 * pp_rounds,
+                                          jnp.uint32(4)))
+            rounds_q = jnp.where(is_keccak_pc, kc_blocks,
+                                 jnp.where(is_sha_pc, pp_rounds,
+                                           jnp.uint32(1)))
+            emit = pp_any & ~p_overflow
+            lane_error = lane_error | (pp_any & p_overflow) \
+                | (emit & (n_words > PS_IN))
+
+            def in_vals_unit(_):
+                return jnp.stack(
+                    [read_in_word(first_word_q + i) for i in range(PS_IN)],
+                    axis=1)
+
+            in_vals = jax.lax.cond(
+                jnp.any(emit), in_vals_unit,
+                lambda _: jnp.zeros((B, PS_IN, 8), dtype=U32), None)
+
+            ts_pread = ts_log            # reads at +1 (first decommit/pc read)
+            ts_pwrite = ts_log + 1       # writes at +2
+            meta_rows, val_rows, flag_rows = [], [], []
+            for i in range(PS_IN):
+                v = emit & (i < n_words)
+                meta_rows.append(jnp.stack(
+                    [jnp.where(v, ts_pread, 0),
+                     jnp.where(v, jnp.uint32(3), 0),       # FAT_POINTER
+                     jnp.where(v, pp_page_r, 0),
+                     jnp.where(v, first_word_q + i, 0)], axis=1))
+                val_rows.append(jnp.where(v[:, None], in_vals[:, i], 0))
+                flag_rows.append(v.astype(U32) << 2)
+            out_specs = [(emit, pp_out_idx, pp_out_val, True)]
+            if PS_OUT == 2:
+                out_specs.append((emit & is_ec_pc, pp_out_idx + 1,
+                                  pp_out_val2, False))
+            for v, oidx, oval, first_out in out_specs:
+                meta_rows.append(jnp.stack(
+                    [jnp.where(v, ts_pwrite, 0),
+                     jnp.where(v, jnp.uint32(1), 0),       # HEAP
+                     jnp.where(v, pp_page_w, 0),
+                     jnp.where(v, oidx, 0)], axis=1))
+                val_rows.append(jnp.where(v[:, None], oval, 0))
+                fl = v.astype(U32) | (v.astype(U32) << 2)
+                if first_out:  # rounds witness rides on the first out slot
+                    fl = fl | jnp.where(v, rounds_q << 3, 0)
+                flag_rows.append(fl)
+            pq_meta = jax.lax.dynamic_update_slice(
+                pq_meta, jnp.stack(meta_rows, axis=1), (0, p_base, 0))
+            pq_value = jax.lax.dynamic_update_slice(
+                pq_value, jnp.stack(val_rows, axis=1), (0, p_base, 0))
+            pq_flags = jax.lax.dynamic_update_slice(
+                pq_flags, jnp.stack(flag_rows, axis=1), (0, p_base))
+            n_out = 1 + (emit & is_ec_pc).astype(I32) if PS_OUT == 2 else 1
+            pq_count = pq_count + jnp.where(
+                emit, n_words.astype(I32) + n_out, 0)
+            pq_blocks = pq_blocks + jnp.any(pp_any).astype(I32)
     else:
         pp_key = src0
+        pq_meta, pq_value, pq_flags = state.pq_meta, state.pq_value, state.pq_flags
+        pq_count, pq_blocks = state.pq_count, state.pq_blocks
 
     # ---------------- near call (near_call.rs) ----------------
     nc_abi = src0[:, 0]
@@ -1721,6 +1799,9 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
         lq_meta=lq_meta, lq_addr=lq_addr, lq_key=lq_key, lq_read=lq_read,
         lq_written=lq_written,
         lq_count=jnp.where(frozen, state.lq_count, lq_count),
+        pq_meta=pq_meta, pq_value=pq_value, pq_flags=pq_flags,
+        pq_count=jnp.where(frozen, state.pq_count, pq_count),
+        pq_blocks=pq_blocks,
         hp_page=new_hp_page, ap_page=new_ap_page,
         frame_count=jnp.where(frozen, state.frame_count, new_frame_count),
         page_counter=jnp.where(frozen, state.page_counter, new_page_counter),

@@ -54,6 +54,11 @@ class VmConfig:
     precompile_keccak_blocks: int = 0  # max 136-byte blocks (0 = disabled)
     precompile_sha_rounds: int = 0     # max 64-byte rounds per call
     precompile_ecrecover: bool = False  # secp256k1 recovery in-cycle
+    #: precompile round-witness queue: the mem_in/mem_out MemoryQuery streams
+    #: of each precompile call (reference: add_precompile_call_result,
+    #: helpers.rs:211-221) recorded in their own queue family.  One block of
+    #: `precompile_queue_slots(config)` slots per precompile-emitting cycle.
+    precompile_queue_capacity: int = 0
     #: streaming memory-queue commitment: one keccak-f absorb per query
     #: (witness/commitment.py rolling spec); O(1) memory, unbounded streams
     rolling_commitment: bool = False
@@ -66,6 +71,25 @@ class VmConfig:
                 < self.stack_sp_base + self.stack_words - self.stack_abs_words
         if self.queue_capacity:
             assert self.queue_capacity % 8 == 0
+        if self.precompile_queue_capacity:
+            ps_in, ps_out = precompile_queue_slots(self)
+            assert self.precompile_queue_capacity >= ps_in + ps_out
+
+
+def precompile_queue_slots(config: VmConfig) -> tuple[int, int]:
+    """(input, output) witness slots per precompile call, from the config's
+    precompile limits.  Input words are consecutive from the call's first
+    word: keccak covers ceil bytes over 136*blocks-1 max, sha reads 2 words
+    per round, ecrecover reads 4; outputs are 1 word (2 for ecrecover)."""
+    ins = 1
+    if config.precompile_keccak_blocks:
+        ins = max(ins, (config.precompile_keccak_blocks * 136 + 61) // 32)
+    if config.precompile_sha_rounds:
+        ins = max(ins, 2 * config.precompile_sha_rounds)
+    if config.precompile_ecrecover:
+        ins = max(ins, 4)
+    outs = 2 if config.precompile_ecrecover else 1
+    return ins, outs
 
 
 # callstack scalar fields, all uint32[B, D]
@@ -172,6 +196,15 @@ class BatchedVmState:
     lq_read: jax.Array               # u32[B, LQ, 8]
     lq_written: jax.Array            # u32[B, LQ, 8]
     lq_count: jax.Array              # i32[B]
+    # precompile round-witness queue: mem_in/mem_out query records per call
+    pq_meta: jax.Array               # u32[B, PQ, 4]: ts, type, page, index
+    pq_value: jax.Array              # u32[B, PQ, 8]
+    pq_flags: jax.Array              # u32[B, PQ]: bit0 rw, bit2 valid,
+    #                                  bits 3+ round count (first out slot)
+    pq_count: jax.Array              # i32[B]
+    pq_blocks: jax.Array             # i32[B] — uniform block clock (like
+    #                                  global_step, advanced only on cycles
+    #                                  where some lane ran a precompile)
 
 
 CS = {name: i for i, name in enumerate(CS_SCALAR_FIELDS)}
@@ -245,6 +278,11 @@ def empty_state(config: VmConfig) -> BatchedVmState:
         lq_read=z((B, config.log_queue_capacity, 8)),
         lq_written=z((B, config.log_queue_capacity, 8)),
         lq_count=jnp.zeros((B,), dtype=I32),
+        pq_meta=z((B, config.precompile_queue_capacity, 4)),
+        pq_value=z((B, config.precompile_queue_capacity, 8)),
+        pq_flags=z((B, config.precompile_queue_capacity)),
+        pq_count=jnp.zeros((B,), dtype=I32),
+        pq_blocks=jnp.zeros((B,), dtype=I32),
     )
     # root frames: empty context with the initial ergs budget
     root = state.cs_scalars

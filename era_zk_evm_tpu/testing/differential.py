@@ -293,6 +293,34 @@ def diff_run(sources: list[str], config: VmConfig | None = None,
                 _check(from_limbs(dq_hash[b, s]) == q.hash, b, tag + ".hash",
                        hex(from_limbs(dq_hash[b, s])), hex(q.hash))
 
+        if config.precompile_queue_capacity > 0:
+            from ..witness.commitment import (
+                device_precompile_rounds, device_precompile_streams,
+                flatten_precompile_calls,
+            )
+
+            want_pre = flatten_precompile_calls(tools.witness.precompile_calls)
+            got_pre = device_precompile_streams(state)[b]
+            _check(len(got_pre) == len(want_pre), b, "precompile query count",
+                   len(got_pre), len(want_pre))
+            for i, (g, q) in enumerate(zip(got_pre, want_pre)):
+                tag = f"precompile[{i}]"
+                _check(g.timestamp == q.timestamp, b, tag + ".ts",
+                       g.timestamp, q.timestamp)
+                _check(int(g.memory_type) == int(q.memory_type), b,
+                       tag + ".type", int(g.memory_type), int(q.memory_type))
+                _check(g.page == q.page, b, tag + ".page", g.page, q.page)
+                _check(g.index == q.index, b, tag + ".index", g.index, q.index)
+                _check(g.value == q.value, b, tag + ".value",
+                       hex(g.value), hex(q.value))
+                _check(g.rw_flag == q.rw_flag, b, tag + ".rw",
+                       g.rw_flag, q.rw_flag)
+            want_rounds = [c.round_witness.rounds
+                           for c in tools.witness.precompile_calls]
+            got_rounds = device_precompile_rounds(state, config)[b]
+            _check(got_rounds == want_rounds, b, "precompile rounds",
+                   got_rounds, want_rounds)
+
         if compare_witness:
             want_stream = [q for _, q in tools.witness.memory_queries]
             n = int(wq_count[b])

@@ -217,6 +217,65 @@ def device_decommit_streams(state) -> list[list]:
     return out
 
 
+def device_precompile_streams(state) -> list[list[MemoryQuery]]:
+    """Per-lane mem_in/mem_out MemoryQuery streams of every precompile call,
+    flattened in call order (mem_in records then mem_out records per call;
+    the golden counterpart is `flatten_precompile_calls`)."""
+    from ..golden.queries import MemoryType
+    from ..utils import from_limbs
+
+    pq_meta = np.asarray(state.pq_meta)
+    pq_value = np.asarray(state.pq_value)
+    pq_flags = np.asarray(state.pq_flags)
+    B, PQ = pq_flags.shape
+    streams: list[list[MemoryQuery]] = []
+    for b in range(B):
+        lane: list[MemoryQuery] = []
+        for s in np.nonzero(pq_flags[b] & 4)[0]:
+            ts, mtype, page, index = (int(x) for x in pq_meta[b, s])
+            lane.append(MemoryQuery(
+                timestamp=ts, memory_type=MemoryType(mtype), page=page,
+                index=index, value=from_limbs(pq_value[b, s]),
+                value_is_pointer=False,
+                rw_flag=bool(pq_flags[b, s] & 1)))
+        streams.append(lane)
+    return streams
+
+
+def device_precompile_rounds(state, config) -> list[list[int]]:
+    """Per-lane round counts (PrecompileCyclesWitness equivalent), one per
+    call, read from each block's first output slot (flags bits 3+)."""
+    from ..models.state import precompile_queue_slots
+
+    ps_in, ps_out = precompile_queue_slots(config)
+    ps = ps_in + ps_out
+    pq_flags = np.asarray(state.pq_flags)
+    out = []
+    for b in range(pq_flags.shape[0]):
+        rounds = []
+        for base in range(0, pq_flags.shape[1] - ps + 1, ps):
+            f = int(pq_flags[b, base + ps_in])
+            if f & 4:
+                rounds.append(f >> 3)
+        out.append(rounds)
+    return out
+
+
+def flatten_precompile_calls(precompile_calls) -> list[MemoryQuery]:
+    """Golden-side counterpart: tracer PrecompileCallResult list -> the dense
+    per-lane stream (mem_in then mem_out per call, call order)."""
+    stream: list[MemoryQuery] = []
+    for call in precompile_calls:
+        stream.extend(call.mem_in)
+        stream.extend(call.mem_out)
+    return stream
+
+
+def commit_precompile_queue(queries: list[MemoryQuery]) -> bytes:
+    """Same 64-byte record serialization as the memory queue."""
+    return keccak256(b"".join(serialize_memory_query(q) for q in queries))
+
+
 def commit_device_queues(state) -> tuple[list[bytes], bytes]:
     """(per-lane memory-queue commitments, block commitment)."""
     lanes = [commit_memory_queue(s) for s in device_queue_streams(state)]
@@ -228,8 +287,14 @@ def commit_all_device_queues(state) -> dict:
     mem = [commit_memory_queue(s) for s in device_queue_streams(state)]
     logs = [commit_log_queue(s) for s in device_log_streams(state)]
     dec = [commit_decommitter_queue(s) for s in device_decommit_streams(state)]
-    return {
+    out = {
         "memory_lanes": mem, "memory_block": block_commitment(mem),
         "log_lanes": logs, "log_block": block_commitment(logs),
         "decommitter_lanes": dec, "decommitter_block": block_commitment(dec),
     }
+    if state.pq_flags.shape[1] > 0:
+        pre = [commit_precompile_queue(s)
+               for s in device_precompile_streams(state)]
+        out["precompile_lanes"] = pre
+        out["precompile_block"] = block_commitment(pre)
+    return out

@@ -210,3 +210,111 @@ class TestDeviceEcrecover:
         config = dataclasses.replace(_config(1, 96), precompile_ecrecover=True)
         diff_run([prog], config=config, max_cycles=96, ergs=1 << 20,
                  entry_address=params.ECRECOVER_INNER_FUNCTION_PRECOMPILE_ADDRESS)
+
+
+class TestPrecompileRoundWitness:
+    """Device precompile mem_in/mem_out queue vs the golden tracer's
+    add_precompile_call_result streams (checked inside diff_run when
+    `precompile_queue_capacity` is enabled)."""
+
+    def test_keccak_and_sha_round_witness(self):
+        import dataclasses
+
+        data4 = (0x61626364).to_bytes(4, "big")
+        msg = b"abc"
+        block = msg + b"\x80" + b"\x00" * (64 - len(msg) - 1 - 8) \
+            + (len(msg) * 8).to_bytes(8, "big")
+        programs = [
+            # keccak: unaligned byte offset 3, 40 bytes spanning two words,
+            # then an empty-input call (no mem_in, one mem_out each)
+            f"""
+            add code[@w0], r0, r2
+            st.h 0, r2
+            add code[@w1], r0, r3
+            st.h 32, r3
+            add code[@abi], r0, r4
+            log.precompile r4, r0, r5
+            add code[@abi2], r0, r6
+            log.precompile r6, r0, r7
+            ret r0
+            abi: .word {keccak_abi(3, 40, 3)}
+            abi2: .word {keccak_abi(0, 0, 5)}
+            w0: .word {int.from_bytes(bytes(range(32)), 'big')}
+            w1: .word {int.from_bytes(bytes(range(32, 64)), 'big')}
+            """,
+            # keccak: 4 bytes aligned
+            f"""
+            add code[@d], r0, r2
+            st.h 0, r2
+            add code[@abi], r0, r4
+            log.precompile r4, r0, r5
+            ret r0
+            abi: .word {keccak_abi(0, 4, 2)}
+            d: .word {int.from_bytes(data4 + bytes(28), 'big')}
+            """,
+            # sha256: one round (2 mem_in words, 1 mem_out)
+            f"""
+            add code[@w0], r0, r2
+            st.h 0, r2
+            add code[@w1], r0, r3
+            st.h 32, r3
+            add code[@abi], r0, r4
+            log.precompile r4, r0, r5
+            ret r0
+            abi: .word {sha_abi(0, 1, 2)}
+            w0: .word {int.from_bytes(block[:32], 'big')}
+            w1: .word {int.from_bytes(block[32:], 'big')}
+            """,
+        ]
+        # PS = 14 in-slots (3 keccak blocks) + 1 out-slot; 2 emitting cycles
+        config = dataclasses.replace(_config(len(programs), 96),
+                                     precompile_queue_capacity=15 * 4)
+        diff_run(programs, config=config, max_cycles=96, ergs=1 << 20,
+                 entry_address=params.KECCAK256_ROUND_FUNCTION_PRECOMPILE_ADDRESS)
+
+    def test_ecrecover_round_witness(self):
+        import dataclasses
+
+        from era_zk_evm_tpu.golden.precompiles import (
+            SECP_GX, SECP_GY, SECP_N, _ec_mul, _inv_mod, keccak256,
+        )
+        from era_zk_evm_tpu.isa.abi import PrecompileCallABI
+
+        d = 0xC0FFEE0DDF00DC0FFEE0DDF00DC0FFEE0DDF00DC0FFEE0DDF00DC0FFEE0DD01
+        digest = int.from_bytes(keccak256(b"round witness"), "big")
+        k = 0x8BADF00D8BADF00D8BADF00D8BADF00D8BADF00D8BADF00D8BADF00D8BADF00D
+        R = _ec_mul(k, (SECP_GX, SECP_GY))
+        r = R[0] % SECP_N
+        s = _inv_mod(k, SECP_N) * (digest + r * d) % SECP_N
+        v = R[1] & 1
+        if s > SECP_N // 2:
+            s = SECP_N - s
+            v ^= 1
+        abi = PrecompileCallABI(
+            input_memory_offset=0, input_memory_length=4,
+            output_memory_offset=4, output_memory_length=2,
+            memory_page_to_read=0, memory_page_to_write=0,
+            precompile_interpreted_data=0).to_u256()
+        prog = f"""
+            add code[@dg], r0, r2
+            st.h 0, r2
+            add {v}, r0, r3
+            st.h 32, r3
+            add code[@sr], r0, r4
+            st.h 64, r4
+            add code[@ss], r0, r5
+            st.h 96, r5
+            add code[@abi], r0, r6
+            log.precompile r6, r0, r7
+            ret r0
+            abi: .word {abi}
+            dg: .word {digest}
+            sr: .word {r}
+            ss: .word {s}
+        """
+        # ecrecover: 4 in + 2 out slots -> PS = 16 with keccak blocks cfg
+        config = dataclasses.replace(_config(1, 96),
+                                     precompile_ecrecover=True,
+                                     precompile_queue_capacity=16 * 2)
+        diff_run([prog], config=config, max_cycles=96, ergs=1 << 20,
+                 entry_address=params.ECRECOVER_INNER_FUNCTION_PRECOMPILE_ADDRESS)
