@@ -3,17 +3,23 @@
 // interpreter for high-volume differential fuzzing, and the machine's real
 // measured single-core witness-traced baseline for bench.py.
 //
-// Round-1 subset (mirrors golden/vm.py exactly): NOP ADD SUB MUL DIV JUMP
-// CONTEXT SHIFT BINOP PTR NEAR_CALL RET(local+entry) UMA(heap/aux).
-// LOG / FAR_CALL / fat-pointer UMA terminate with ST_UNSUPPORTED.
+// Coverage: all 15 opcode families EXCEPT Log.precompile (the three hash
+// precompiles stay Python/TPU-side): NOP ADD SUB MUL DIV JUMP CONTEXT(all 10
+// sub-ops) SHIFT BINOP PTR NEAR_CALL FAR_CALL(normal/delegate/mimic, decommit,
+// 63/64, register protocol) RET(ok/revert/panic with returndata forwarding)
+// UMA(heap/aux/fat-pointer) LOG(sread/swrite/event/to_l1 with journal
+// rollback).  Log.precompile terminates with ST_UNSUPPORTED.
 //
 // Decode tables are generated from the Python ISA layer (gen_tables.py) so
 // variant semantics have one source of truth; ISA constants are pinned
-// identically to isa/params.py (provenance lives there).
+// identically to isa/params.py (provenance lives there).  Semantics citations
+// refer to the reference crate files (far_call.rs, ret.rs, uma.rs, log.rs)
+// mirrored 1:1 by golden/vm.py.
 
 #include <cstdint>
 #include <cstring>
-#include "tables.h"
+#include <unordered_map>
+#include <vector>
 
 using u8 = uint8_t;
 using u16 = uint16_t;
@@ -129,6 +135,8 @@ static U256 from_be_bytes(const u8 *in) {
     return r;
 }
 
+#include "tables.h"
+
 // ISA constants (pinned identically to isa/params.py)
 static const u32 INITIAL_SP = 1024;
 static const u32 TIME_DELTA = 4;
@@ -137,6 +145,16 @@ static const u32 NEW_FRAME_STIPEND = 1 << 10;
 static const u32 VM_MAX_STACK_DEPTH = 1024;
 static const u64 MAX_OFFSET_TO_DEREF = 0x100000000ull - 33;
 static const u64 KERNEL_BOUND = 1 << 16;
+static const u32 STARTING_BASE_PAGE = 2048;
+static const u32 NEW_PAGES_PER_FAR_CALL = 4;
+static const u32 UNMAPPED_PAGE = 0;
+static const u32 ERGS_PER_CODE_WORD_DECOMMIT = 4;
+static const u64 DEPLOYER_ADDRESS = 0x8002;
+static const u8 CODE_HASH_VERSION = 1;
+static const u8 MARKER_AT_REST = 0;
+static const u8 MARKER_YET_CONSTRUCTED = 1;
+static const u32 STORAGE_WRITE_PUBDATA = 64;
+static const u32 L1_MESSAGE_PUBDATA = 1 + 1 + 2 + 20 + 32 + 32;
 
 enum { OP_NOP = 0, OP_ADD, OP_SUB, OP_MUL, OP_DIV, OP_JUMP, OP_CONTEXT,
        OP_SHIFT, OP_BINOP, OP_PTR, OP_NEAR_CALL, OP_LOG, OP_FAR_CALL,
@@ -162,9 +180,12 @@ static Props unpack(u32 p) {
 }
 
 struct Frame {
-    u64 this_addr;
+    u64 this_addr, msg_sender, code_addr;
+    u64 ctx_lo, ctx_hi;            // context_u128_value
+    u32 base_page, code_page;
     u32 sp, pc, eh, ergs, heap_bound, aux_heap_bound;
-    u32 j_snap, ev_snap;   // storage-journal / event-journal snapshots
+    u32 j_snap, ev_snap;           // storage-journal / event-journal snapshots
+    u8 this_shard, caller_shard, code_shard;
     bool is_static, is_local;
 };
 struct Tagged { U256 v; bool ptr; };
@@ -212,30 +233,108 @@ struct LogWitness {
     }
 };
 
+// decommit-witness record (48B): hash 32B BE + ts + page + len + fresh
+struct DecWitness {
+    u8 *buf; int cap; int count;
+    void record(const U256 &hash, u32 ts, u32 page, u32 len, bool fresh) {
+        if (buf && count < cap) {
+            u8 *r = buf + (size_t)count * 48;
+            memset(r, 0, 48);
+            to_be_bytes(hash, r);
+            r[32] = ts >> 24; r[33] = ts >> 16; r[34] = ts >> 8; r[35] = (u8)ts;
+            r[36] = page >> 24; r[37] = page >> 16; r[38] = page >> 8;
+            r[39] = (u8)page;
+            r[40] = len >> 24; r[41] = len >> 16; r[42] = len >> 8;
+            r[43] = (u8)len;
+            r[44] = fresh ? 1 : 0;
+        }
+        count++;
+    }
+};
+
+struct BankEntry { U256 stored_hash; const U256 *words; int len; u32 page; };
+struct CodePage { const U256 *words; int len; };
+
 enum { ST_DONE = 0, ST_MAX_CYCLES = 1, ST_UNSUPPORTED = 2, ST_OOB = 3 };
 
 extern "C" int eravm_oracle_run(
     const u8 *code_be, int n_code_words,
+    const u8 *bank_hashes_be, const int *bank_lens,
+    const u8 *bank_words_be, int n_bank,
+    const u8 *storage_init, int n_storage_init,  // 96B: addr@16..24|key|val
+    const u8 *default_aa_be,                     // 32B BE stored hash or null
     u64 entry_address, u64 ergs, int max_cycles,
     int stack_words, int heap_words, int aux_words,
     u8 *regs_out /*15*32B BE*/, u8 *reg_ptr_out /*15 bytes*/,
     u8 *heap_out /*heap_words*32B BE*/,
     u8 *witness_buf, int witness_cap, int *witness_count,
     u8 *log_buf, int log_cap, int *log_count,
+    u8 *dec_buf, int dec_cap, int *dec_count,
     u8 *storage_buf, int storage_cap, int *storage_count,
     u8 *events_buf, int events_cap, int *events_count,
     int *cycles_out, int *flags_out, u64 *entry_ergs_out) {
 
-    const u32 base_page = 8;
-    const u32 code_page = base_page, stack_page = base_page + 1,
-              heap_page = base_page + 2, aux_page_no = base_page + 3;
+    const u32 entry_base_page = 8;
+    const u32 entry_heap_page = entry_base_page + 2;
 
-    U256 *code = new U256[n_code_words];
+    // ---- code pages / bank
+    std::vector<U256> entry_code(n_code_words);
     for (int i = 0; i < n_code_words; i++)
-        code[i] = from_be_bytes(code_be + (size_t)i * 32);
-    Tagged *stack = new Tagged[stack_words]();
-    U256 *heap = new U256[heap_words]();
-    U256 *aux = new U256[aux_words]();
+        entry_code[i] = from_be_bytes(code_be + (size_t)i * 32);
+    std::vector<BankEntry> bank(n_bank);
+    std::vector<std::vector<U256>> bank_storage(n_bank);
+    {
+        size_t off = 0;
+        for (int i = 0; i < n_bank; i++) {
+            bank[i].stored_hash = from_be_bytes(bank_hashes_be + (size_t)i * 32);
+            int len = bank_lens[i];
+            bank_storage[i].resize(len);
+            for (int w = 0; w < len; w++)
+                bank_storage[i][w] = from_be_bytes(bank_words_be + (off + w) * 32);
+            bank[i].words = bank_storage[i].data();
+            bank[i].len = len;
+            bank[i].page = 0;  // unbound
+            off += len;
+        }
+    }
+    std::unordered_map<u32, CodePage> code_pages;
+    code_pages[entry_base_page] = CodePage{entry_code.data(), n_code_words};
+
+    // ---- heap-like pages (heap + aux share one registry; fat-pointer reads
+    // resolve any of them) and per-far-frame stack pages
+    std::unordered_map<u32, std::vector<U256>> heap_pages;
+    std::unordered_map<u32, std::vector<Tagged>> stack_pages;
+    auto make_heap_page = [&](u32 page, int words) -> U256 * {
+        auto &v = heap_pages[page];
+        v.assign(words, z256());
+        return v.data();
+    };
+    auto make_stack_page = [&](u32 page) -> Tagged * {
+        auto &v = stack_pages[page];
+        v.assign(stack_words, Tagged{z256(), false});
+        return v.data();
+    };
+    U256 *entry_heap = make_heap_page(entry_heap_page, heap_words);
+    make_heap_page(entry_base_page + 3, aux_words);
+    make_stack_page(entry_base_page + 1);
+
+    // ---- storage + default AA
+    const int KV_CAP = 128, J_CAP = 256, EV_CAP = 256;
+    KV kv[KV_CAP] = {};
+    int kv_count = 0;
+    for (int i = 0; i < n_storage_init && kv_count < KV_CAP; i++) {
+        const u8 *r = storage_init + (size_t)i * 96;
+        u64 addr = 0;
+        for (int j = 16; j < 24; j++) addr = (addr << 8) | r[j];
+        kv[kv_count++] = KV{from_be_bytes(r + 32), addr,
+                            from_be_bytes(r + 64), true};
+    }
+    U256 default_aa = default_aa_be ? from_be_bytes(default_aa_be) : z256();
+
+    JEntry journal[J_CAP];
+    int j_count = 0;
+    Event events[EV_CAP];
+    int ev_count = 0;
 
     Tagged regs[15] = {};
     bool f_lt = false, f_eq = false, f_gt = false;
@@ -244,22 +343,52 @@ extern "C" int eravm_oracle_run(
     U256 prev_code_word = z256();
     u32 prev_super_pc = 0; bool have_prev = false;
     u32 prev_code_page_v = 0;
+    u64 ctx_reg_lo = 0, ctx_reg_hi = 0;     // context_u128_register
+    u32 ergs_per_pubdata = 0;
+    u32 spent_pubdata = 0;
+    u16 tx_number = 0;
+    u32 memory_page_counter =
+        STARTING_BASE_PAGE > entry_base_page + NEW_PAGES_PER_FAR_CALL
+            ? STARTING_BASE_PAGE : entry_base_page + NEW_PAGES_PER_FAR_CALL;
 
     Frame *frames = new Frame[VM_MAX_STACK_DEPTH + 2];
     int depth = 1;
-    frames[0] = Frame{0, INITIAL_SP, 0, 0, 0, 0, 0, false, false};
-    frames[1] = Frame{entry_address, INITIAL_SP, 0, 0xFFFF, (u32)ergs,
-                      NEW_FRAME_STIPEND, NEW_FRAME_STIPEND, false, false};
+    frames[0] = Frame{};
+    frames[0].sp = INITIAL_SP;
+    frames[1] = Frame{};
+    frames[1].this_addr = entry_address;
+    frames[1].code_addr = entry_address;
+    frames[1].base_page = entry_base_page;
+    frames[1].code_page = entry_base_page;
+    frames[1].sp = INITIAL_SP;
+    frames[1].eh = 0xFFFF;
+    frames[1].ergs = (u32)ergs;
+    frames[1].heap_bound = NEW_FRAME_STIPEND;
+    frames[1].aux_heap_bound = NEW_FRAME_STIPEND;
+
+    // current-frame arena cache (refreshed on far frame transitions)
+    Tagged *cur_stack = stack_pages[entry_base_page + 1].data();
+    U256 *cur_heap = heap_pages[entry_heap_page].data();
+    U256 *cur_aux = heap_pages[entry_base_page + 3].data();
+    CodePage cur_code = code_pages[entry_base_page];
+    auto refresh_cache = [&](const Frame &f) -> bool {
+        auto si = stack_pages.find(f.base_page + 1);
+        auto hi = heap_pages.find(f.base_page + 2);
+        auto ai = heap_pages.find(f.base_page + 3);
+        if (si == stack_pages.end() || hi == heap_pages.end()
+            || ai == heap_pages.end()) return false;
+        cur_stack = si->second.data();
+        cur_heap = hi->second.data();
+        cur_aux = ai->second.data();
+        auto ci = code_pages.find(f.code_page);
+        if (ci == code_pages.end()) cur_code = CodePage{nullptr, 0};
+        else cur_code = ci->second;
+        return true;
+    };
 
     Witness wit{witness_buf, witness_cap, 0, false};
     LogWitness logw{log_buf, log_cap, 0};
-    const int KV_CAP = 64, J_CAP = 256, EV_CAP = 256;
-    KV kv[KV_CAP] = {};
-    int kv_count = 0;
-    JEntry journal[J_CAP];
-    int j_count = 0;
-    Event events[EV_CAP];
-    int ev_count = 0;
+    DecWitness decw{dec_buf, dec_cap, 0};
     u32 last_frame_ergs = 0;  // entry-frame ergs at final ret
 
     auto read_reg = [&](u32 idx) -> Tagged {
@@ -268,6 +397,12 @@ extern "C" int eravm_oracle_run(
     };
     auto write_reg = [&](u32 idx, const U256 &v, bool ptr) {
         if (idx > 0) { regs[idx - 1].v = v; regs[idx - 1].ptr = ptr; }
+    };
+    auto find_slot = [&](const U256 &key, u64 addr) {
+        for (int i = 0; i < kv_count; i++)
+            if (kv[i].used && kv[i].addr == addr
+                && cmp256(kv[i].key, key) == 0) return i;
+        return -1;
     };
 
     int status = ST_MAX_CYCLES;
@@ -284,21 +419,24 @@ extern "C" int eravm_oracle_run(
         u32 src0_reg, src1_reg, dst0_reg, dst1_reg, imm0, imm1;
         if (pending_exc) {
             pending_exc = false;
+            // quirk preserved: previous_super_pc updates, code word does not
             prev_super_pc = super_pc; have_prev = true;
-            prev_code_page_v = code_page;
+            prev_code_page_v = cur.code_page;
             variant = PANIC_VARIANT; cond = 0;
             src0_reg = src1_reg = dst0_reg = dst1_reg = 0; imm0 = imm1 = 0;
         } else {
-            bool need = (code_page != prev_code_page_v) || !have_prev
+            bool need = (cur.code_page != prev_code_page_v) || !have_prev
                         || (super_pc != prev_super_pc);
             if (need) {
-                if ((int)super_pc >= n_code_words) { status = ST_OOB; break; }
-                prev_code_word = code[super_pc];
+                if ((int)super_pc >= cur_code.len || cur_code.words == nullptr) {
+                    status = ST_OOB; break;
+                }
+                prev_code_word = cur_code.words[super_pc];
                 prev_super_pc = super_pc; have_prev = true;
-                wit.record(timestamp, 4, code_page, super_pc, prev_code_word,
-                           false, false);
+                wit.record(timestamp, 4, cur.code_page, super_pc,
+                           prev_code_word, false, false);
             }
-            prev_code_page_v = code_page;
+            prev_code_page_v = cur.code_page;
             u64 insn = prev_code_word.w[3 - sub_pc];
             variant = insn & 0x7FF;
             cond = (insn >> 11) & 7;
@@ -367,13 +505,13 @@ extern "C" int eravm_oracle_run(
         if (do_src_read) {
             if (s0_stack) {
                 if ((int)s0_idx >= stack_words) { status = ST_OOB; break; }
-                src0 = stack[s0_idx];
-                wit.record(timestamp, 0, stack_page, s0_idx, src0.v, src0.ptr,
-                           false);
+                src0 = cur_stack[s0_idx];
+                wit.record(timestamp, 0, cur.base_page + 1, s0_idx, src0.v,
+                           src0.ptr, false);
             } else {
-                if ((int)s0_idx >= n_code_words) { status = ST_OOB; break; }
-                src0 = Tagged{code[s0_idx], false};
-                wit.record(timestamp, 4, code_page, s0_idx, src0.v, false,
+                if ((int)s0_idx >= cur_code.len) { status = ST_OOB; break; }
+                src0 = Tagged{cur_code.words[s0_idx], false};
+                wit.record(timestamp, 4, cur.code_page, s0_idx, src0.v, false,
                            false);
             }
         } else if (pr.src0_mode == M_RI_IMM || pr.src0_mode == M_F_IMM16) {
@@ -398,8 +536,9 @@ extern "C" int eravm_oracle_run(
         auto dst0_write = [&](const U256 &v, bool ptr) {
             if (d0_stack) {
                 if ((int)d0_idx >= stack_words) { status = ST_OOB; return; }
-                stack[d0_idx] = Tagged{v, ptr};
-                wit.record(timestamp + 3, 0, stack_page, d0_idx, v, ptr, true);
+                cur_stack[d0_idx] = Tagged{v, ptr};
+                wit.record(timestamp + 3, 0, cur.base_page + 1, d0_idx, v, ptr,
+                           true);
             } else {
                 write_reg(dst0_reg, v, ptr);
             }
@@ -454,20 +593,30 @@ extern "C" int eravm_oracle_run(
                 cur.pc = new_pc;
                 U256 v = z256();
                 switch (pr.sub) {
-                    case 0: v.w[0] = cur.this_addr; break;        // this
-                    case 1: break;                                 // caller = 0
-                    case 2: v.w[0] = cur.this_addr; break;         // code addr
+                    case 0: v.w[0] = cur.this_addr; break;         // this
+                    case 1: v.w[0] = cur.msg_sender; break;        // caller
+                    case 2: v.w[0] = cur.code_addr; break;         // code addr
                     case 3:                                        // meta
+                        v.w[0] = ergs_per_pubdata;
                         v.w[1] = cur.heap_bound;
                         v.w[1] |= (u64)cur.aux_heap_bound << 32;
+                        v.w[3] = ((u64)cur.this_shard
+                                  | ((u64)cur.caller_shard << 8)
+                                  | ((u64)cur.code_shard << 16)) << 32;
                         break;
-                    case 4: v.w[0] = cur.ergs; break;
-                    case 5: v.w[0] = cur.sp; break;
-                    case 6: break;                                 // ctx u128
-                    default: status = ST_UNSUPPORTED; break;       // setters
+                    case 4: v.w[0] = cur.ergs; break;              // ergs left
+                    case 5: v.w[0] = cur.sp; break;                // sp
+                    case 6:                                        // ctx u128
+                        v.w[0] = cur.ctx_lo; v.w[1] = cur.ctx_hi; break;
+                    case 7:                                        // set u128
+                        ctx_reg_lo = src0.v.w[0]; ctx_reg_hi = src0.v.w[1];
+                        break;
+                    case 8:                                        // set epp
+                        ergs_per_pubdata = (u32)src0.v.w[0]; break;
+                    default:                                       // inc tx
+                        tx_number = (tx_number + 1) & 0xFFFF; break;
                 }
-                if (status != ST_MAX_CYCLES) break;
-                dst0_write(v, false);
+                if (pr.sub <= 6) dst0_write(v, false);
                 break;
             }
             case OP_SHIFT: {
@@ -535,21 +684,272 @@ extern "C" int eravm_oracle_run(
                 depth++; frames[depth] = nf;
                 break;
             }
+            case OP_FAR_CALL: {
+                // far_call.rs:35-613 / golden _apply_far_call
+                f_lt = f_eq = f_gt = false;
+                u32 sub = pr.sub;  // 0 normal, 1 delegate, 2 mimic
+                bool is_static_call = pr.flag0;
+                bool is_call_shard = pr.flag1;
+                u64 called_address = src1.v.w[0];
+                if (src1.v.w[1] | src1.v.w[2] | src1.v.w[3]) {
+                    status = ST_UNSUPPORTED; break;  // >64-bit addresses
+                }
+                bool dst_is_kernel = called_address < KERNEL_BOUND;
+
+                // FarCallABI from src0 (abi.py): fp low128, ergs limb6,
+                // shard/mode/ctor/system bytes of limb7
+                u32 fp_offset = (u32)src0.v.w[0];
+                u32 fp_page = (u32)(src0.v.w[0] >> 32);
+                u32 fp_start = (u32)src0.v.w[1];
+                u32 fp_length = (u32)(src0.v.w[1] >> 32);
+                u32 abi_ergs = (u32)src0.v.w[3];
+                u8 abi_shard = (u8)(src0.v.w[3] >> 32);
+                u8 fwd_mode = (u8)(src0.v.w[3] >> 40);
+                if (fwd_mode > 2) fwd_mode = 0;  // saturate to UseHeap
+                bool ctor_call = ((src0.v.w[3] >> 48) & 0xFF) && is_kernel;
+                bool to_system = ((src0.v.w[3] >> 56) & 0xFF) && dst_is_kernel;
+
+                u8 caller_shard = cur.this_shard;
+                u8 new_code_shard = is_call_shard ? abi_shard : caller_shard;
+                u8 new_this_shard = (sub == 1) ? caller_shard : new_code_shard;
+                u32 new_base = memory_page_counter;
+
+                u32 exceptions = 0;
+                const u32 EX_NOT_PTR = 1, EX_BAD_HASH = 2, EX_NO_ERGS_DEC = 4,
+                          EX_NO_ERGS_GROW = 8, EX_MALFORMED = 16,
+                          EX_CTOR_SYSTEM = 32;
+
+                // code hash storage read (far_call.rs:122-158)
+                U256 code_hash_raw = z256();
+                bool map_trivial = new_code_shard != 0;  // zkporter off
+                if (!map_trivial) {
+                    U256 key = z256(); key.w[0] = called_address;
+                    int s = find_slot(key, DEPLOYER_ADDRESS);
+                    U256 from_storage = (s >= 0) ? kv[s].val : z256();
+                    logw.record(timestamp + 1, 0, new_code_shard, 0, tx_number,
+                                DEPLOYER_ADDRESS, key, from_storage,
+                                from_storage);
+                    bool mask_aa = is_zero(from_storage) && !dst_is_kernel;
+                    code_hash_raw = mask_aa ? default_aa : from_storage;
+                }
+                u32 code_page_candidate = map_trivial ? UNMAPPED_PAGE : new_base;
+
+                // versioned-hash validation (far_call.rs:169-252)
+                U256 code_hash = z256();
+                u32 code_len = 0;
+                u8 vh_version = (u8)(code_hash_raw.w[3] >> 56);
+                u8 vh_marker = (u8)(code_hash_raw.w[3] >> 48);
+                u32 vh_len = (u32)((code_hash_raw.w[3] >> 32) & 0xFFFF);
+                if (vh_version != CODE_HASH_VERSION) {
+                    exceptions |= EX_BAD_HASH;
+                } else if (vh_marker != MARKER_AT_REST
+                           && vh_marker != MARKER_YET_CONSTRUCTED) {
+                    exceptions |= EX_BAD_HASH;
+                } else {
+                    bool can_at_rest = !ctor_call && vh_marker == MARKER_AT_REST;
+                    bool can_ctor = ctor_call && vh_marker == MARKER_YET_CONSTRUCTED;
+                    if (can_at_rest || can_ctor) {
+                        code_hash = code_hash_raw;
+                        code_hash.w[3] &= ~(0xFFull << 48);  // stored form
+                        code_len = vh_len;
+                    } else if (!dst_is_kernel) {
+                        code_hash = default_aa;
+                        code_len = (u32)((default_aa.w[3] >> 32) & 0xFFFF);
+                    } else {
+                        exceptions |= EX_CTOR_SYSTEM;
+                    }
+                }
+
+                // pointer validation + forwarding (far_call.rs:254-325)
+                bool fwd_fat = fwd_mode == 1;
+                if (fwd_fat && !src0.ptr) exceptions |= EX_NOT_PTR;
+                bool deref_beyond = ((u64)fp_start + fp_length) >> 32;
+                if (deref_beyond) exceptions |= EX_MALFORMED;
+                if (!fwd_fat && fp_offset != 0) exceptions |= EX_MALFORMED;
+                if (fp_offset > fp_length) exceptions |= EX_MALFORMED;
+                if (fwd_fat) {
+                    fp_start += fp_offset; fp_length -= fp_offset; fp_offset = 0;
+                } else if (fwd_mode == 0) {
+                    fp_page = cur.base_page + 2;
+                } else {
+                    fp_page = cur.base_page + 3;
+                }
+                if (exceptions) { fp_offset = fp_page = fp_start = fp_length = 0; }
+
+                // memory growth payment vs the caller frame (far_call.rs:329+)
+                u32 remaining = cur.ergs;
+                if (!fwd_fat) {
+                    u64 upper = deref_beyond ? 0xFFFFFFFFull
+                                             : (u64)fp_start + fp_length;
+                    u32 &bound = fwd_mode == 0 ? cur.heap_bound
+                                               : cur.aux_heap_bound;
+                    if (upper > bound) {
+                        u32 diff = (u32)(upper - bound);
+                        bound = (u32)upper;
+                        if (remaining >= diff) remaining -= diff;
+                        else { exceptions |= EX_NO_ERGS_GROW; remaining = 0; }
+                    }
+                }
+
+                u32 cost_dec = ERGS_PER_CODE_WORD_DECOMMIT * code_len;
+                if (remaining >= cost_dec) remaining -= cost_dec;
+                else exceptions |= EX_NO_ERGS_DEC;
+
+                u32 code_memory_page;
+                if (exceptions) {
+                    pending_exc = true;
+                    code_memory_page = UNMAPPED_PAGE;
+                    fp_offset = fp_page = fp_start = fp_length = 0;
+                } else {
+                    // decommit (decommitter.rs:31-99)
+                    int bi = -1;
+                    for (int i = 0; i < n_bank; i++)
+                        if (cmp256(bank[i].stored_hash, code_hash) == 0) {
+                            bi = i; break;
+                        }
+                    if (bi < 0) { status = ST_OOB; break; }  // unknown hash
+                    if (bank[bi].page != 0) {
+                        code_memory_page = bank[bi].page;  // repeat: refund
+                        remaining += cost_dec;
+                        decw.record(code_hash, timestamp + 1, code_memory_page,
+                                    bank[bi].len, false);
+                    } else {
+                        code_memory_page = code_page_candidate;
+                        bank[bi].page = code_memory_page;
+                        code_pages[code_memory_page] =
+                            CodePage{bank[bi].words, bank[bi].len};
+                        decw.record(code_hash, timestamp + 1, code_memory_page,
+                                    bank[bi].len, true);
+                    }
+                }
+
+                // 63/64 rule (far_call.rs:465-487)
+                u32 max_passable = (remaining / 64) * 63;
+                u32 leftover = remaining - max_passable;
+                u32 passed, for_this;
+                if (abi_ergs > max_passable) {
+                    passed = max_passable; for_this = leftover;
+                } else {
+                    passed = abi_ergs;
+                    for_this = leftover + (max_passable - abi_ergs);
+                }
+                cur.ergs = for_this;
+                cur.pc = new_pc;
+                memory_page_counter += NEW_PAGES_PER_FAR_CALL;
+
+                u64 addr_next, sender_next;
+                if (sub == 0) { addr_next = called_address; sender_next = cur.this_addr; }
+                else if (sub == 1) { addr_next = cur.this_addr; sender_next = cur.msg_sender; }
+                else { addr_next = called_address;
+                       sender_next = regs[14].v.w[0]; }  // r15 low 160 (u64 subset)
+                u64 u128_lo = (sub == 1) ? cur.ctx_lo : ctx_reg_lo;
+                u64 u128_hi = (sub == 1) ? cur.ctx_hi : ctx_reg_hi;
+
+                Frame nf{};
+                nf.this_addr = addr_next;
+                nf.msg_sender = sender_next;
+                nf.code_addr = called_address;
+                nf.ctx_lo = u128_lo; nf.ctx_hi = u128_hi;
+                nf.base_page = new_base;
+                nf.code_page = code_memory_page;
+                nf.sp = INITIAL_SP;
+                nf.pc = 0;
+                nf.eh = imm0;
+                nf.ergs = passed;
+                nf.heap_bound = NEW_FRAME_STIPEND;
+                nf.aux_heap_bound = NEW_FRAME_STIPEND;
+                nf.this_shard = new_this_shard;
+                nf.caller_shard = caller_shard;
+                nf.code_shard = new_code_shard;
+                nf.is_static = cur.is_static || is_static_call;
+                nf.is_local = false;
+                nf.j_snap = j_count; nf.ev_snap = ev_count;
+                ctx_reg_lo = ctx_reg_hi = 0;
+                depth++; frames[depth] = nf;
+
+                // start_global_frame: allocate the callee's pages
+                make_stack_page(new_base + 1);
+                make_heap_page(new_base + 2, heap_words);
+                make_heap_page(new_base + 3, aux_words);
+                if (!refresh_cache(frames[depth])) { status = ST_OOB; break; }
+
+                // register protocol (far_call.rs:571-610)
+                U256 fpv = z256();
+                fpv.w[0] = (u64)fp_offset | ((u64)fp_page << 32);
+                fpv.w[1] = (u64)fp_start | ((u64)fp_length << 32);
+                regs[0] = Tagged{fpv, true};
+                U256 r2 = z256();
+                r2.w[0] = (ctor_call ? 1 : 0) | (to_system ? 2 : 0);
+                regs[1] = Tagged{r2, false};
+                for (int i = 2; i < 12; i++) {      // system ABI r3..r12
+                    if (!to_system) regs[i] = Tagged{z256(), false};
+                    else regs[i].ptr = false;
+                }
+                for (int i = 12; i < 15; i++)       // reserved + param r13..r15
+                    regs[i] = Tagged{z256(), false};
+                break;
+            }
             case OP_RET: {
                 f_lt = f_eq = f_gt = false;
                 u32 sub = pr.sub;  // 0 ok, 1 revert, 2 panic
                 bool to_label = pr.flag0;
                 Frame fin = frames[depth];
-                if (!fin.is_local && (sub != 2)) {
-                    // entry-frame ok/revert with non-trivial ABI unsupported;
-                    // trivial r0 (zero) ABI means empty returndata — fine.
-                    Tagged abi = src0;
-                    if (!is_zero(abi.v)) { status = ST_UNSUPPORTED; break; }
+                U256 abi = (sub == 2) ? z256() : src0.v;
+                bool abi_ptr = (sub == 2) ? false : src0.ptr;
+                u32 fp_offset = (u32)abi.w[0];
+                u32 fp_page = (u32)(abi.w[0] >> 32);
+                u32 fp_start = (u32)abi.w[1];
+                u32 fp_length = (u32)(abi.w[1] >> 32);
+                u8 fwd_mode = (u8)(abi.w[3] >> 40);
+                if (fwd_mode > 2) fwd_mode = 0;
+                bool fwd_fat = fwd_mode == 1;
+
+                u32 ergs_left = fin.ergs;
+                if (!fin.is_local) {
+                    // returndata pointer validation (ret.rs:58-96); the
+                    // growth step below keys on the ORIGINAL mode/validation
+                    // results even after panic escalation (golden ret:979-994)
+                    bool fwd_fat_orig = fwd_fat;
+                    u8 fwd_mode_orig = fwd_mode;
+                    bool deref_beyond = ((u64)fp_start + fp_length) >> 32;
+                    bool panic_now = sub == 2;
+                    if (fwd_fat && !abi_ptr) panic_now = true;
+                    if (fwd_fat && fp_page < fin.base_page) panic_now = true;
+                    if (deref_beyond) panic_now = true;
+                    if (!fwd_fat && fp_offset != 0) panic_now = true;
+                    if (fp_offset > fp_length) panic_now = true;
+                    if (panic_now) sub = 2;
+                    if (sub == 2) {
+                        // empty pointer; page stays 0 (no fwd resolution)
+                        fp_offset = fp_page = fp_start = fp_length = 0;
+                    } else {
+                        if (fwd_fat) {
+                            fp_start += fp_offset; fp_length -= fp_offset;
+                            fp_offset = 0;
+                        } else if (fwd_mode == 0) {
+                            fp_page = fin.base_page + 2;
+                        } else {
+                            fp_page = fin.base_page + 3;
+                        }
+                    }
+                    // growth payment (ret.rs:101-190)
+                    if (!fwd_fat_orig) {
+                        u64 upper = deref_beyond ? 0xFFFFFFFFull
+                                                 : (u64)fp_start + fp_length;
+                        u32 bound = fwd_mode_orig == 2 ? fin.aux_heap_bound
+                                                       : fin.heap_bound;
+                        u32 growth = upper > bound ? (u32)(upper - bound) : 0;
+                        if (ergs_left >= growth) ergs_left -= growth;
+                        else {
+                            ergs_left = 0; sub = 2;
+                            fp_offset = fp_page = fp_start = fp_length = 0;
+                        }
+                    }
                 }
                 bool panicked = sub >= 1;
                 if (panicked) {
                     // storage value rollback (storage.rs:156-181) + event
-                    // segment cancellation
+                    // segment cancellation (event_sink.rs:154-175)
                     for (int j = j_count - 1; j >= (int)fin.j_snap; j--)
                         kv[journal[j].slot].val = journal[j].prev;
                     j_count = fin.j_snap;
@@ -558,19 +958,24 @@ extern "C" int eravm_oracle_run(
                 }
                 depth--;
                 Frame &parent = frames[depth];
-                parent.ergs += fin.ergs;
+                parent.ergs += ergs_left;
                 if (to_label && fin.is_local) parent.pc = imm0;
                 else if (panicked) parent.pc = fin.eh;
                 if (fin.is_local) {
                     parent.heap_bound = fin.heap_bound;
                     parent.aux_heap_bound = fin.aux_heap_bound;
                 } else {
-                    // register-file protocol (ret.rs:213-236): r1 = empty
-                    // returndata fat pointer bound to the frame heap page
+                    // register-file protocol (ret.rs:213-236)
                     for (int i = 0; i < 15; i++) regs[i] = Tagged{z256(), false};
-                    regs[0].v.w[0] = (u64)heap_page << 32;
-                    regs[0].ptr = true;
+                    U256 rd = z256();
+                    rd.w[0] = (u64)fp_offset | ((u64)fp_page << 32);
+                    rd.w[1] = (u64)fp_start | ((u64)fp_length << 32);
+                    regs[0] = Tagged{rd, true};
+                    ctx_reg_lo = ctx_reg_hi = 0;
                     last_frame_ergs = parent.ergs;
+                    if (depth > 0 && !refresh_cache(parent)) {
+                        status = ST_OOB; break;
+                    }
                 }
                 if (sub == 2) f_lt = true;
                 break;
@@ -578,65 +983,133 @@ extern "C" int eravm_oracle_run(
             case OP_UMA: {
                 cur.pc = new_pc;
                 u32 sub = pr.sub;
-                if (sub == 4) { status = ST_UNSUPPORTED; break; }  // fat ptr
+                bool is_ptr_read = sub == 4;
                 bool is_aux = (sub == 2) || (sub == 3);
                 bool is_write = (sub == 1) || (sub == 3);
                 bool inc = pr.flag0;
-                u64 offset = src0.v.w[0] & 0xFFFFFFFFull;
-                bool too_far = (src0.v.w[0] >> 32) || src0.v.w[1]
-                    || src0.v.w[2] || src0.v.w[3]
-                    || offset > MAX_OFFSET_TO_DEREF;
-                u32 page = is_aux ? aux_page_no : heap_page;
-                u8 mtype = is_aux ? 2 : 1;
-                u64 incremented = offset + 32;
-                u32 &bound = is_aux ? cur.aux_heap_bound : cur.heap_bound;
+
+                u32 exceptions = 0;
+                bool skip_mem = false;
+                if (is_ptr_read && !src0.ptr) exceptions |= 1;  // not ptr
+
+                u32 fp_offset = (u32)src0.v.w[0];
+                u32 fp_page = (u32)(src0.v.w[0] >> 32);
+                u32 fp_start = (u32)src0.v.w[1];
+                u32 fp_length = (u32)(src0.v.w[1] >> 32);
+                u32 page; u8 mtype;
+                if (is_ptr_read) {
+                    page = fp_page; mtype = 3;
+                    if (!(fp_offset < fp_length)) skip_mem = true;
+                } else if (is_aux) {
+                    page = cur.base_page + 3; mtype = 2;
+                } else {
+                    page = cur.base_page + 2; mtype = 1;
+                }
+                u64 src_offset = is_ptr_read
+                    ? (u64)((fp_start + fp_offset) & 0xFFFFFFFFu)
+                    : fp_offset;
+                bool too_far = false;
+                if (!is_ptr_read) {
+                    too_far = (src0.v.w[0] >> 32) || src0.v.w[1]
+                        || src0.v.w[2] || src0.v.w[3]
+                        || fp_offset > MAX_OFFSET_TO_DEREF;
+                    if (too_far) { exceptions |= 2; skip_mem = true; }
+                }
+                u64 incremented = (u64)fp_offset + 32;
+                bool incr_of = incremented >> 32;
+                incremented &= 0xFFFFFFFFull;
+                if (incr_of) exceptions |= 4;
+
                 u32 growth = 0;
-                if (!too_far) {
+                if (!is_ptr_read) {
+                    u32 &bound = is_aux ? cur.aux_heap_bound : cur.heap_bound;
                     if ((u32)incremented > bound) {
                         growth = (u32)incremented - bound;
                         bound = (u32)incremented;
                     }
                 }
                 u64 cost = too_far ? 0xFFFFFFFFull : growth;
-                bool no_ergs = cur.ergs < cost;
-                cur.ergs = no_ergs ? 0 : cur.ergs - (u32)cost;
-                bool panic = too_far || no_ergs;
-                if (panic) { pending_exc = true; break; }
+                if (cur.ergs >= cost) cur.ergs -= (u32)cost;
+                else { cur.ergs = 0; exceptions |= 8; }
+                bool set_panic = exceptions != 0;
+                bool skip_access = skip_mem || set_panic;
 
-                u32 w0 = (u32)(offset / 32), w1 = w0 + 1;
-                u32 una = (u32)(offset % 32);
-                U256 *arena = is_aux ? aux : heap;
-                int arena_n = is_aux ? aux_words : heap_words;
-                if ((int)w1 >= arena_n) { status = ST_OOB; break; }
-                U256 v0 = arena[w0], v1 = una ? arena[w1] : z256();
-                wit.record(timestamp, mtype, page, w0, v0, false, false);
-                if (una) wit.record(timestamp, mtype, page, w1, v1, false, false);
+                u32 w0i = (u32)(src_offset / 32), w1i = w0i + 1;
+                u32 una = (u32)(src_offset % 32);
+                U256 *arena; int arena_n;
+                if (is_ptr_read) {
+                    auto it = heap_pages.find(page);
+                    if (it == heap_pages.end()) {
+                        if (!skip_access) { status = ST_OOB; break; }
+                        arena = nullptr; arena_n = 0;
+                    } else {
+                        arena = it->second.data();
+                        arena_n = (int)it->second.size();
+                    }
+                } else {
+                    arena = is_aux ? cur_aux : cur_heap;
+                    arena_n = is_aux ? aux_words : heap_words;
+                }
+                U256 v0 = z256(), v1 = z256();
+                if (!skip_access) {
+                    // strict like the device arenas: word1 must fit even for
+                    // aligned access (models/batched_vm.py hw_err/aw_err)
+                    if ((int)w1i >= arena_n) { status = ST_OOB; break; }
+                    v0 = arena[w0i];
+                    if (una) v1 = arena[w1i];
+                    wit.record(timestamp, mtype, page, w0i, v0, false, false);
+                    if (una)
+                        wit.record(timestamp, mtype, page, w1i, v1, false,
+                                   false);
+                }
                 if (!is_write) {
                     U256 r = shl256(v0, una * 8);
                     if (una) r = or256(r, shr256(v1, (32 - una) * 8));
-                    dst0_write(r, false);
-                    if (inc) {
-                        U256 up = src0.v;
-                        up.w[0] = (up.w[0] & ~0xFFFFFFFFull) | incremented;
-                        write_reg(dst1_reg, up, src0.ptr);
+                    if (is_ptr_read) {
+                        // zero-mask bytes beyond ptr.length (uma.rs:305-320)
+                        long long beyond = (long long)incremented - fp_length;
+                        if (beyond < 0 || skip_access) beyond = 0;
+                        beyond %= 32;
+                        if (beyond)
+                            r = shl256(shr256(r, (unsigned)beyond * 8),
+                                       (unsigned)beyond * 8);
+                    }
+                    if (!set_panic) {
+                        dst0_write(r, false);
+                        if (inc) {
+                            U256 up = src0.v;
+                            up.w[0] = (up.w[0] & ~0xFFFFFFFFull) | incremented;
+                            write_reg(dst1_reg, up, src0.ptr);
+                        }
+                    } else {
+                        pending_exc = true;
                     }
                 } else {
-                    U256 keep0 = shl256(shr256(v0, (32 - una) * 8),
-                                        (32 - una) * 8);
+                    U256 keep0 = una ? shl256(shr256(v0, (32 - una) * 8),
+                                              (32 - una) * 8)
+                                     : z256();
                     U256 n0 = or256(keep0, shr256(src1.v, una * 8));
-                    arena[w0] = n0;
-                    wit.record(timestamp + 3, mtype, page, w0, n0, false, true);
-                    if (una) {
-                        U256 keep1 = shr256(shl256(v1, una * 8), una * 8);
-                        U256 n1 = or256(keep1, shl256(src1.v, (32 - una) * 8));
-                        arena[w1] = n1;
-                        wit.record(timestamp + 3, mtype, page, w1, n1, false,
+                    if (!skip_access) {
+                        arena[w0i] = n0;
+                        wit.record(timestamp + 3, mtype, page, w0i, n0, false,
                                    true);
+                        if (una) {
+                            U256 keep1 = shr256(shl256(v1, una * 8), una * 8);
+                            U256 n1 = or256(keep1, shl256(src1.v,
+                                                          (32 - una) * 8));
+                            arena[w1i] = n1;
+                            wit.record(timestamp + 3, mtype, page, w1i, n1,
+                                       false, true);
+                        }
                     }
-                    if (inc) {
-                        U256 up = src0.v;
-                        up.w[0] = (up.w[0] & ~0xFFFFFFFFull) | incremented;
-                        dst0_write(up, false);
+                    if (!set_panic) {
+                        if (inc) {
+                            U256 up = src0.v;
+                            up.w[0] = (up.w[0] & ~0xFFFFFFFFull) | incremented;
+                            dst0_write(up, false);
+                        }
+                    } else {
+                        pending_exc = true;
                     }
                 }
                 break;
@@ -647,15 +1120,24 @@ extern "C" int eravm_oracle_run(
                 if (sub == 4) { status = ST_UNSUPPORTED; break; }
                 bool is_first = pr.flag0;
                 u32 ts_log = timestamp + 1;
-                // pubdata ergs: ergs_per_pubdata is 0 (no kernel setter in
-                // this subset), so the cost term vanishes (log.rs:119)
-                auto find_slot = [&](const U256 &key, u64 addr) {
-                    for (int i = 0; i < kv_count; i++)
-                        if (kv[i].used && kv[i].addr == addr
-                            && cmp256(kv[i].key, key) == 0) return i;
-                    return -1;
-                };
+                bool is_rollup = cur.this_shard == 0;
+                u32 ergs_on_pubdata = 0;
+                if (sub == 1 && is_rollup)
+                    ergs_on_pubdata = ergs_per_pubdata * STORAGE_WRITE_PUBDATA;
+                else if (sub == 3)
+                    ergs_on_pubdata = ergs_per_pubdata * L1_MESSAGE_PUBDATA;
+                u32 total_cost = ergs_on_pubdata;  // no precompile extra here
+                bool log_ne = total_cost > cur.ergs;
+                if (log_ne) {
+                    spent_pubdata += cur.ergs < ergs_on_pubdata
+                        ? cur.ergs : ergs_on_pubdata;
+                    cur.ergs = 0;
+                } else {
+                    cur.ergs -= total_cost;
+                    spent_pubdata += ergs_on_pubdata;
+                }
                 if (sub == 0 || sub == 1) {
+                    if (sub == 1 && log_ne) break;  // early return, no query
                     int s = find_slot(src0.v, cur.this_addr);
                     U256 current = (s >= 0) ? kv[s].val : z256();
                     if (sub == 1) {
@@ -667,20 +1149,23 @@ extern "C" int eravm_oracle_run(
                         if (j_count >= J_CAP) { status = ST_OOB; break; }
                         journal[j_count++] = JEntry{s, current};
                         kv[s].val = src1.v;
-                        logw.record(ts_log, 0, 0,
-                                    1 | (is_first ? 4 : 0), 0,
+                        logw.record(ts_log, 0, cur.this_shard,
+                                    1 | (is_first ? 4 : 0), tx_number,
                                     cur.this_addr, src0.v, current, src1.v);
                     } else {
-                        logw.record(ts_log, 0, 0, (is_first ? 4 : 0), 0,
+                        logw.record(ts_log, 0, cur.this_shard,
+                                    (is_first ? 4 : 0), tx_number,
                                     cur.this_addr, src0.v, current, current);
                         dst0_write(current, false);
                     }
                 } else {
+                    if (log_ne) break;  // to_l1 out-of-pubdata early return
                     if (ev_count >= EV_CAP) { status = ST_OOB; break; }
                     u8 aux = (sub == 2) ? 2 : 3;
                     events[ev_count++] = Event{src0.v, src1.v, ts_log, aux,
-                                               is_first, 0, false};
-                    logw.record(ts_log, aux, 0, 1 | (is_first ? 4 : 0), 0,
+                                               is_first, tx_number, false};
+                    logw.record(ts_log, aux, cur.this_shard,
+                                1 | (is_first ? 4 : 0), tx_number,
                                 cur.this_addr, src0.v, z256(), src1.v);
                 }
                 break;
@@ -701,9 +1186,10 @@ extern "C" int eravm_oracle_run(
         for (int i = 0; i < 15; i++) reg_ptr_out[i] = regs[i].ptr;
     if (heap_out)
         for (int i = 0; i < heap_words; i++)
-            to_be_bytes(heap[i], heap_out + (size_t)i * 32);
+            to_be_bytes(entry_heap[i], heap_out + (size_t)i * 32);
     if (witness_count) *witness_count = wit.count;
     if (log_count) *log_count = logw.count;
+    if (dec_count) *dec_count = decw.count;
     if (storage_count) {
         int n = 0;
         for (int i = 0; i < kv_count && storage_buf && n < storage_cap; i++) {
@@ -727,6 +1213,7 @@ extern "C" int eravm_oracle_run(
             r[0] = events[i].aux; r[1] = events[i].first;
             r[2] = (u8)(events[i].ts >> 24); r[3] = (u8)(events[i].ts >> 16);
             r[4] = (u8)(events[i].ts >> 8); r[5] = (u8)events[i].ts;
+            r[6] = (u8)(events[i].tx >> 8); r[7] = (u8)events[i].tx;
             to_be_bytes(events[i].key, r + 8);
             to_be_bytes(events[i].val, r + 40);
             n++;
@@ -737,7 +1224,6 @@ extern "C" int eravm_oracle_run(
     if (flags_out) *flags_out = (f_lt ? 1 : 0) | (f_eq ? 2 : 0) | (f_gt ? 4 : 0);
     if (entry_ergs_out) *entry_ergs_out = last_frame_ergs;
 
-    delete[] code; delete[] stack; delete[] heap; delete[] aux;
     delete[] frames;
     return status;
 }
