@@ -61,7 +61,7 @@ def _tables():
 def _take(tab, idx):
     """Constant-table lookup as a one-hot sweep (see _gather_rows on why)."""
     oh = jnp.arange(tab.shape[0], dtype=I32)[None, :] == idx.astype(I32)[:, None]
-    return jnp.sum(tab[None, :] * oh.astype(tab.dtype), axis=1)
+    return jnp.sum(jnp.where(oh, tab[None, :], 0), axis=1)
 
 
 def _sel(mask, a, b):
@@ -88,7 +88,9 @@ def _gather_rows(arr, idx):
     oh = oh.reshape(oh.shape + (1,) * (arr.ndim - 2))
     if arr.dtype == jnp.bool_:
         return jnp.any(arr & oh, axis=1)
-    return jnp.sum(arr * oh.astype(arr.dtype), axis=1)
+    # where-select instead of multiply-by-onehot: u32 multiplies are
+    # multi-op on the VPU and dominate the sweep (measured ~1.5x whole-step)
+    return jnp.sum(jnp.where(oh, arr, 0), axis=1)
 
 
 def _scatter_rows(arr, idx, values, mask):
@@ -191,9 +193,9 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
 
     # resolve the frame's code page to a code-bank slot (decommit binding)
     cb_match = (state.cb_page == code_page[:, None]) & state.cb_valid  # [B, P]
-    code_slot = jnp.sum(
-        jnp.arange(config.code_pages, dtype=U32)[None, :]
-        * cb_match.astype(U32), axis=1)
+    code_slot = jnp.sum(jnp.where(
+        cb_match, jnp.arange(config.code_pages, dtype=U32)[None, :], 0),
+        axis=1)
     code_page_found = jnp.any(cb_match, axis=1)
     fetched = _gather_rows(state.code, code_slot * config.code_words + super_pc)
     lane_error = lane_error | (active & code_read_needed
@@ -208,8 +210,8 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
 
     # instruction at sub_pc: sub_pc 0 = most significant 8 bytes
     lo_idx = (6 - 2 * sub_pc).astype(I32)
-    insn_lo = jnp.sum(code_word * _onehot(lo_idx, 8).astype(U32), axis=1)
-    insn_hi = jnp.sum(code_word * _onehot(lo_idx + 1, 8).astype(U32), axis=1)
+    insn_lo = jnp.sum(jnp.where(_onehot(lo_idx, 8), code_word, 0), axis=1)
+    insn_hi = jnp.sum(jnp.where(_onehot(lo_idx + 1, 8), code_word, 0), axis=1)
     insn_lo = jnp.where(pending, jnp.uint32(_PANIC_ENC & 0xFFFFFFFF), insn_lo)
     insn_hi = jnp.where(pending, jnp.uint32(_PANIC_ENC >> 32), insn_hi)
     new_pending = jnp.zeros_like(pending)  # cleared when consumed
@@ -233,7 +235,7 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
 
     def fam_const(name):
         oh = _onehot(fam16, 16)
-        return jnp.sum(dc[name][None, :] * oh.astype(U32), axis=1)
+        return jnp.sum(jnp.where(oh, dc[name][None, :], 0), axis=1)
 
     f_start = fam_const("start")
     f_nflags = fam_const("n_flags")
@@ -277,8 +279,8 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     log_prices = jnp.asarray([p.STORAGE_READ_IO_PRICE, p.STORAGE_WRITE_IO_PRICE,
                               p.EVENT_IO_PRICE, p.L1_MESSAGE_IO_PRICE,
                               p.PRECOMPILE_CALL_BASE_PRICE], dtype=np.uint32)
-    log_price = jnp.sum(
-        log_prices[None, :] * _onehot(sub_raw, 5).astype(U32), axis=1)
+    log_price = jnp.sum(jnp.where(
+        _onehot(sub_raw, 5), log_prices[None, :], 0), axis=1)
     price = jnp.where(alu_like | (fam16 == OPc.CONTEXT), price,
             jnp.where(fam16 == OPc.LOG, log_price,
             jnp.where(fam16 == OPc.NEAR_CALL, p.NEAR_CALL_ERGS,
@@ -604,12 +606,12 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     # (reachable = any live/extended-lifetime global frame page)
     hp_match = state.hp_page == u_page_field[:, None]   # [B, F]
     ap_match = state.ap_page == u_page_field[:, None]
-    ptr_heap_slot = jnp.sum(
-        jnp.arange(config.heap_frames, dtype=U32)[None, :]
-        * hp_match.astype(U32), axis=1)
-    ptr_aux_slot = jnp.sum(
-        jnp.arange(config.heap_frames, dtype=U32)[None, :]
-        * ap_match.astype(U32), axis=1)
+    ptr_heap_slot = jnp.sum(jnp.where(
+        hp_match, jnp.arange(config.heap_frames, dtype=U32)[None, :], 0),
+        axis=1)
+    ptr_aux_slot = jnp.sum(jnp.where(
+        ap_match, jnp.arange(config.heap_frames, dtype=U32)[None, :], 0),
+        axis=1)
     ptr_page_is_heap = uma_is_ptr_read & jnp.any(hp_match, axis=1)
     ptr_page_is_aux = uma_is_ptr_read & ~ptr_page_is_heap \
         & jnp.any(ap_match, axis=1)
@@ -630,22 +632,31 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     h_base = uma_slot * config.heap_words
     a_base = uma_slot * config.aux_heap_words
 
-    def uma_reads(_):
-        w0_heap = _gather_rows(state.heap, h_base + word0)
-        w1_heap = _gather_rows(state.heap, h_base + word1)
-        w0_aux = _gather_rows(state.aux_heap, a_base + word0)
-        w1_aux = _gather_rows(state.aux_heap, a_base + word1)
-        w0r = _sel(do_mem, _sel(use_heap_arena, w0_heap, w0_aux),
-                   jnp.zeros((B, 8), dtype=U32))
-        w1r = _sel(do_mem & is_unaligned,
-                   _sel(use_heap_arena, w1_heap, w1_aux),
-                   jnp.zeros((B, 8), dtype=U32))
-        return w0r, w1r
-
-    w0, w1 = _occupancy_cond(
-        not config.rolling_commitment, jnp.any(do_mem), uma_reads,
-        lambda _: (jnp.zeros((B, 8), dtype=U32), jnp.zeros((B, 8), dtype=U32)),
-        None)
+    # Four independently occupancy-gated sweeps (heap/aux x aligned/odd
+    # word): each full-arena read is the dominant HBM cost of the cycle, so
+    # skip any the batch doesn't need this cycle — aligned-only heap traffic
+    # (the common case) then pays 1 sweep instead of 4.
+    z8 = jnp.zeros((B, 8), dtype=U32)
+    gate = not config.rolling_commitment
+    need_h = do_mem & use_heap_arena
+    need_a = do_mem & use_aux_arena
+    w0_heap = _occupancy_cond(
+        gate, jnp.any(need_h),
+        lambda _: _gather_rows(state.heap, h_base + word0), lambda _: z8, None)
+    w1_heap = _occupancy_cond(
+        gate, jnp.any(need_h & is_unaligned),
+        lambda _: _gather_rows(state.heap, h_base + word1), lambda _: z8, None)
+    w0_aux = _occupancy_cond(
+        gate, jnp.any(need_a),
+        lambda _: _gather_rows(state.aux_heap, a_base + word0),
+        lambda _: z8, None)
+    w1_aux = _occupancy_cond(
+        gate, jnp.any(need_a & is_unaligned),
+        lambda _: _gather_rows(state.aux_heap, a_base + word1),
+        lambda _: z8, None)
+    w0 = _sel(do_mem, _sel(use_heap_arena, w0_heap, w0_aux), z8)
+    w1 = _sel(do_mem & is_unaligned,
+              _sel(use_heap_arena, w1_heap, w1_aux), z8)
 
     una_bits = unalign * 8
     read_val = u256.shl(w0, una_bits) | u256.shr(w1, 256 - una_bits)
@@ -705,8 +716,8 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
         slot_match = jnp.all(state.st_key == key14[:, None, :], axis=2) \
             & state.st_used                                  # [B, S]
         slot_found = jnp.any(slot_match, axis=1)
-        current_val = jnp.sum(
-            state.st_val * slot_match[:, :, None].astype(U32), axis=1)
+        current_val = jnp.sum(jnp.where(
+            slot_match[:, :, None], state.st_val, 0), axis=1)
 
         do_sread = l_sread & active & ~zeroed
         do_swrite = l_swrite & active & ~log_skipped
@@ -726,9 +737,9 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
                                state.st_val)
         new_st_used = state.st_used | fresh_oh
         new_st_count = state.st_count + fresh_needed.astype(I32)
-        write_slot = jnp.sum(
-            jnp.arange(config.storage_slots, dtype=I32)[None, :]
-            * write_oh.astype(I32), axis=1)
+        write_slot = jnp.sum(jnp.where(
+            write_oh, jnp.arange(config.storage_slots, dtype=I32)[None, :],
+            0), axis=1)
 
         # journal append (slot, previous value) for rollback
         j_oh = _onehot(state.j_count, config.journal_slots) & do_swrite[:, None]
@@ -801,12 +812,11 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
             am = state.ap_page == page[:, None]
             on_h = jnp.any(hm, axis=1)
             on_a = ~on_h & jnp.any(am, axis=1)
+            frames_iota = jnp.arange(config.heap_frames, dtype=U32)[None, :]
             slot = jnp.where(
                 on_h,
-                jnp.sum(jnp.arange(config.heap_frames, dtype=U32)[None, :]
-                        * hm.astype(U32), axis=1),
-                jnp.sum(jnp.arange(config.heap_frames, dtype=U32)[None, :]
-                        * am.astype(U32), axis=1))
+                jnp.sum(jnp.where(hm, frames_iota, 0), axis=1),
+                jnp.sum(jnp.where(am, frames_iota, 0), axis=1))
             return on_h, on_a, slot
 
         r_on_h, r_on_a, r_slot = page_slot(pp_page_r)
@@ -1114,8 +1124,8 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
             [_addr_to_u256(fc_addr5), deployer5, fc_code_shard[:, None]], axis=1)
         fc_slot_match = jnp.all(new_st_key == fc_key14[:, None, :], axis=2) \
             & new_st_used
-        fc_hash_storage = jnp.sum(
-            new_st_val * fc_slot_match[:, :, None].astype(U32), axis=1)
+        fc_hash_storage = jnp.sum(jnp.where(
+            fc_slot_match[:, :, None], new_st_val, 0), axis=1)
     else:
         fc_hash_storage = jnp.zeros((B, 8), dtype=U32)
     fc_hash_storage = _sel(fc_trivial, jnp.zeros((B, 8), dtype=U32),
@@ -1202,10 +1212,10 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     bank_found = jnp.any(bank_match, axis=1)
     # unknown code hash is the VM's single hard error (decommitter.rs:50-56)
     lane_error = lane_error | (fc_do_decommit & ~bank_found)
-    bank_slot_idx = jnp.sum(
-        jnp.arange(config.code_pages, dtype=U32)[None, :]
-        * bank_match.astype(U32), axis=1)
-    bound_page = jnp.sum(state.cb_page * bank_match.astype(U32), axis=1)
+    bank_slot_idx = jnp.sum(jnp.where(
+        bank_match, jnp.arange(config.code_pages, dtype=U32)[None, :], 0),
+        axis=1)
+    bound_page = jnp.sum(jnp.where(bank_match, state.cb_page, 0), axis=1)
     fc_fresh = bound_page == 0
     fc_code_page = jnp.where(fc_fresh, fc_new_base, bound_page)
     bind_oh = bank_match & (fc_do_decommit & fc_fresh)[:, None]
@@ -1444,8 +1454,9 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
             lane_on = panic_pop & (idx > j_snap)
             e = jnp.maximum(idx - 1, 0)
             entry_oh = _onehot(e, config.journal_slots) & lane_on[:, None]
-            slot = jnp.sum(new_j_slot * entry_oh.astype(I32), axis=1)
-            prev = jnp.sum(new_j_prev * entry_oh[:, :, None].astype(U32), axis=1)
+            slot = jnp.sum(jnp.where(entry_oh, new_j_slot, 0), axis=1)
+            prev = jnp.sum(jnp.where(entry_oh[:, :, None], new_j_prev, 0),
+                           axis=1)
             slot_oh = _onehot(slot, config.storage_slots) & lane_on[:, None]
             st_val = jnp.where(slot_oh[:, :, None], prev[:, None, :], st_val)
             return st_val, idx - lane_on.astype(I32)
@@ -1531,18 +1542,23 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     w_heap1 = w_heap0 & is_unaligned
     w_aux0 = uma_do_write & use_aux_arena & active
     w_aux1 = w_aux0 & is_unaligned
+    # w0/w1 scatters gated independently (see the uma read sweeps above)
     new_heap = _occupancy_cond(
         not config.rolling_commitment, jnp.any(w_heap0),
-        lambda h: _scatter_rows(_scatter_rows(h, h_base + word0, new_w0,
-                                              w_heap0),
-                                h_base + word1, new_w1, w_heap1),
+        lambda h: _scatter_rows(h, h_base + word0, new_w0, w_heap0),
         lambda h: h, state.heap)
+    new_heap = _occupancy_cond(
+        not config.rolling_commitment, jnp.any(w_heap1),
+        lambda h: _scatter_rows(h, h_base + word1, new_w1, w_heap1),
+        lambda h: h, new_heap)
     new_aux = _occupancy_cond(
         not config.rolling_commitment, jnp.any(w_aux0),
-        lambda a: _scatter_rows(_scatter_rows(a, a_base + word0, new_w0,
-                                              w_aux0),
-                                a_base + word1, new_w1, w_aux1),
+        lambda a: _scatter_rows(a, a_base + word0, new_w0, w_aux0),
         lambda a: a, state.aux_heap)
+    new_aux = _occupancy_cond(
+        not config.rolling_commitment, jnp.any(w_aux1),
+        lambda a: _scatter_rows(a, a_base + word1, new_w1, w_aux1),
+        lambda a: a, new_aux)
     if precompile_enabled and log_enabled:
         # precompile output word(s) (defined in the precompile unit above)
         new_heap = _scatter_rows(

@@ -1,0 +1,127 @@
+"""Spill-to-host protocols: queue draining + callstack spill windows."""
+
+import numpy as np
+
+from era_zk_evm_tpu.isa import params
+from era_zk_evm_tpu.isa.assembler import assemble_to_code_words
+from era_zk_evm_tpu.models import VmConfig, make_entry_state, run_cycles
+from era_zk_evm_tpu.models.spill import (
+    SpilledFrames, drain_witness_queues, normalize_callstack, run_segments,
+)
+from era_zk_evm_tpu.testing.harness import run_golden_like
+from era_zk_evm_tpu.utils import from_limbs
+from era_zk_evm_tpu.witness.commitment import (
+    serialize_log_query, serialize_memory_query,
+)
+
+PROG = """
+    add 5, r0, r1
+    add 70, r0, r2
+    log.swrite r1, r2
+    st.h 0, r2
+    ld.h 0, r3
+    add r3, r0, stack+=[1]
+    add stack-=[1], r0, r4
+    log.event r1, r4
+    log.sread r1, r6
+    ret r0
+"""
+
+
+class TestQueueDrain:
+    def test_segmented_drains_equal_one_shot(self):
+        words = [assemble_to_code_words(PROG)] * 2
+        big = VmConfig(batch=2, queue_capacity=32 * 8, heap_words=16,
+                       stack_words=2048, code_words=64, max_depth=8,
+                       storage_slots=8, journal_slots=16, event_slots=16,
+                       log_queue_capacity=32)
+        small = VmConfig(batch=2, queue_capacity=8 * 8, heap_words=16,
+                         stack_words=2048, code_words=64, max_depth=8,
+                         storage_slots=8, journal_slots=16, event_slots=16,
+                         log_queue_capacity=8)
+
+        ref = run_cycles(make_entry_state(big, words, ergs=1 << 20), big, 32)
+        _, want = drain_witness_queues(ref, big)
+
+        state = make_entry_state(small, words, ergs=1 << 20)
+        got_mem = [[] for _ in range(2)]
+        got_log = [[] for _ in range(2)]
+        for _ in range(4):
+            state = run_cycles(state, small, 8)
+            state, streams = drain_witness_queues(state, small)
+            for b in range(2):
+                got_mem[b].extend(streams["memory"][b])
+                got_log[b].extend(streams["log"][b])
+        assert not np.any(np.asarray(state.lane_error))
+        for b in range(2):
+            assert [serialize_memory_query(q) for q in got_mem[b]] == \
+                [serialize_memory_query(q) for q in want["memory"][b]]
+            assert [serialize_log_query(q) for q in got_log[b]] == \
+                [serialize_log_query(q) for q in want["log"][b]]
+
+
+RECURSE = """
+    add 1, r0, r10
+    add 12, r0, r13
+    near_call r0, @rec, @fail
+    add 7, r0, r5
+    ret r0
+    fail:
+    panic
+    rec:
+    sub! r13, r10, r13
+    jump.if_eq @leaf
+    near_call r0, @rec, @fail
+    leaf:
+    ret r0
+"""
+
+
+class TestCallstackSpill:
+    def test_deep_recursion_through_shallow_device_stack(self):
+        # architectural depth reaches 14; device holds only 8 frames
+        vm, _, cycles = run_golden_like(RECURSE, 128)
+        config = VmConfig(batch=2, queue_capacity=0, heap_words=16,
+                          stack_words=2048, code_words=64, max_depth=8)
+        words = [assemble_to_code_words(RECURSE)] * 2
+        state = make_entry_state(config, words, ergs=1 << 20)
+        state, spilled = run_segments(state, config, run_cycles,
+                                      n_cycles=80, segment=2)
+        assert np.all(np.asarray(state.done))
+        assert not np.any(np.asarray(state.lane_error))
+        assert all(not f for f in spilled.frames)
+        for b in range(2):
+            assert int(np.asarray(state.monotonic_cycle_counter)[b]) == cycles
+            for i in range(15):
+                want = vm.local_state.registers[i]
+                got = from_limbs(np.asarray(state.regs)[b, i])
+                assert got == want.value, f"r{i+1}"
+            root_ergs = int(np.asarray(state.cs_scalars)[b, 0, 5])
+            want_root = vm.local_state.callstack.current.ergs_remaining
+            assert root_ergs == want_root
+
+    def test_normalize_roundtrip_preserves_frames(self):
+        # push some frames, spill to a window, restore, compare arrays
+        config = VmConfig(batch=1, queue_capacity=0, heap_words=16,
+                          stack_words=2048, code_words=64, max_depth=8)
+        words = [assemble_to_code_words(RECURSE)]
+        state = make_entry_state(config, words, ergs=1 << 20)
+        state = run_cycles(state, config, 9)  # partway down the recursion
+        before = {n: np.asarray(getattr(state, n)).copy()
+                  for n in ("cs_scalars", "cs_this_address", "depth")}
+        d0 = int(np.asarray(state.depth)[0])
+        assert d0 > 3
+        spilled = SpilledFrames.empty(1)
+        state, spilled = normalize_callstack(state, config, spilled,
+                                             lo=2, hi=2)
+        assert int(np.asarray(state.depth)[0]) == 2
+        assert spilled.spilled_depth(0) == d0 - 2
+        state, spilled = normalize_callstack(state, config, spilled,
+                                             lo=d0, hi=config.max_depth - 2)
+        assert spilled.spilled_depth(0) == 0
+        after = np.asarray(state.cs_scalars)
+        # live frames 0..depth restored bit-exactly
+        assert np.array_equal(after[0, :d0 + 1],
+                              before["cs_scalars"][0, :d0 + 1])
+        assert np.array_equal(np.asarray(state.cs_this_address)[0, :d0 + 1],
+                              before["cs_this_address"][0, :d0 + 1])
