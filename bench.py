@@ -69,6 +69,7 @@ def bench(batch: int, n_cycles: int, witness: bool, repeats: int = 3) -> dict:
     # clock persists for checkpoint/resume), so size for warmup + repeats
     q = n_cycles * 8 * (repeats + 2) if witness else 0
     config = VmConfig(batch=batch, code_words=16, stack_words=256,
+                      sweep_gating=False,
                       stack_abs_words=64, stack_sp_base=960,
                       heap_words=64, aux_heap_words=16, max_depth=8,
                       queue_capacity=q)
@@ -120,6 +121,7 @@ STORAGE_WORKLOAD = """
 def bench_storage(batch: int, n_cycles: int) -> float:
     """Storage/event-heavy workload (driver config 3 shape)."""
     config = VmConfig(batch=batch, code_words=16, stack_words=256,
+                      sweep_gating=False,
                       stack_abs_words=64, stack_sp_base=960,
                       heap_words=16, aux_heap_words=16, max_depth=8,
                       queue_capacity=0, storage_slots=8, journal_slots=64,
@@ -176,6 +178,7 @@ def bench_farcall(batch: int = 16384, n_calls: int = 12) -> float:
         n: .word 4096
     """)
     config = VmConfig(batch=batch, code_words=16, stack_words=256,
+                      sweep_gating=False,
                       stack_abs_words=64, stack_sp_base=960, heap_words=16,
                       aux_heap_words=8, max_depth=8, queue_capacity=0,
                       storage_slots=4, journal_slots=8, event_slots=8,
@@ -199,6 +202,7 @@ def bench_farcall(batch: int = 16384, n_calls: int = 12) -> float:
 def bench_rolling(batch: int, n_cycles: int) -> float:
     """Witness-committed mode: rolling sponge per query, no queue arrays."""
     config = VmConfig(batch=batch, code_words=16, stack_words=256,
+                      sweep_gating=False,
                       stack_abs_words=64, stack_sp_base=960,
                       heap_words=64, aux_heap_words=16, max_depth=8,
                       queue_capacity=0, rolling_commitment=True)

@@ -93,6 +93,28 @@ def _gather_rows(arr, idx):
     return jnp.sum(jnp.where(oh, arr, 0), axis=1)
 
 
+def _gather_words(arr2d, idx):
+    """Word gather from a flat 2D arena [B, W*8] -> [B, 8].
+
+    Arenas are STORED 2D: with a trailing limb dim of 8, XLA's layout
+    assignment sometimes materializes whole-arena copies in a {2,1,0}
+    (8,128)-tiled layout — 16x padding, gigabytes per copy (measured: a
+    [B,256,8] stack became a 4 GB HLO-temp copy at a cond boundary).  A 2D
+    [B, W*8] carry keeps boundary layouts sane; the 3D view below lives
+    only inside fusions.
+    """
+    B = arr2d.shape[0]
+    return _gather_rows(arr2d.reshape(B, arr2d.shape[1] // 8, 8), idx)
+
+
+def _scatter_words(arr2d, idx, values, mask):
+    """Masked word scatter into a flat 2D arena (see _gather_words)."""
+    B = arr2d.shape[0]
+    out = _scatter_rows(arr2d.reshape(B, arr2d.shape[1] // 8, 8), idx,
+                        values, mask)
+    return out.reshape(B, arr2d.shape[1])
+
+
 def _scatter_rows(arr, idx, values, mask):
     """Masked per-lane row write: arr[b, idx[b]] = values[b] where mask[b].
 
@@ -379,10 +401,10 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     do_src0_mem_read = (src0_is_stack_mem | src0_code) & ~is_nop_op
 
     src0_phys, src0_in_window = _map_stack_index(config, src0_loc)
-    gate = not config.rolling_commitment
+    gate = config.sweep_gating and not config.rolling_commitment
     stack_val, stack_tag = _occupancy_cond(
         gate, jnp.any(do_src0_mem_read & src0_is_stack_mem),
-        lambda _: (_gather_rows(state.stack, src0_phys),
+        lambda _: (_gather_words(state.stack, src0_phys),
                    _gather_rows(state.stack_ptr_tag, src0_phys)),
         lambda _: (jnp.zeros((B, 8), dtype=U32), jnp.zeros((B,), dtype=BOOL)),
         None)
@@ -637,7 +659,7 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     # skip any the batch doesn't need this cycle — aligned-only heap traffic
     # (the common case) then pays 1 sweep instead of 4.
     z8 = jnp.zeros((B, 8), dtype=U32)
-    gate = not config.rolling_commitment
+    gate = config.sweep_gating and not config.rolling_commitment
     need_h = do_mem & use_heap_arena
     need_a = do_mem & use_aux_arena
     w0_heap = _occupancy_cond(
@@ -1532,8 +1554,8 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     dst0_phys, dst0_in_window = _map_stack_index(config, dst0_loc)
     lane_error = lane_error | (dst0_to_stack & ~dst0_in_window)
     new_stack, new_stack_tag = _occupancy_cond(
-        not config.rolling_commitment, jnp.any(dst0_to_stack),
-        lambda sv: (_scatter_rows(sv[0], dst0_phys, dst0_val, dst0_to_stack),
+        gate, jnp.any(dst0_to_stack),
+        lambda sv: (_scatter_words(sv[0], dst0_phys, dst0_val, dst0_to_stack),
                     _scatter_rows(sv[1], dst0_phys, dst0_is_ptr,
                                   dst0_to_stack)),
         lambda sv: sv, (state.stack, state.stack_ptr_tag))
@@ -1544,19 +1566,19 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     w_aux1 = w_aux0 & is_unaligned
     # w0/w1 scatters gated independently (see the uma read sweeps above)
     new_heap = _occupancy_cond(
-        not config.rolling_commitment, jnp.any(w_heap0),
+        gate, jnp.any(w_heap0),
         lambda h: _scatter_rows(h, h_base + word0, new_w0, w_heap0),
         lambda h: h, state.heap)
     new_heap = _occupancy_cond(
-        not config.rolling_commitment, jnp.any(w_heap1),
+        gate, jnp.any(w_heap1),
         lambda h: _scatter_rows(h, h_base + word1, new_w1, w_heap1),
         lambda h: h, new_heap)
     new_aux = _occupancy_cond(
-        not config.rolling_commitment, jnp.any(w_aux0),
+        gate, jnp.any(w_aux0),
         lambda a: _scatter_rows(a, a_base + word0, new_w0, w_aux0),
         lambda a: a, state.aux_heap)
     new_aux = _occupancy_cond(
-        not config.rolling_commitment, jnp.any(w_aux1),
+        gate, jnp.any(w_aux1),
         lambda a: _scatter_rows(a, a_base + word1, new_w1, w_aux1),
         lambda a: a, new_aux)
     if precompile_enabled and log_enabled:
@@ -1631,13 +1653,15 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
                                   | (mptr.astype(U32) << 1)
                                   | (valid.astype(U32) << 2))
                 wq_count = wq_count + valid.astype(I32)
-            meta_b = jnp.stack(meta_block, axis=1)     # [B, 8, 4]
-            value_b = jnp.stack(value_block, axis=1)   # [B, 8, 8]
-            flag_b = jnp.stack(flag_block, axis=1)     # [B, 8]
-            wq_meta = jax.lax.dynamic_update_slice(wq_meta, meta_b, (0, base, 0))
-            wq_value = jax.lax.dynamic_update_slice(wq_value, value_b,
-                                                    (0, base, 0))
-            wq_flags = jax.lax.dynamic_update_slice(wq_flags, flag_b, (0, base))
+            # batch-last slabs (see state.py on queue layouts)
+            meta_b = jnp.stack(meta_block, axis=0)     # [8, B, 4]
+            value_b = jnp.stack(value_block, axis=0)   # [8, B, 8]
+            flag_b = jnp.stack(flag_block, axis=0)     # [8, B]
+            wq_meta = jax.lax.dynamic_update_slice(
+                wq_meta, jnp.transpose(meta_b, (0, 2, 1)), (base, 0, 0))
+            wq_value = jax.lax.dynamic_update_slice(
+                wq_value, jnp.transpose(value_b, (0, 2, 1)), (base, 0, 0))
+            wq_flags = jax.lax.dynamic_update_slice(wq_flags, flag_b, (base, 0))
 
     # ---- rolling memory-queue commitment (witness/commitment.py spec):
     # absorb each valid query record into the per-lane sponge, one
@@ -1831,9 +1855,17 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     )
 
 
-@partial(jax.jit, static_argnames=("config", "n_cycles"), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("config", "n_cycles"),
+         donate_argnames=("state",))
 def run_cycles(state: BatchedVmState, config: VmConfig,
                n_cycles: int) -> BatchedVmState:
-    """Advance all lanes by n_cycles (lanes freeze once they finish)."""
+    """Advance all lanes by n_cycles (lanes freeze once they finish).
+
+    The input state is DONATED: without donation XLA must preserve every
+    loop-carried arena, which materializes copies of the stack, heap and
+    witness-queue arrays (gigabytes of HLO temps and one full-queue copy
+    per call, measured on the real chip).  Callers rebind:
+    ``state = run_cycles(state, ...)``; on CPU donation is a no-op.
+    """
     return jax.lax.fori_loop(
         0, n_cycles, lambda i, s: cycle_step(s, config, i), state)

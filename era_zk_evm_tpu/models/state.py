@@ -62,6 +62,16 @@ class VmConfig:
     #: streaming memory-queue commitment: one keccak-f absorb per query
     #: (witness/commitment.py rolling spec); O(1) memory, unbounded streams
     rolling_commitment: bool = False
+    #: batch-occupancy lax.cond gates around arena sweeps.  On the real chip
+    #: these conds force whole-arena layout-conversion copies at the
+    #: conditional boundary (a [B,SW,8] stack showed up as a 16x-padded
+    #: {2,1,0:T(8,128)} copy — 4 GB/step, see tools/probe_perf.py), so TPU
+    #: bench/serving configs pass False.  On XLA:CPU the conds are the
+    #: opposite: they partition the graph and keep fusion (and compile time —
+    #: super-linear in fused-chain length, the ecrecover step explodes
+    #: without them) bounded, so the default stays True for the CPU
+    #: test/dev loop.
+    sweep_gating: bool = True
 
     def __post_init__(self):
         if self.stack_abs_words is None:
@@ -137,7 +147,7 @@ class BatchedVmState:
     # memory arenas (code/heap/aux are slot pools, flattened:
     # code[b, p*CW + w], heap[b, f*HW + w], aux_heap[b, f*AW + w])
     code: jax.Array                  # u32[B, P*CW, 8]
-    stack: jax.Array                 # u32[B, SW, 8]
+    stack: jax.Array                 # u32[B, SW*8] (flat 2D arena)
     stack_ptr_tag: jax.Array         # bool[B, SW]
     heap: jax.Array                  # u32[B, F*HW, 8]
     aux_heap: jax.Array              # u32[B, F*AW, 8]
@@ -167,11 +177,15 @@ class BatchedVmState:
     #: the batch-uniform witness-queue block positions; survives checkpoints
     global_step: jax.Array           # i32[B]
 
-    # memory witness queue (optional; zero-size arrays when off)
+    # memory witness queue (optional; zero-size arrays when off).
+    # Stored batch-LAST ([Q, ..., B]): XLA's while-loop layout for these is
+    # batch-minor, and a batch-major jnp.zeros input would pay a full-array
+    # layout-conversion copy at every run_cycles entry (8 GB of HLO temps at
+    # q=5120, B=32k — measured; it OOMed the chip).  Host readers transpose.
     wq_count: jax.Array              # i32[B]
-    wq_meta: jax.Array               # u32[B, Q, 4]: timestamp, type, page, index
-    wq_value: jax.Array              # u32[B, Q, 8]
-    wq_flags: jax.Array              # u32[B, Q]: bit0 rw, bit1 is_ptr
+    wq_meta: jax.Array               # u32[Q, 4, B]: timestamp, type, page, index
+    wq_value: jax.Array              # u32[Q, 8, B]
+    wq_flags: jax.Array              # u32[Q, B]: bit0 rw, bit1 is_ptr, bit2 valid
 
     # -- LOG-family state (zero-size arrays when disabled) --
     # storage: per-lane KV store; key = (key u256, address, shard) = 14 limbs
@@ -235,7 +249,7 @@ def empty_state(config: VmConfig) -> BatchedVmState:
         cs_context_u128=z((B, D, 4)),
         cs_scalars=z((B, D, len(CS_SCALAR_FIELDS))),
         code=z((B, config.code_pages * config.code_words, 8)),
-        stack=z((B, config.stack_words, 8)),
+        stack=z((B, config.stack_words * 8)),
         stack_ptr_tag=jnp.zeros((B, config.stack_words), dtype=BOOL),
         heap=z((B, config.heap_frames * config.heap_words, 8)),
         aux_heap=z((B, config.heap_frames * config.aux_heap_words, 8)),
@@ -257,9 +271,9 @@ def empty_state(config: VmConfig) -> BatchedVmState:
         lane_error=jnp.zeros((B,), dtype=BOOL),
         global_step=jnp.zeros((B,), dtype=I32),
         wq_count=jnp.zeros((B,), dtype=I32),
-        wq_meta=z((B, Q, 4)),
-        wq_value=z((B, Q, 8)),
-        wq_flags=z((B, Q)),
+        wq_meta=z((Q, 4, B)),
+        wq_value=z((Q, 8, B)),
+        wq_flags=z((Q, B)),
         st_key=z((B, config.storage_slots, 14)),
         st_val=z((B, config.storage_slots, 8)),
         st_used=jnp.zeros((B, config.storage_slots), dtype=BOOL),

@@ -41,6 +41,7 @@ def measure(n_devices: int, lanes_per_device: int = 256,
     """Cycles/sec for an n-device dp mesh (weak scaling)."""
     batch = n_devices * lanes_per_device
     config = VmConfig(batch=batch, code_words=16, stack_words=2048,
+                      sweep_gating=False,
                       heap_words=64, aux_heap_words=16, max_depth=4,
                       queue_capacity=0)
     program = assemble_to_code_words(_WORKLOAD)

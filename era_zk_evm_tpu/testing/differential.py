@@ -117,11 +117,13 @@ def diff_run(sources: list[str], config: VmConfig | None = None,
     cs = np.asarray(state.cs_scalars)
     heap = np.asarray(state.heap)
     stack = np.asarray(state.stack)
+    stack = stack.reshape(stack.shape[0], -1, 8)
     stack_tag = np.asarray(state.stack_ptr_tag)
     wq_count = np.asarray(state.wq_count)
-    wq_meta = np.asarray(state.wq_meta)
-    wq_value = np.asarray(state.wq_value)
-    wq_flags = np.asarray(state.wq_flags)
+    # device queues are batch-last ([Q, ..., B]); view as [B, Q, ...]
+    wq_meta = np.asarray(state.wq_meta).transpose(2, 0, 1)
+    wq_value = np.asarray(state.wq_value).transpose(2, 0, 1)
+    wq_flags = np.asarray(state.wq_flags).T
 
     from .harness import ENTRY_BASE_PAGE
     heap_page = ENTRY_BASE_PAGE + 2

@@ -141,9 +141,10 @@ def device_queue_streams(state) -> list[list[MemoryQuery]]:
     from ..golden.queries import MemoryType
     from ..utils import from_limbs
 
-    wq_meta = np.asarray(state.wq_meta)
-    wq_value = np.asarray(state.wq_value)
-    wq_flags = np.asarray(state.wq_flags)
+    # device queues are batch-last ([Q, ..., B]); view as [B, Q, ...]
+    wq_meta = np.asarray(state.wq_meta).transpose(2, 0, 1)
+    wq_value = np.asarray(state.wq_value).transpose(2, 0, 1)
+    wq_flags = np.asarray(state.wq_flags).T
     B, Q = wq_flags.shape
     streams: list[list[MemoryQuery]] = []
     for b in range(B):
