@@ -118,10 +118,15 @@ STORAGE_WORKLOAD = """
 """
 
 
-def bench_storage(batch: int, n_cycles: int) -> float:
-    """Storage/event-heavy workload (driver config 3 shape)."""
+def bench_storage(batch: int, n_cycles: int,
+                  sweep_gating: bool = True) -> float:
+    """Storage/event-heavy workload (driver config 3 shape).
+
+    Sparse opcode mix: most cycles touch no memory arena, so the
+    batch-occupancy gates win (16.8M vs 10.1M cyc/s measured at B=32k).
+    """
     config = VmConfig(batch=batch, code_words=16, stack_words=256,
-                      sweep_gating=False,
+                      sweep_gating=sweep_gating,
                       stack_abs_words=64, stack_sp_base=960,
                       heap_words=16, aux_heap_words=16, max_depth=8,
                       queue_capacity=0, storage_slots=8, journal_slots=64,
@@ -136,8 +141,13 @@ def bench_storage(batch: int, n_cycles: int) -> float:
     return batch * n_cycles / (time.time() - t0)
 
 
-def bench_farcall(batch: int = 16384, n_calls: int = 12) -> float:
-    """Far-call/decommit-heavy workload (driver config 4 shape)."""
+def bench_farcall(batch: int = 16384, n_calls: int = 12,
+                  sweep_gating: bool = True) -> float:
+    """Far-call/decommit-heavy workload (driver config 4 shape).
+
+    Sparse opcode mix (see bench_storage): gating ON measured 19.5M vs
+    7.1M cyc/s at B=16k.
+    """
     from era_zk_evm_tpu.isa import params
     from era_zk_evm_tpu.isa.abi import (
         FarCallABI, FatPointer, ForwardingMode, RetABI, code_hash_for_bytecode,
@@ -178,7 +188,7 @@ def bench_farcall(batch: int = 16384, n_calls: int = 12) -> float:
         n: .word 4096
     """)
     config = VmConfig(batch=batch, code_words=16, stack_words=256,
-                      sweep_gating=False,
+                      sweep_gating=sweep_gating,
                       stack_abs_words=64, stack_sp_base=960, heap_words=16,
                       aux_heap_words=8, max_depth=8, queue_capacity=0,
                       storage_slots=4, journal_slots=8, event_slots=8,

@@ -100,9 +100,12 @@ def timed(config, program, label):
 def cfg(batch=32768, stack_words=256, heap_words=64, witness=False,
         max_depth=8, **kw):
     q = N_CYCLES * 8 * 5 if witness else 0
+    # keep INITIAL_SP (1024) inside the sliding sp window for any SW
+    # (960 kept for SW>=256 so default shapes stay compile-cache-warm)
+    sp_base = 960 if stack_words >= 256 else 1024 - stack_words + 64 + 32
     return VmConfig(batch=batch, code_words=16, stack_words=stack_words,
                     sweep_gating=False,
-                    stack_abs_words=64, stack_sp_base=960,
+                    stack_abs_words=64, stack_sp_base=sp_base,
                     heap_words=heap_words, aux_heap_words=16,
                     max_depth=max_depth, queue_capacity=q, **kw)
 
