@@ -127,6 +127,29 @@ def _scatter_rows(arr, idx, values, mask):
     return jnp.where(oh, vals, arr)
 
 
+def _gather_arena(config, arr, idx):
+    """u256-word gather from a word arena -> u32[B, 8], under either physical
+    layout (state.arena_shape): limb-major [B, 8, W] sweeps the last (lane)
+    axis — the pad-free VMEM form the fused Pallas path needs — while
+    word-major uses the flat-2D/3D row sweeps."""
+    if config.limb_major_arenas:
+        oh = _onehot(idx, arr.shape[2])
+        return jnp.sum(jnp.where(oh[:, None, :], arr, 0), axis=2)
+    if arr.ndim == 2:
+        return _gather_words(arr, idx)
+    return _gather_rows(arr, idx)
+
+
+def _scatter_arena(config, arr, idx, values, mask):
+    """Masked u256-word scatter into a word arena (see _gather_arena)."""
+    if config.limb_major_arenas:
+        oh = _onehot(idx, arr.shape[2]) & mask[:, None]
+        return jnp.where(oh[:, None, :], values[:, :, None], arr)
+    if arr.ndim == 2:
+        return _scatter_words(arr, idx, values, mask)
+    return _scatter_rows(arr, idx, values, mask)
+
+
 def _occupancy_cond(enabled: bool, pred, true_fn, false_fn, operand):
     """Batch-occupancy gating for arena sweeps: skips untouched arenas on
     cycles where no lane needs them (a big win for sparse opcode mixes), but
@@ -219,7 +242,8 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
         cb_match, jnp.arange(config.code_pages, dtype=U32)[None, :], 0),
         axis=1)
     code_page_found = jnp.any(cb_match, axis=1)
-    fetched = _gather_rows(state.code, code_slot * config.code_words + super_pc)
+    fetched = _gather_arena(config, state.code,
+                            code_slot * config.code_words + super_pc)
     lane_error = lane_error | (active & code_read_needed
                                & (~code_page_found
                                   | (super_pc >= config.code_words)))
@@ -404,13 +428,13 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     gate = config.sweep_gating and not config.rolling_commitment
     stack_val, stack_tag = _occupancy_cond(
         gate, jnp.any(do_src0_mem_read & src0_is_stack_mem),
-        lambda _: (_gather_words(state.stack, src0_phys),
+        lambda _: (_gather_arena(config, state.stack, src0_phys),
                    _gather_rows(state.stack_ptr_tag, src0_phys)),
         lambda _: (jnp.zeros((B, 8), dtype=U32), jnp.zeros((B,), dtype=BOOL)),
         None)
     code_val = _occupancy_cond(
         gate, jnp.any(do_src0_mem_read & src0_code),
-        lambda _: _gather_rows(state.code,
+        lambda _: _gather_arena(config, state.code,
                                code_slot * config.code_words + src0_loc),
         lambda _: jnp.zeros((B, 8), dtype=U32), None)
     lane_error = lane_error | (active & do_src0_mem_read & src0_is_stack_mem
@@ -664,17 +688,19 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     need_a = do_mem & use_aux_arena
     w0_heap = _occupancy_cond(
         gate, jnp.any(need_h),
-        lambda _: _gather_rows(state.heap, h_base + word0), lambda _: z8, None)
+        lambda _: _gather_arena(config, state.heap, h_base + word0),
+        lambda _: z8, None)
     w1_heap = _occupancy_cond(
         gate, jnp.any(need_h & is_unaligned),
-        lambda _: _gather_rows(state.heap, h_base + word1), lambda _: z8, None)
+        lambda _: _gather_arena(config, state.heap, h_base + word1),
+        lambda _: z8, None)
     w0_aux = _occupancy_cond(
         gate, jnp.any(need_a),
-        lambda _: _gather_rows(state.aux_heap, a_base + word0),
+        lambda _: _gather_arena(config, state.aux_heap, a_base + word0),
         lambda _: z8, None)
     w1_aux = _occupancy_cond(
         gate, jnp.any(need_a & is_unaligned),
-        lambda _: _gather_rows(state.aux_heap, a_base + word1),
+        lambda _: _gather_arena(config, state.aux_heap, a_base + word1),
         lambda _: z8, None)
     w0 = _sel(do_mem, _sel(use_heap_arena, w0_heap, w0_aux), z8)
     w1 = _sel(do_mem & is_unaligned,
@@ -847,9 +873,10 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
             | (pp_any & ~(w_on_h | w_on_a))
 
         def read_in_word(idx):
-            hv = _gather_rows(state.heap, r_slot * config.heap_words + idx)
-            av = _gather_rows(state.aux_heap,
-                              r_slot * config.aux_heap_words + idx)
+            hv = _gather_arena(config, state.heap,
+                               r_slot * config.heap_words + idx)
+            av = _gather_arena(config, state.aux_heap,
+                               r_slot * config.aux_heap_words + idx)
             return _sel(r_on_h, hv, av)
 
         # ---- keccak256: byte-stream sponge with XOR-padding ----
@@ -1555,7 +1582,8 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     lane_error = lane_error | (dst0_to_stack & ~dst0_in_window)
     new_stack, new_stack_tag = _occupancy_cond(
         gate, jnp.any(dst0_to_stack),
-        lambda sv: (_scatter_words(sv[0], dst0_phys, dst0_val, dst0_to_stack),
+        lambda sv: (_scatter_arena(config, sv[0], dst0_phys, dst0_val,
+                                   dst0_to_stack),
                     _scatter_rows(sv[1], dst0_phys, dst0_is_ptr,
                                   dst0_to_stack)),
         lambda sv: sv, (state.stack, state.stack_ptr_tag))
@@ -1567,33 +1595,33 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
     # w0/w1 scatters gated independently (see the uma read sweeps above)
     new_heap = _occupancy_cond(
         gate, jnp.any(w_heap0),
-        lambda h: _scatter_rows(h, h_base + word0, new_w0, w_heap0),
+        lambda h: _scatter_arena(config, h, h_base + word0, new_w0, w_heap0),
         lambda h: h, state.heap)
     new_heap = _occupancy_cond(
         gate, jnp.any(w_heap1),
-        lambda h: _scatter_rows(h, h_base + word1, new_w1, w_heap1),
+        lambda h: _scatter_arena(config, h, h_base + word1, new_w1, w_heap1),
         lambda h: h, new_heap)
     new_aux = _occupancy_cond(
         gate, jnp.any(w_aux0),
-        lambda a: _scatter_rows(a, a_base + word0, new_w0, w_aux0),
+        lambda a: _scatter_arena(config, a, a_base + word0, new_w0, w_aux0),
         lambda a: a, state.aux_heap)
     new_aux = _occupancy_cond(
         gate, jnp.any(w_aux1),
-        lambda a: _scatter_rows(a, a_base + word1, new_w1, w_aux1),
+        lambda a: _scatter_arena(config, a, a_base + word1, new_w1, w_aux1),
         lambda a: a, new_aux)
     if precompile_enabled and log_enabled:
         # precompile output word(s) (defined in the precompile unit above)
-        new_heap = _scatter_rows(
-            new_heap, pp_w_slot * config.heap_words + pp_out_idx,
+        new_heap = _scatter_arena(
+            config, new_heap, pp_w_slot * config.heap_words + pp_out_idx,
             pp_out_val, pp_write_h)
-        new_aux = _scatter_rows(
-            new_aux, pp_w_slot * config.aux_heap_words + pp_out_idx,
+        new_aux = _scatter_arena(
+            config, new_aux, pp_w_slot * config.aux_heap_words + pp_out_idx,
             pp_out_val, pp_write_a)
-        new_heap = _scatter_rows(
-            new_heap, pp_w_slot * config.heap_words + pp_out_idx + 1,
+        new_heap = _scatter_arena(
+            config, new_heap, pp_w_slot * config.heap_words + pp_out_idx + 1,
             pp_out_val2, pp_write2_h)
-        new_aux = _scatter_rows(
-            new_aux, pp_w_slot * config.aux_heap_words + pp_out_idx + 1,
+        new_aux = _scatter_arena(
+            config, new_aux, pp_w_slot * config.aux_heap_words + pp_out_idx + 1,
             pp_out_val2, pp_write2_a)
 
     # ==================================================================

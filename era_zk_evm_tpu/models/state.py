@@ -62,6 +62,13 @@ class VmConfig:
     #: streaming memory-queue commitment: one keccak-f absorb per query
     #: (witness/commitment.py rolling spec); O(1) memory, unbounded streams
     rolling_commitment: bool = False
+    #: store the word arenas (code/stack/heap/aux) limb-major [B, 8, W]
+    #: instead of word-major ([B, W, 8] / flat [B, W*8]).  Limb-major puts
+    #: the word axis on the 128-lane dimension with the 8-limb axis exactly
+    #: filling the sublane tile — the layout the fused Pallas cycle kernel
+    #: requires for pad-free VMEM residency (a word-major [TB, W, 8] block
+    #: tiles to (W, 128): 16x padding).  Both layouts are conformance-tested.
+    limb_major_arenas: bool = False
     #: batch-occupancy lax.cond gates around arena sweeps.  On the real chip
     #: these conds force whole-arena layout-conversion copies at the
     #: conditional boundary (a [B,SW,8] stack showed up as a 16x-padded
@@ -145,12 +152,14 @@ class BatchedVmState:
     cs_scalars: jax.Array            # u32[B, D, len(CS_SCALAR_FIELDS)]
 
     # memory arenas (code/heap/aux are slot pools, flattened:
-    # code[b, p*CW + w], heap[b, f*HW + w], aux_heap[b, f*AW + w])
-    code: jax.Array                  # u32[B, P*CW, 8]
-    stack: jax.Array                 # u32[B, SW*8] (flat 2D arena)
+    # code word p*CW+w, heap word f*HW+w, aux_heap word f*AW+w).  Physical
+    # layout per config.limb_major_arenas: word-major u32[B, W, 8] (stack
+    # flat u32[B, W*8]) or limb-major u32[B, 8, W] — see arena_shape().
+    code: jax.Array                  # u32[B, P*CW, 8] | u32[B, 8, P*CW]
+    stack: jax.Array                 # u32[B, SW*8] | u32[B, 8, SW]
     stack_ptr_tag: jax.Array         # bool[B, SW]
-    heap: jax.Array                  # u32[B, F*HW, 8]
-    aux_heap: jax.Array              # u32[B, F*AW, 8]
+    heap: jax.Array                  # u32[B, F*HW, 8] | u32[B, 8, F*HW]
+    aux_heap: jax.Array              # u32[B, F*AW, 8] | u32[B, 8, F*AW]
     # heap-slot page tables: VM page numbers of slot f's heap/aux pages
     hp_page: jax.Array               # u32[B, F]
     ap_page: jax.Array               # u32[B, F]
@@ -224,6 +233,25 @@ class BatchedVmState:
 CS = {name: i for i, name in enumerate(CS_SCALAR_FIELDS)}
 
 
+def arena_shape(config: VmConfig, words: int) -> tuple[int, ...]:
+    """Physical shape of a `words`-word u256 arena under the config's layout
+    (limb-major [B, 8, W]; word-major heap/aux/code [B, W, 8], stack flat)."""
+    if config.limb_major_arenas:
+        return (config.batch, 8, words)
+    return (config.batch, words, 8)
+
+
+def arena_word_major(arr: np.ndarray | jax.Array, config: VmConfig) -> np.ndarray:
+    """Host-side view of an arena as word-major [B, W, 8] regardless of the
+    physical layout (for readers: differential harness, witness extractors)."""
+    a = np.asarray(arr)
+    if config.limb_major_arenas:
+        return a.transpose(0, 2, 1)
+    if a.ndim == 2:  # flat word-major stack [B, W*8]
+        return a.reshape(a.shape[0], -1, 8)
+    return a
+
+
 def empty_state(config: VmConfig) -> BatchedVmState:
     B, D = config.batch, config.max_depth
     Q = config.queue_capacity
@@ -248,11 +276,13 @@ def empty_state(config: VmConfig) -> BatchedVmState:
         cs_code_address=z((B, D, 5)),
         cs_context_u128=z((B, D, 4)),
         cs_scalars=z((B, D, len(CS_SCALAR_FIELDS))),
-        code=z((B, config.code_pages * config.code_words, 8)),
-        stack=z((B, config.stack_words * 8)),
+        code=z(arena_shape(config, config.code_pages * config.code_words)),
+        stack=z((B, 8, config.stack_words) if config.limb_major_arenas
+                else (B, config.stack_words * 8)),
         stack_ptr_tag=jnp.zeros((B, config.stack_words), dtype=BOOL),
-        heap=z((B, config.heap_frames * config.heap_words, 8)),
-        aux_heap=z((B, config.heap_frames * config.aux_heap_words, 8)),
+        heap=z(arena_shape(config, config.heap_frames * config.heap_words)),
+        aux_heap=z(arena_shape(config,
+                               config.heap_frames * config.aux_heap_words)),
         hp_page=z((B, config.heap_frames)),
         ap_page=z((B, config.heap_frames)),
         frame_count=jnp.ones((B,), dtype=I32),
@@ -326,6 +356,8 @@ def make_entry_state(config: VmConfig, programs: list[list[int]],
         assert len(words) <= config.code_words, "program exceeds code arena"
         for i, w in enumerate(words):
             code[b, i] = to_limbs(w)  # bank slot 0 = the entry program
+    if config.limb_major_arenas:
+        code = code.transpose(0, 2, 1)
     state.code = jnp.asarray(code)
     state.cb_page = state.cb_page.at[:, 0].set(base_page)
     state.cb_valid = state.cb_valid.at[:, 0].set(True)
@@ -336,6 +368,8 @@ def make_entry_state(config: VmConfig, programs: list[list[int]],
         for b, words in enumerate(heap_init):
             for i, w in enumerate(words):
                 heap[b, i] = to_limbs(w)  # heap slot 0 = entry frame heap
+    if config.limb_major_arenas:
+        heap = heap.transpose(0, 2, 1)
     state.heap = jnp.asarray(heap)
     state.hp_page = state.hp_page.at[:, 0].set(base_page + 2)
     state.ap_page = state.ap_page.at[:, 0].set(base_page + 3)
@@ -380,7 +414,7 @@ def populate_code_bank(state: BatchedVmState, config: VmConfig,
     hashes = np.zeros((B, config.code_pages, 8), dtype=np.uint32)
     lens = np.zeros((B, config.code_pages), dtype=np.uint32)
     valid = np.zeros((B, config.code_pages), dtype=bool)
-    code = np.asarray(state.code).copy()
+    code = arena_word_major(state.code, config).copy()
     for b, lane in enumerate(contracts):
         assert len(lane) <= config.code_pages - 1, "code bank full"
         for i, (code_hash, words) in enumerate(lane):
@@ -397,6 +431,8 @@ def populate_code_bank(state: BatchedVmState, config: VmConfig,
     state.cb_len = jnp.where(jnp.asarray(valid), jnp.asarray(lens),
                              state.cb_len)
     state.cb_valid = state.cb_valid | jnp.asarray(valid)
+    if config.limb_major_arenas:
+        code = code.transpose(0, 2, 1)
     state.code = jnp.asarray(code)
     state.default_aa_hash = jnp.broadcast_to(
         jnp.asarray(to_limbs(default_aa_hash)), (B, 8))

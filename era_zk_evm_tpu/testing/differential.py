@@ -47,13 +47,17 @@ def diff_run(sources: list[str], config: VmConfig | None = None,
              compare_witness: bool = True,
              contracts: list[tuple[int, str]] | None = None,
              default_aa_source: str | None = None,
-             entry_address: int = harness.ENTRY_ADDRESS) -> None:
+             entry_address: int = harness.ENTRY_ADDRESS,
+             config_overrides: dict | None = None) -> None:
     """Run each program on both engines and compare exhaustively.
 
     `contracts` registers callable contracts (address, asm source) on both
     engines — the deployer-space code-hash slot, the decommitter/code bank,
-    and (if given) the default-AA bytecode.
+    and (if given) the default-AA bytecode.  `config_overrides` replaces
+    fields of the default VmConfig (layout/gating variants).
     """
+    import dataclasses
+
     from ..golden import BlockProperties
     from ..isa.abi import code_hash_for_bytecode
     from ..models.state import populate_code_bank, populate_storage
@@ -66,6 +70,8 @@ def diff_run(sources: list[str], config: VmConfig | None = None,
         log_queue_capacity=max_cycles,
         heap_frames=4, code_pages=4,
         decommit_queue_capacity=max_cycles)
+    if config_overrides:
+        config = dataclasses.replace(config, **config_overrides)
 
     contract_entries: list[tuple[int, int, int, int]] = []
     bank: list[tuple[int, list[int]]] = []
@@ -115,9 +121,9 @@ def diff_run(sources: list[str], config: VmConfig | None = None,
     ts = np.asarray(state.timestamp)
     mcc = np.asarray(state.monotonic_cycle_counter)
     cs = np.asarray(state.cs_scalars)
-    heap = np.asarray(state.heap)
-    stack = np.asarray(state.stack)
-    stack = stack.reshape(stack.shape[0], -1, 8)
+    from ..models.state import arena_word_major
+    heap = arena_word_major(state.heap, config)
+    stack = arena_word_major(state.stack, config)
     stack_tag = np.asarray(state.stack_ptr_tag)
     wq_count = np.asarray(state.wq_count)
     # device queues are batch-last ([Q, ..., B]); view as [B, Q, ...]

@@ -158,6 +158,12 @@ class TestFarCallDifferential:
     def test_far_calls(self):
         diff_run(FAR_PROGRAMS, contracts=CONTRACTS, max_cycles=128)
 
+    def test_far_calls_limb_major(self):
+        # code-bank gathers + per-frame heap slots under the limb-major
+        # arena layout (decommit writes go through the word-major host path)
+        diff_run(FAR_PROGRAMS[:2], contracts=CONTRACTS, max_cycles=128,
+                 config_overrides={"limb_major_arenas": True})
+
     def test_delegate(self):
         diff_run(DELEGATE_PROGRAMS, contracts=DELEGATE_CONTRACTS,
                  max_cycles=128)

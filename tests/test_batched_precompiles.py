@@ -113,6 +113,27 @@ class TestDevicePrecompiles:
                  max_cycles=128, ergs=1 << 20,
                  entry_address=params.KECCAK256_ROUND_FUNCTION_PRECOMPILE_ADDRESS)
 
+    def test_keccak_limb_major(self):
+        # precompile mem_in reads / mem_out writes sweep the heap word axis
+        # under the limb-major arena layout (unaligned window, 2 words)
+        prog = f"""
+        add code[@w0], r0, r2
+        st.h 0, r2
+        add code[@w1], r0, r3
+        st.h 32, r3
+        add code[@abi], r0, r4
+        log.precompile r4, r0, r5
+        add 96, r0, r6
+        ld.h r6, r7
+        ret r0
+        abi: .word {keccak_abi(3, 40, 3)}
+        w0: .word {int.from_bytes(bytes(range(32)), 'big')}
+        w1: .word {int.from_bytes(bytes(range(32, 64)), 'big')}
+        """
+        diff_run([prog], config_overrides={"limb_major_arenas": True},
+                 config=_config(1, 128), max_cycles=128, ergs=1 << 20,
+                 entry_address=params.KECCAK256_ROUND_FUNCTION_PRECOMPILE_ADDRESS)
+
     def test_sha256_rounds(self):
         msg = b"abc"
         block = msg + b"\x80" + b"\x00" * (64 - len(msg) - 1 - 8) \

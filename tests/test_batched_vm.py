@@ -307,6 +307,13 @@ class TestDifferential:
     def test_basic_arithmetic(self):
         diff_run(BASIC_PROGRAMS)
 
+    def test_limb_major_arenas(self):
+        # same observables under the limb-major [B, 8, W] physical arena
+        # layout (the Pallas-kernel VMEM form) — code fetch, stack
+        # push/pop, and UMA heap splices all sweep the word axis
+        diff_run(BASIC_PROGRAMS[:2] + STACK_PROGRAMS[:2] + UMA_PROGRAMS[:2],
+                 config_overrides={"limb_major_arenas": True})
+
     def test_control_flow(self):
         diff_run(CONTROL_FLOW)
 

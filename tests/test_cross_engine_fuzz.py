@@ -13,6 +13,7 @@ import numpy as np
 
 from era_zk_evm_tpu.isa.assembler import assemble_to_code_words
 from era_zk_evm_tpu.models import VmConfig, make_entry_state, run_cycles
+from era_zk_evm_tpu.models.state import arena_word_major
 from era_zk_evm_tpu.native import ST_DONE, run_oracle
 from era_zk_evm_tpu.utils import from_limbs
 from era_zk_evm_tpu.witness.commitment import (
@@ -49,7 +50,7 @@ class TestCrossEngineFuzz:
         tags = np.asarray(state.reg_ptr)
         flags = np.asarray(state.flags)
         mcc = np.asarray(state.monotonic_cycle_counter)
-        heap = np.asarray(state.heap)
+        heap = arena_word_major(state.heap, config)
 
         for b, w in enumerate(words):
             native = run_oracle(w, ergs=1 << 20, max_cycles=MAX_CYCLES,
@@ -119,7 +120,7 @@ class TestCrossEngineFarCallFuzz:
         tags = np.asarray(state.reg_ptr)
         flags = np.asarray(state.flags)
         mcc = np.asarray(state.monotonic_cycle_counter)
-        heap = np.asarray(state.heap)
+        heap = arena_word_major(state.heap, config)
 
         for b, w in enumerate(words):
             native = run_oracle(
