@@ -1,0 +1,1673 @@
+"""Fused Pallas multi-cycle kernel: VM state VMEM-resident across K cycles.
+
+The jnp interpreter (batched_vm.cycle_step) streams every arena through HBM
+once per cycle — measured bandwidth-bound at ~10-13M cycles/s on one v5e
+chip.  This kernel keeps a batch tile's ENTIRE hot state (registers,
+callstack, stack/heap/aux/code arenas, scalars) resident in VMEM while
+stepping K cycles, so HBM sees each arena once per K cycles plus the
+irreducible witness-queue output stream.
+
+In-kernel layout is batch-LAST so the 128-wide VPU lanes run dense:
+  * u256 values:  u32[8, TB]        (limb-leading little-endian)
+  * lane scalars: u32/i32/bool[TB]
+  * word arenas:  u32[8, W, TB]     (word axis on sublanes)
+  * callstack:    u32[D, F, TB]
+Per-lane dynamic indexing stays the one-hot compare+reduce formulation of
+batched_vm (TPUs have no per-lane gather), but the sweeps now run at VPU
+speed over VMEM instead of HBM bandwidth.
+
+Semantics are a 1:1 port of batched_vm.cycle_step (same reference citations:
+/root/reference/src/vm_state/cycle.rs pipeline, mem_ops.rs addressing,
+opcodes/execution/* families) for the NO-LOG subset:
+  supported config: storage_slots == 0 (LOG/FAR_CALL raise lane_error),
+  precompiles off, rolling_commitment off, sweep_gating False.
+Conformance: tests/test_fused_cycle.py proves bit-exact state + witness
+stream equality against run_cycles on every supported program family.
+
+Witness-queue blocks: the kernel emits one [K*8-slot] block per batch tile
+per call; the host wrapper splices it into the persistent queue at
+global_step*8 (bit-exact in the non-overflow regime; overflow sets
+lane_error exactly like the jnp path and leaves clamped content
+unspecified, which the jnp path does too).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..isa import params
+from ..isa.encoding import VARIANT_MASK, exception_revert_encoding
+from ..isa.opcodes import (
+    Condition, ContextOp, LogOp, Opcode, OperandMode, PtrOp, RetOp, ShiftOp,
+    UMAOp, decode_consts,
+)
+from .state import CS, CS_SCALAR_FIELDS, BatchedVmState, VmConfig
+
+U32 = jnp.uint32
+I32 = jnp.int32
+BOOL = jnp.bool_
+# np scalars, NOT jnp: module-level jnp arrays become captured constants
+# inside the Pallas kernel trace (pallas_call rejects closure captures)
+U16_MASK = np.uint32(0xFFFF)
+U32_MAX = np.uint32(0xFFFFFFFF)
+NF = len(CS_SCALAR_FIELDS)
+
+_PANIC_ENC = exception_revert_encoding()
+_PANIC_LO = np.uint32(_PANIC_ENC & 0xFFFFFFFF)
+_PANIC_HI = np.uint32(_PANIC_ENC >> 32)
+
+SLOTS_PER_CYCLE = 8  # must match batched_vm.SLOTS_PER_CYCLE
+
+
+def supported(config: VmConfig) -> bool:
+    """Configs this kernel covers (see module docstring)."""
+    return (config.storage_slots == 0
+            and config.precompile_keccak_blocks == 0
+            and not config.precompile_ecrecover
+            and not config.rolling_commitment
+            and config.log_queue_capacity == 0
+            and config.decommit_queue_capacity == 0
+            and config.precompile_queue_capacity == 0)
+
+
+# ===========================================================================
+# limb-leading u256 kernels (u32[8, TB]; port of ops/u256.py conventions)
+# ===========================================================================
+
+def _u256_add(a, b):
+    out = []
+    carry = jnp.zeros_like(a[0])
+    for i in range(8):
+        s = a[i] + b[i]
+        c1 = (s < a[i]).astype(U32)
+        s = s + carry
+        c2 = (s < carry).astype(U32)
+        out.append(s)
+        carry = c1 | c2
+    return jnp.stack(out, axis=0), carry
+
+
+def _u256_sub(a, b):
+    out = []
+    borrow = jnp.zeros_like(a[0])
+    for i in range(8):
+        d = a[i] - b[i]
+        b1 = (a[i] < b[i]).astype(U32)
+        d2 = d - borrow
+        b2 = (d < borrow).astype(U32)
+        out.append(d2)
+        borrow = b1 | b2
+    return jnp.stack(out, axis=0), borrow
+
+
+def _u256_is_zero(a):
+    z = a[0] == 0
+    for i in range(1, 8):
+        z = z & (a[i] == 0)
+    return z
+
+
+def _u256_from_u32(x, tb):
+    z = jnp.zeros((7, tb), dtype=U32)
+    return jnp.concatenate([x[None, :].astype(U32), z], axis=0)
+
+
+def _sel8(mask, a, b):
+    """mask[TB] select over [8, TB] (or [k, TB]) values."""
+    return jnp.where(mask[None, :], a, b)
+
+
+def _shift_limbs(a, words, left: bool):
+    """Per-lane limb move: out[i] = a[i -/+ words] (0 out of range)."""
+    outs = []
+    w = words.astype(I32)
+    for i in range(8):
+        acc = jnp.zeros_like(a[0])
+        for j in range(8):
+            need = (i - j) if left else (j - i)
+            acc = acc | jnp.where(w == need, a[j], 0)
+        outs.append(acc)
+    return jnp.stack(outs, axis=0)
+
+
+def _u256_shl(a, n):
+    n = n.astype(U32)
+    words = (n >> 5).astype(I32)
+    bits = n & 31
+    moved = _shift_limbs(a, words, left=True)
+    lo_part = moved << bits[None, :]
+    carry_src = _shift_limbs(a, words + 1, left=True)
+    hi_part = jnp.where((bits == 0)[None, :], 0,
+                        carry_src >> ((32 - bits) % 32)[None, :])
+    out = lo_part | hi_part
+    return jnp.where((n >= 256)[None, :], 0, out)
+
+
+def _u256_shr(a, n):
+    n = n.astype(U32)
+    words = (n >> 5).astype(I32)
+    bits = n & 31
+    moved = _shift_limbs(a, words, left=False)
+    lo_part = moved >> bits[None, :]
+    carry_src = _shift_limbs(a, words + 1, left=False)
+    hi_part = jnp.where((bits == 0)[None, :], 0,
+                        carry_src << ((32 - bits) % 32)[None, :])
+    out = lo_part | hi_part
+    return jnp.where((n >= 256)[None, :], 0, out)
+
+
+def _u256_rol(a, n):
+    return _u256_shl(a, n) | _u256_shr(a, 256 - n)
+
+
+def _u256_ror(a, n):
+    return _u256_shr(a, n) | _u256_shl(a, 256 - n)
+
+
+def _u256_shl1(a):
+    """Static shift-left-by-1 (div_mod inner step)."""
+    rows = [a[0] << 1]
+    for i in range(1, 8):
+        rows.append((a[i] << 1) | (a[i - 1] >> 31))
+    return jnp.stack(rows, axis=0)
+
+
+def _u256_mul_full(a, b):
+    """512-bit product -> (lo [8,TB], hi [8,TB]).
+
+    16-bit-digit schoolbook with u32 column accumulators (<= 32 terms of
+    lo/hi half-products < 2^16 each keeps columns < 2^22), then a
+    Kogge-Stone carry settle — the pure-VPU form of ops/u256.mul_full
+    (the MXU/f32 formulation there exists for XLA graph-size reasons that
+    don't apply inside one Mosaic kernel).
+    """
+    ad = []
+    bd = []
+    for i in range(8):
+        ad += [a[i] & U16_MASK, a[i] >> 16]
+        bd += [b[i] & U16_MASK, b[i] >> 16]
+    cols = [jnp.zeros_like(a[0]) for _ in range(33)]
+    for i in range(16):
+        for j in range(16):
+            p = ad[i] * bd[j]
+            cols[i + j] = cols[i + j] + (p & U16_MASK)
+            cols[i + j + 1] = cols[i + j + 1] + (p >> 16)
+    cols = cols[:32]
+    # local split + log-depth carry lookahead (see ops/u256.mul_full)
+    e = [cols[0] & U16_MASK]
+    for k in range(1, 32):
+        e.append((cols[k] & U16_MASK) + (cols[k - 1] >> 16))
+    g = [(x >> 16) != 0 for x in e]
+    p_ = [x == U16_MASK for x in e]
+    for sh in (1, 2, 4, 8, 16):
+        g = [g[k] | (p_[k] & g[k - sh]) if k >= sh else g[k]
+             for k in range(32)]
+        p_ = [p_[k] & p_[k - sh] if k >= sh else jnp.zeros_like(p_[k])
+              for k in range(32)]
+    d = [(e[0]) & U16_MASK]
+    for k in range(1, 32):
+        d.append((e[k] + g[k - 1].astype(U32)) & U16_MASK)
+    limbs = [d[2 * k] | (d[2 * k + 1] << 16) for k in range(16)]
+    return jnp.stack(limbs[:8], axis=0), jnp.stack(limbs[8:], axis=0)
+
+
+def _u256_div_mod(a, b):
+    """Restoring division, 8 limbs x 32-bit fori (b == 0 -> (0, 0))."""
+    b_zero = _u256_is_zero(b)
+    q = jnp.zeros_like(a)
+    r = jnp.zeros_like(a)
+
+    def limb_round(limb, carry):
+        q, r = carry
+
+        def body(j, c):
+            q, r = c
+            bit = (31 - j).astype(U32)
+            a_bit = (a[limb] >> bit) & 1
+            r = _u256_shl1(r)
+            r = _set_row(r, 0, r[0] | a_bit)
+            r_minus_b, borrow = _u256_sub(r, b)
+            fits = borrow == 0
+            r = _sel8(fits, r_minus_b, r)
+            q = _u256_shl1(q)
+            q = _set_row(q, 0, q[0] | fits.astype(U32))
+            return q, r
+
+        return jax.lax.fori_loop(0, 32, body, (q, r))
+
+    for limb in range(7, -1, -1):
+        q, r = limb_round(limb, (q, r))
+    q = _sel8(b_zero, jnp.zeros_like(q), q)
+    r = _sel8(b_zero, jnp.zeros_like(r), r)
+    return q, r
+
+
+# ===========================================================================
+# small helpers (batch-last one-hot forms of batched_vm helpers)
+# ===========================================================================
+
+
+def _usum(x, axis):
+    """Sum that tolerates u32 inputs: Mosaic has no unsigned reductions, and
+    same-width int convert is bit-preserving, so sum in i32 and convert back
+    (wraparound semantics identical)."""
+    if x.dtype == jnp.uint32:
+        return jnp.sum(x.astype(I32), axis=axis).astype(U32)
+    return jnp.sum(x, axis=axis)
+
+
+def _set_row(x, i: int, row):
+    """x[k, TB] with x[i] replaced (static i) — concat instead of .at[].set,
+    which lowers to lax.scatter (unsupported by Mosaic)."""
+    parts = []
+    if i > 0:
+        parts.append(x[:i])
+    parts.append(row[None, :].astype(x.dtype))
+    if i + 1 < x.shape[0]:
+        parts.append(x[i + 1:])
+    return jnp.concatenate(parts, axis=0)
+
+
+def _bsel(p, a, b):
+    """Boolean select as logic ops: Mosaic i1 vector selects crash the
+    compile helper (bisected), so where() is reserved for non-bool dtypes."""
+    return (p & a) | (~p & b)
+
+def _onehot_l(idx, n):
+    """idx[TB] -> bool[n, TB] (out-of-range all-false)."""
+    tb = idx.shape[0]
+    iota = jax.lax.broadcasted_iota(I32, (n, tb), 0)
+    return iota == idx.astype(I32)[None, :]
+
+
+def _gather_l(arr, idx):
+    """arr[N, ..., TB] at per-lane idx[TB] -> [..., TB]."""
+    oh = _onehot_l(idx, arr.shape[0])
+    oh = oh.reshape((arr.shape[0],) + (1,) * (arr.ndim - 2) + oh.shape[1:])
+    if arr.dtype == jnp.bool_:
+        return jnp.any(arr & oh, axis=0)
+    return _usum(jnp.where(oh, arr, 0), axis=0)
+
+
+def _scatter_l(arr, idx, values, mask):
+    """arr[N, ..., TB] masked per-lane row write (values [..., TB])."""
+    oh = _onehot_l(idx, arr.shape[0]) & mask[None, :]
+    oh = oh.reshape((arr.shape[0],) + (1,) * (arr.ndim - 2) + oh.shape[1:])
+    if arr.dtype == jnp.bool_:
+        return _bsel(oh, values[None, ...], arr)
+    return jnp.where(oh, values[None, ...], arr)
+
+
+def _gather_arena_l(arena, idx):
+    """arena u32[8, W, TB] word gather -> u32[8, TB]."""
+    oh = _onehot_l(idx, arena.shape[1])          # [W, TB]
+    return _usum(jnp.where(oh[None, :, :], arena, 0), axis=1)
+
+
+def _scatter_arena_l(arena, idx, values, mask):
+    """arena u32[8, W, TB] masked word write (values u32[8, TB])."""
+    oh = _onehot_l(idx, arena.shape[1]) & mask[None, :]   # [W, TB]
+    return jnp.where(oh[None, :, :], values[:, None, :], arena)
+
+
+def _addr_is_kernel_l(addr5):
+    """u32[5, TB] 160-bit address < 2^16?"""
+    high_zero = (addr5[1] == 0) & (addr5[2] == 0) & (addr5[3] == 0) \
+        & (addr5[4] == 0)
+    return (addr5[0] < (1 << 16)) & high_zero
+
+
+def _addr_to_u256_l(addr5):
+    z = jnp.zeros((3,) + addr5.shape[1:], dtype=U32)
+    return jnp.concatenate([addr5, z], axis=0)
+
+
+def _map_stack_index_l(config: VmConfig, idx):
+    """Port of batched_vm._map_stack_index (two-window stack arena)."""
+    if config.stack_abs_words is None:
+        return idx, idx < config.stack_words
+    a = config.stack_abs_words
+    s0 = config.stack_sp_base
+    w = config.stack_words - a
+    in_abs = idx < a
+    in_sp = (idx >= s0) & (idx < s0 + w)
+    phys = jnp.where(in_abs, idx, a + (idx - s0))
+    return jnp.where(in_abs | in_sp, phys, config.stack_words), in_abs | in_sp
+
+# ===========================================================================
+# one cycle over a batch tile (port of batched_vm.cycle_step, no-log subset)
+# ===========================================================================
+
+
+#: dev-only output-passthrough set: nv fields forced back to the carried
+#: value after _cycle_tile (XLA then DCEs their producers) — liveness-level
+#: crash bisection.  "mem" disables the arena ref stores.
+DEBUG_PASSTHROUGH: frozenset = frozenset()
+
+#: dev-only section-skip set: named heavyweight units replaced by zeros to
+#: bisect compile-resource blowups ("mul", "div", "shift", "uma_shift").
+DEBUG_SKIP: frozenset = frozenset()
+
+#: dev-only bisect hook: when set to stage N, _cycle_tile returns early after
+#: that stage (carry structure preserved; probe value folded into timestamp
+#: to keep the truncated computation live).  Used to localize Mosaic crashes.
+DEBUG_STAGE = None
+
+
+def _stage_cut(v, n, probe):
+    if DEBUG_STAGE is not None and DEBUG_STAGE == n:
+        nv = dict(v)
+        nv["timestamp"] = v["timestamp"] + probe.astype(U32)
+        return nv
+    return None
+
+def _decode_family(raw_variant):
+    """Arithmetic variant decode with static per-family constants.
+
+    Port of cycle_step's fam16/div-mod decode (batched_vm.py:277-302), but
+    the div/mod divisors are folded per family as STATIC ints so Mosaic
+    lowers them to shift/multiply sequences instead of per-lane udiv.
+    """
+    dc = decode_consts()
+    starts = [int(x) for x in dc["start"]]
+    n_src = [int(x) for x in dc["n_src"]]
+    n_dst = [int(x) for x in dc["n_dst"]]
+    n_flags = [int(x) for x in dc["n_flags"]]
+    src_base = [int(x) for x in dc["src_base"]]
+    dst_base = [int(x) for x in dc["dst_base"]]
+
+    fam16 = jnp.zeros_like(raw_variant)
+    for f in range(1, 16):
+        fam16 = fam16 + (raw_variant >= starts[f]).astype(U32)
+
+    z = jnp.zeros_like(raw_variant)
+    combo = z
+    dst_i = z
+    src_i = z
+    sub_raw = z
+    src0_mode_raw = z
+    dst0_mode_raw = z
+    for f in range(16):
+        m = fam16 == f
+        rr = raw_variant - starts[f]
+        c = rr % n_flags[f]
+        rr = rr // n_flags[f]
+        d = rr % n_dst[f]
+        rr = rr // n_dst[f]
+        s = rr % n_src[f]
+        sb = rr // n_src[f]
+        combo = jnp.where(m, c, combo)
+        dst_i = jnp.where(m, d, dst_i)
+        src_i = jnp.where(m, s, src_i)
+        sub_raw = jnp.where(m, sb, sub_raw)
+        src0_mode_raw = jnp.where(m, src_base[f] + s, src0_mode_raw)
+        dst0_mode_raw = jnp.where(m, dst_base[f] + d, dst0_mode_raw)
+    return fam16, sub_raw, combo, src0_mode_raw, dst0_mode_raw
+
+
+def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
+                ovf) -> tuple[dict, list]:
+    """Advance the tile one cycle; returns (new values, witness slot rows).
+
+    `v` maps state-field names to batch-last arrays (see module docstring);
+    `ovf` is a scalar bool: this cycle's witness block would overflow the
+    persistent queue (the caller derives it from the global step clock).
+    Every section cites the batched_vm.cycle_step line it ports.
+    """
+    TB = v["done"].shape[0]
+    # big arenas live in (aliased) output REFS, not the fori carry: carrying
+    # multi-MB vector values across the loop back-edge aborts the Mosaic
+    # compile helper (SIGABRT, bisected); in-VMEM ref read/write per cycle
+    # is the same data movement without the carry pressure.
+    stack_arena = mem["stack"][...]
+    stack_tag_arena = mem["stack_tag"][...]
+    heap_arena = mem["heap"][...]
+    aux_arena = mem["aux_heap"][...]
+    D = config.max_depth
+    p = params
+    M = OperandMode
+    OP = Opcode
+
+    # carried booleans ride as u32 (i1 vectors in a fori carry crash the
+    # Mosaic compile helper on this toolchain — bisected)
+    frozen = v["done"].astype(BOOL)
+    active = ~frozen
+    lane_error = v["lane_error"].astype(BOOL)
+
+    depth = v["depth"]
+    doh = _onehot_l(depth, D)                       # [D, TB]
+    scal = _usum(jnp.where(doh[:, None, :], v["cs_scalars"], 0), axis=0)
+    this_addr = _usum(jnp.where(doh[:, None, :], v["cs_this"], 0), axis=0)
+    msg_sender = _usum(jnp.where(doh[:, None, :], v["cs_sender"], 0), axis=0)
+    code_addr = _usum(jnp.where(doh[:, None, :], v["cs_code"], 0), axis=0)
+    frame_u128 = _usum(jnp.where(doh[:, None, :], v["cs_u128"], 0), axis=0)
+
+    pc = scal[CS["pc"]]
+    code_page = scal[CS["code_page"]]
+    ergs0 = scal[CS["ergs_remaining"]]
+    flags_word = scal[CS["flags_word"]]
+    is_static = (flags_word & 1).astype(BOOL)
+    is_local_frame = ((flags_word >> 1) & 1).astype(BOOL)
+    base_page = scal[CS["base_memory_page"]]
+    heap_bound0 = scal[CS["heap_bound"]]
+    aux_bound0 = scal[CS["aux_heap_bound"]]
+
+    # ---- fetch: super-pc cache + pending override (batched_vm.py:230-263)
+    pending = v["pending_exception"].astype(BOOL)
+    super_pc = pc >> 2
+    sub_pc = pc & 3
+    pages_differ = code_page != v["previous_code_page"]
+    code_read_needed = (~pending) & (pages_differ
+                                     | (super_pc != v["previous_super_pc"]))
+    cb_match = (consts["cb_page"] == code_page[None, :]) & consts["cb_valid"]  # [P,TB]
+    piota = jax.lax.broadcasted_iota(U32, cb_match.shape, 0)
+    code_slot = _usum(jnp.where(cb_match, piota, 0), axis=0)
+    code_page_found = jnp.any(cb_match, axis=0)
+    fetched = _gather_arena_l(consts["code"], code_slot * config.code_words
+                              + super_pc)
+    lane_error = lane_error | (active & code_read_needed
+                               & (~code_page_found
+                                  | (super_pc >= config.code_words)))
+    code_word = _sel8(code_read_needed, fetched, v["previous_code_word"])
+    new_prev_code_word = code_word
+    new_prev_super_pc = jnp.where(code_read_needed | pending,
+                                  super_pc, v["previous_super_pc"])
+    new_prev_code_page = code_page
+
+    lo_idx = (6 - 2 * sub_pc).astype(I32)
+    insn_lo = _usum(jnp.where(_onehot_l(lo_idx, 8), code_word, 0), axis=0)
+    insn_hi = _usum(jnp.where(_onehot_l(lo_idx + 1, 8), code_word, 0),
+                     axis=0)
+    insn_lo = jnp.where(pending, U32(_PANIC_LO), insn_lo)
+    insn_hi = jnp.where(pending, U32(_PANIC_HI), insn_hi)
+    new_pending = jnp.zeros_like(pending)
+
+    cut = _stage_cut(v, 1, insn_lo ^ insn_hi)
+    if cut is not None:
+        return cut, []
+
+    # ---- decode + masking (batched_vm.py:265-396)
+    raw_variant = insn_lo & VARIANT_MASK
+    condition = (insn_lo >> 11) & 7
+    src0_reg = (insn_lo >> 16) & 0xF
+    src1_reg = (insn_lo >> 20) & 0xF
+    dst0_reg = (insn_lo >> 24) & 0xF
+    dst1_reg = (insn_lo >> 28) & 0xF
+    imm0 = insn_hi & U16_MASK
+    imm1 = (insn_hi >> 16) & U16_MASK
+
+    fam16, sub_raw, combo, src0_mode_raw, dst0_mode_raw = \
+        _decode_family(raw_variant)
+    flag0_raw = (combo & 1).astype(BOOL)
+    flag1_raw = ((combo >> 1) & 1).astype(BOOL)
+
+    cut = _stage_cut(v, 11, fam16 ^ sub_raw ^ combo ^ src0_mode_raw
+                     ^ dst0_mode_raw ^ imm0 ^ imm1)
+    if cut is not None:
+        return cut, []
+
+    invalid = fam16 == OP.INVALID
+    requires_kernel = ((fam16 == OP.CONTEXT)
+                       & (sub_raw >= ContextOp.SET_CONTEXT_U128)) \
+        | ((fam16 == OP.LOG) & (sub_raw == LogOp.PRECOMPILE_CALL)) \
+        | ((fam16 == OP.FAR_CALL) & (sub_raw == 2))
+    allowed_in_static = ~(
+        ((fam16 == OP.LOG) & (sub_raw >= LogOp.STORAGE_WRITE)
+         & (sub_raw <= LogOp.TO_L1_MESSAGE))
+        | ((fam16 == OP.CONTEXT) & (sub_raw == ContextOp.SET_CONTEXT_U128)))
+
+    rich = ((src0_mode_raw >= M.FULL_STACK_PUSH_POP)
+            & (src0_mode_raw != M.FULL_IMM16)) \
+        | ((dst0_mode_raw >= M.FULL_STACK_PUSH_POP)
+           & (dst0_mode_raw <= M.FULL_ABS_STACK))
+    alu_like = (fam16 <= OP.JUMP) | (fam16 == OP.SHIFT) \
+        | (fam16 == OP.BINOP) | (fam16 == OP.PTR)
+    price = jnp.where(rich, U32(p.RICH_ADDRESSING_OPCODE_ERGS),
+                      U32(p.AVERAGE_OPCODE_ERGS))
+    lp = [p.STORAGE_READ_IO_PRICE, p.STORAGE_WRITE_IO_PRICE,
+          p.EVENT_IO_PRICE, p.L1_MESSAGE_IO_PRICE,
+          p.PRECOMPILE_CALL_BASE_PRICE]
+    log_price = jnp.zeros_like(price)
+    for s_, val in enumerate(lp):
+        log_price = jnp.where(sub_raw == s_, U32(val), log_price)
+    price = jnp.where(alu_like | (fam16 == OP.CONTEXT), price,
+            jnp.where(fam16 == OP.LOG, log_price,
+            jnp.where(fam16 == OP.NEAR_CALL, U32(p.NEAR_CALL_ERGS),
+            jnp.where(fam16 == OP.FAR_CALL, U32(p.FAR_CALL_ERGS),
+            jnp.where(fam16 == OP.RET, U32(p.RET_ERGS),
+            jnp.where(fam16 == OP.UMA, U32(p.UMA_ERGS),
+                      U32(p.INVALID_OPCODE_ERGS)))))))
+
+    cut = _stage_cut(v, 12, price ^ invalid.astype(U32)
+                     ^ requires_kernel.astype(U32)
+                     ^ allowed_in_static.astype(U32))
+    if cut is not None:
+        return cut, []
+
+    not_enough = ergs0 < price
+    ergs1 = jnp.where(not_enough, 0, ergs0 - price)
+
+    is_kernel = _addr_is_kernel_l(this_addr)
+    callstack_full = depth >= p.VM_MAX_STACK_DEPTH
+    mask_panic = invalid | not_enough | (requires_kernel & ~is_kernel) \
+        | (~allowed_in_static & is_static) | callstack_full
+
+    lt_f = v["flags"][0].astype(BOOL)
+    eq_f = v["flags"][1].astype(BOOL)
+    gt_f = v["flags"][2].astype(BOOL)
+    # stacked as u32: jnp.stack over i1 vectors crashes Mosaic (bisected)
+    cond_rows = jnp.stack([
+        jnp.ones_like(lt_f).astype(U32), gt_f.astype(U32), lt_f.astype(U32),
+        eq_f.astype(U32), (gt_f | eq_f).astype(U32),
+        (lt_f | eq_f).astype(U32), (~eq_f).astype(U32),
+        (gt_f | lt_f).astype(U32)], axis=0)          # u32[8, TB]
+    cond_met = jnp.any((cond_rows != 0) & _onehot_l(condition, 8), axis=0)
+    mask_nop = (~cond_met) & (~mask_panic)
+
+    cut = _stage_cut(v, 13, mask_panic.astype(U32)
+                     ^ mask_nop.astype(U32) ^ ergs1)
+    if cut is not None:
+        return cut, []
+
+    zeroed = mask_panic | mask_nop
+    src0_reg = jnp.where(zeroed, 0, src0_reg)
+    src1_reg = jnp.where(zeroed, 0, src1_reg)
+    dst0_reg = jnp.where(zeroed, 0, dst0_reg)
+    dst1_reg = jnp.where(zeroed, 0, dst1_reg)
+    imm0 = jnp.where(zeroed, 0, imm0)
+    imm1 = jnp.where(zeroed, 0, imm1)
+
+    def ov(raw_field, panic_const, nop_const):
+        return jnp.where(mask_panic, U32(panic_const),
+                         jnp.where(mask_nop, U32(nop_const),
+                                   raw_field.astype(U32)))
+
+    opcode = ov(fam16, OP.RET, OP.NOP)
+    sub_variant = ov(sub_raw, RetOp.PANIC, 0)
+    src0_mode = ov(src0_mode_raw, M.REG_ONLY, M.FULL_REG)
+    dst0_mode = ov(dst0_mode_raw, M.REG_ONLY, M.FULL_REG)
+    vflag0 = flag0_raw & ~zeroed
+    vflag1 = flag1_raw & ~zeroed
+    set_flags = vflag0 & ((opcode >= OP.ADD) & (opcode <= OP.DIV)
+                          | (opcode == OP.SHIFT) | (opcode == OP.BINOP))
+    swap_operands = (vflag1 & ((opcode == OP.SUB) | (opcode == OP.DIV)
+                               | (opcode == OP.SHIFT))) \
+        | (vflag0 & (opcode == OP.PTR))
+    src0_can_ptr = (opcode == OP.PTR) | (opcode == OP.RET) \
+        | (opcode == OP.FAR_CALL) \
+        | ((opcode == OP.UMA) & (sub_variant == UMAOp.FAT_POINTER_READ))
+    src1_can_ptr = opcode == OP.PTR
+
+    def read_reg(idx):
+        shifted = idx.astype(I32) - 1  # r0 selects nothing -> zero
+        oh = _onehot_l(shifted, p.REGISTERS_COUNT)
+        val = _usum(jnp.where(oh[:, None, :], v["regs"], 0), axis=0)
+        tag = jnp.any(oh & v["reg_ptr"].astype(BOOL), axis=0)
+        return val, tag
+
+    cut = _stage_cut(v, 21, opcode ^ sub_variant ^ src0_mode ^ dst0_mode
+                     ^ set_flags.astype(U32) ^ price)
+    if cut is not None:
+        return cut, []
+
+
+    sp0 = scal[CS["sp"]]
+    src0_reg_val, src0_reg_tag = read_reg(src0_reg)
+    vaddr0 = ((src0_reg_val[0] & U16_MASK) + imm0) & U16_MASK
+    src0_pushpop = src0_mode == M.FULL_STACK_PUSH_POP
+    src0_stack_off = src0_mode == M.FULL_STACK_OFFSET
+    src0_abs = src0_mode == M.FULL_ABS_STACK
+    src0_code = src0_mode == M.FULL_CODE_PAGE
+    sp1 = jnp.where(src0_pushpop, (sp0 - vaddr0) & U16_MASK, sp0)
+    src0_loc = jnp.where(src0_pushpop, sp1,
+                jnp.where(src0_stack_off, (sp1 - vaddr0) & U16_MASK, vaddr0))
+    src0_is_stack_mem = src0_pushpop | src0_stack_off | src0_abs
+
+    cut = _stage_cut(v, 22, src0_reg_val[0] ^ src0_loc ^ sp1
+                     ^ src0_reg_tag.astype(U32))
+    if cut is not None:
+        return cut, []
+
+    dst0_reg_val, _ = read_reg(dst0_reg)
+    vaddr1 = ((dst0_reg_val[0] & U16_MASK) + imm1) & U16_MASK
+    dst0_pushpop = dst0_mode == M.FULL_STACK_PUSH_POP
+    dst0_stack_off = dst0_mode == M.FULL_STACK_OFFSET
+    dst0_abs = dst0_mode == M.FULL_ABS_STACK
+    sp2 = jnp.where(dst0_pushpop, (sp1 + vaddr1) & U16_MASK, sp1)
+    dst0_loc = jnp.where(dst0_pushpop, sp1,
+                jnp.where(dst0_stack_off, (sp2 - vaddr1) & U16_MASK, vaddr1))
+    dst0_is_stack_mem = dst0_pushpop | dst0_stack_off | dst0_abs
+
+    is_nop_op = opcode == OP.NOP
+    do_src0_mem_read = (src0_is_stack_mem | src0_code) & ~is_nop_op
+
+    cut = _stage_cut(v, 23, dst0_loc ^ sp2
+                     ^ do_src0_mem_read.astype(U32))
+    if cut is not None:
+        return cut, []
+
+    src0_phys, src0_in_window = _map_stack_index_l(config, src0_loc)
+    stack_val = _gather_arena_l(stack_arena, src0_phys)
+    stack_tag = _gather_l(stack_tag_arena, src0_phys).astype(BOOL)
+    code_val = _gather_arena_l(consts["code"],
+                               code_slot * config.code_words + src0_loc)
+    lane_error = lane_error | (active & do_src0_mem_read & src0_is_stack_mem
+                               & ~src0_in_window)
+    lane_error = lane_error | (active & do_src0_mem_read & src0_code
+                               & (src0_loc >= config.code_words))
+
+    cut = _stage_cut(v, 24, stack_val[0] ^ code_val[0]
+                     ^ stack_tag.astype(U32) ^ lane_error.astype(U32))
+    if cut is not None:
+        return cut, []
+
+    src0_mem_val = _sel8(src0_code, code_val, stack_val)
+    src0_mem_tag = (~src0_code & stack_tag) & do_src0_mem_read
+
+    use_reg = (src0_mode == M.REG_ONLY) | (src0_mode == M.FULL_REG) \
+        | (src0_mode == M.REG_OR_IMM_REG)
+    use_imm = (src0_mode == M.FULL_IMM16) | (src0_mode == M.REG_OR_IMM_IMM)
+    src0 = _sel8(use_reg, src0_reg_val,
+                 _sel8(use_imm, _u256_from_u32(imm0, TB), src0_mem_val))
+    src0_tag = _bsel(use_reg, src0_reg_tag, ~use_imm & src0_mem_tag)
+    cut = _stage_cut(v, 25, src0[0] ^ src0_tag.astype(U32))
+    if cut is not None:
+        return cut, []
+
+    src1, src1_tag = read_reg(src1_reg)
+
+    src0, src1 = (_sel8(swap_operands, src1, src0),
+                  _sel8(swap_operands, src0, src1))
+    src0_tag, src1_tag = (_bsel(swap_operands, src1_tag, src0_tag),
+                          _bsel(swap_operands, src0_tag, src1_tag))
+
+    cut = _stage_cut(v, 26, src0[0] ^ src1[0] ^ src1_tag.astype(U32))
+    if cut is not None:
+        return cut, []
+
+    new_pc_lin = (pc + 1) & U16_MASK
+
+    # pointer-taint erasure (cycle.rs:374-396)
+    def erase(val, tag, can_ptr):
+        do = tag & ~can_ptr & ~is_kernel
+        erased = jnp.concatenate(
+            [val[:1], jnp.zeros_like(val[1:4]), val[4:]], axis=0)
+        return _sel8(do, erased, val), tag & ~do
+
+    src0, src0_tag = erase(src0, src0_tag, src0_can_ptr)
+    src1, src1_tag = erase(src1, src1_tag, src1_can_ptr)
+
+    cut = _stage_cut(v, 2, src0[0] ^ src1[0] ^ dst0_loc ^ sp2)
+    if cut is not None:
+        return cut, []
+
+    # ---- opcode family predicates (batched_vm.py:476-495)
+    is_add = opcode == OP.ADD
+    is_sub = opcode == OP.SUB
+    is_mul = opcode == OP.MUL
+    is_div = opcode == OP.DIV
+    is_jump = opcode == OP.JUMP
+    is_ctx = opcode == OP.CONTEXT
+    is_shift = opcode == OP.SHIFT
+    is_binop = opcode == OP.BINOP
+    is_ptr = opcode == OP.PTR
+    is_near_call = opcode == OP.NEAR_CALL
+    is_ret = opcode == OP.RET
+    is_uma = opcode == OP.UMA
+    is_log = opcode == OP.LOG
+    # no-log subset: LOG and FAR_CALL raise lane_error (jnp path parity)
+    unsupported = (opcode == OP.FAR_CALL) | is_log
+    lane_error = lane_error | (active & unsupported)
+
+    sum_val, carry = _u256_add(src0, src1)
+    diff_val, borrow = _u256_sub(src0, src1)
+
+    z8 = jnp.zeros((8, TB), dtype=U32)
+    if "mul" in DEBUG_SKIP:
+        mul_lo, mul_hi = z8, z8
+    else:
+        mul_lo, mul_hi = jax.lax.cond(
+            jnp.any(is_mul), lambda: _u256_mul_full(src0, src1),
+            lambda: (z8, z8))
+    if "div" in DEBUG_SKIP:
+        div_q, div_r = z8, z8
+    else:
+        div_q, div_r = jax.lax.cond(
+            jnp.any(is_div), lambda: _u256_div_mod(src0, src1),
+            lambda: (z8, z8))
+    div_by_zero = _u256_is_zero(src1)
+
+    shift_amount = src1[0] & 0xFF
+
+    def shift_unit():
+        n = shift_amount
+        s = sub_variant
+        return _sel8(s == ShiftOp.SHL, _u256_shl(src0, n),
+               _sel8(s == ShiftOp.SHR, _u256_shr(src0, n),
+               _sel8(s == ShiftOp.ROL, _u256_rol(src0, n),
+                     _u256_ror(src0, n))))
+
+    shift_val = z8 if "shift" in DEBUG_SKIP else \
+        jax.lax.cond(jnp.any(is_shift), shift_unit, lambda: z8)
+
+    binop_val = _sel8(sub_variant == 0, src0 ^ src1,
+                 _sel8(sub_variant == 1, src0 & src1, src0 | src1))
+
+    cut = _stage_cut(v, 3, sum_val[0] ^ diff_val[0] ^ mul_lo[0]
+                     ^ div_q[0] ^ shift_val[0] ^ binop_val[0])
+    if cut is not None:
+        return cut, []
+
+    # ---- context (context.rs; batched_vm.py:534-562)
+    ctx_sub = sub_variant
+    shard_this = scal[CS["shard_ids"]] & 0xFF
+    shard_caller = (scal[CS["shard_ids"]] >> 8) & 0xFF
+    shard_code = (scal[CS["shard_ids"]] >> 16) & 0xFF
+    ztb = jnp.zeros((TB,), dtype=U32)
+    meta = jnp.stack([
+        v["ergs_per_pubdata"], ztb, heap_bound0, aux_bound0,
+        ztb, ztb, ztb,
+        shard_this | (shard_caller << 8) | (shard_code << 16)], axis=0)
+    u128_as_u256 = jnp.concatenate(
+        [frame_u128, jnp.zeros((4, TB), dtype=U32)], axis=0)
+    ctx_val = _sel8(ctx_sub == ContextOp.THIS, _addr_to_u256_l(this_addr),
+              _sel8(ctx_sub == ContextOp.CALLER, _addr_to_u256_l(msg_sender),
+              _sel8(ctx_sub == ContextOp.CODE_ADDRESS,
+                    _addr_to_u256_l(code_addr),
+              _sel8(ctx_sub == ContextOp.META, meta,
+              _sel8(ctx_sub == ContextOp.ERGS_LEFT,
+                    _u256_from_u32(ergs1, TB),
+              _sel8(ctx_sub == ContextOp.SP, _u256_from_u32(sp2, TB),
+                    u128_as_u256))))))
+    ctx_writes_dst = is_ctx & (ctx_sub <= ContextOp.GET_CONTEXT_U128)
+    ctx_set_u128 = is_ctx & (ctx_sub == ContextOp.SET_CONTEXT_U128)
+    ctx_set_pubdata = is_ctx & (ctx_sub == ContextOp.SET_ERGS_PER_PUBDATA_BYTE)
+    ctx_inc_tx = is_ctx & (ctx_sub == ContextOp.INCREMENT_TX_NUMBER)
+
+    new_context_u128 = _sel8(ctx_set_u128, src0[:4], v["context_u128"])
+    new_ergs_per_pubdata = jnp.where(ctx_set_pubdata, src0[0],
+                                     v["ergs_per_pubdata"])
+    new_tx_number = jnp.where(ctx_inc_tx, (v["tx_number"] + 1) & U16_MASK,
+                              v["tx_number"])
+
+    # ---- ptr ops (ptr.rs; batched_vm.py:564-595)
+    ptr_sub = sub_variant
+    fp_offset = src0[0]
+    fp_length = src0[3]
+    src1_low32 = src1[0]
+    src1_ge_2_32 = (src1[1] != 0) | (src1[2] != 0) | (src1[3] != 0) \
+        | (src1[4] != 0) | (src1[5] != 0) | (src1[6] != 0) | (src1[7] != 0)
+    ptr_basic_panic = is_ptr & (~src0_tag | src1_tag)
+    ptr_addsub = is_ptr & (ptr_sub <= PtrOp.SUB)
+    ptr_range_panic = ptr_addsub & src1_ge_2_32
+    new_off_add = fp_offset + src1_low32
+    add_of = new_off_add < fp_offset
+    new_off_sub = fp_offset - src1_low32
+    sub_uf = fp_offset < src1_low32
+    ptr_off_panic = is_ptr & (
+        ((ptr_sub == PtrOp.ADD) & add_of) | ((ptr_sub == PtrOp.SUB) & sub_uf))
+    src1_low128_nz = (src1[0] != 0) | (src1[1] != 0) | (src1[2] != 0) \
+        | (src1[3] != 0)
+    ptr_pack_panic = is_ptr & (ptr_sub == PtrOp.PACK) & src1_low128_nz
+    new_len = fp_length - src1_low32
+    shrink_uf = fp_length < src1_low32
+    ptr_shrink_panic = is_ptr & (ptr_sub == PtrOp.SHRINK) & shrink_uf
+    ptr_panic = ptr_basic_panic | ptr_range_panic | ptr_off_panic \
+        | ptr_pack_panic | ptr_shrink_panic
+
+    ptr_result = src0
+    ptr_result = _set_row(ptr_result, 0, jnp.where(
+        ptr_sub == PtrOp.ADD, new_off_add,
+        jnp.where(ptr_sub == PtrOp.SUB, new_off_sub, src0[0])))
+    ptr_result = _set_row(ptr_result, 3, jnp.where(
+        ptr_sub == PtrOp.SHRINK, new_len, ptr_result[3]))
+    pack_result = jnp.concatenate([src0[:4], src1[4:]], axis=0)
+    ptr_result = _sel8(ptr_sub == PtrOp.PACK, pack_result, ptr_result)
+    ptr_writes = is_ptr & ~ptr_panic
+
+    cut = _stage_cut(v, 4, ctx_val[0] ^ ptr_result[0]
+                     ^ ptr_panic.astype(U32))
+    if cut is not None:
+        return cut, []
+
+    # ---- UMA (uma.rs; batched_vm.py:597-728)
+    uma_sub = sub_variant
+    uma_is_heap = is_uma & ((uma_sub == UMAOp.HEAP_READ)
+                            | (uma_sub == UMAOp.HEAP_WRITE))
+    uma_is_aux = is_uma & ((uma_sub == UMAOp.AUX_HEAP_READ)
+                           | (uma_sub == UMAOp.AUX_HEAP_WRITE))
+    uma_is_ptr_read = is_uma & (uma_sub == UMAOp.FAT_POINTER_READ)
+    uma_is_read = is_uma & ((uma_sub == UMAOp.HEAP_READ)
+                            | (uma_sub == UMAOp.AUX_HEAP_READ)) \
+        | uma_is_ptr_read
+    uma_is_write = is_uma & ~uma_is_read
+    uma_increment = is_uma & vflag0
+
+    u_offset = src0[0]
+    u_page_field = src0[1]
+    u_start = src0[2]
+    u_length = src0[3]
+
+    heap_page = base_page + 2
+    aux_page = base_page + 3
+    cur_heap_slot = scal[CS["heap_slot"]]
+
+    uma_exc_not_ptr = uma_is_ptr_read & ~src0_tag
+    ptr_in_bounds = u_offset < u_length
+    uma_skip_oob_ptr = uma_is_ptr_read & ~ptr_in_bounds
+    src0_gt_max = (src0[1] != 0) | (src0[2] != 0) | (src0[3] != 0) \
+        | (src0[4] != 0) | (src0[5] != 0) | (src0[6] != 0) | (src0[7] != 0) \
+        | (u_offset > U32(p.MAX_OFFSET_TO_DEREF))
+    uma_exc_deref = (uma_is_heap | uma_is_aux) & src0_gt_max
+    src_byte_off = jnp.where(uma_is_ptr_read, u_start + u_offset, u_offset)
+
+    incremented = u_offset + 32
+    increment_of = incremented < u_offset
+    uma_exc_incr = is_uma & increment_of
+
+    cur_bound = jnp.where(uma_is_heap, heap_bound0, aux_bound0)
+    growth_uf = incremented < cur_bound
+    growth = jnp.where(growth_uf, 0, incremented - cur_bound)
+    growth = jnp.where(uma_is_heap | uma_is_aux, growth, 0)
+    new_heap_bound_u = jnp.where(uma_is_heap & ~growth_uf, incremented,
+                                 heap_bound0)
+    new_aux_bound_u = jnp.where(uma_is_aux & ~growth_uf, incremented,
+                                aux_bound0)
+
+    uma_cost = growth * p.MEMORY_GROWTH_ERGS_PER_BYTE
+    uma_cost = jnp.where(uma_exc_deref, U32_MAX, uma_cost)
+    uma_cost = jnp.where(is_uma, uma_cost, 0)
+    uma_no_ergs = ergs1 < uma_cost
+    ergs2 = jnp.where(uma_no_ergs, 0, ergs1 - uma_cost)
+
+    uma_set_panic = is_uma & (uma_exc_not_ptr | uma_exc_deref | uma_exc_incr
+                              | (is_uma & uma_no_ergs))
+    uma_skip_mem = uma_skip_oob_ptr | uma_set_panic
+
+    word0 = (src_byte_off >> 5).astype(U32)
+    word1 = word0 + 1
+    unalign = src_byte_off & 31
+    is_unaligned = unalign != 0
+
+    # fat-pointer page resolution through the heap page tables
+    hp_match = consts["hp_page"] == u_page_field[None, :]    # [F, TB]
+    ap_match = consts["ap_page"] == u_page_field[None, :]
+    fiota = jax.lax.broadcasted_iota(U32, hp_match.shape, 0)
+    ptr_heap_slot = _usum(jnp.where(hp_match, fiota, 0), axis=0)
+    ptr_aux_slot = _usum(jnp.where(ap_match, fiota, 0), axis=0)
+    ptr_page_is_heap = uma_is_ptr_read & jnp.any(hp_match, axis=0)
+    ptr_page_is_aux = uma_is_ptr_read & ~ptr_page_is_heap \
+        & jnp.any(ap_match, axis=0)
+    lane_error = lane_error | (active & uma_is_ptr_read & ~uma_skip_mem
+                               & ~(ptr_page_is_heap | ptr_page_is_aux))
+    use_heap_arena = uma_is_heap | ptr_page_is_heap
+    use_aux_arena = uma_is_aux | ptr_page_is_aux
+    uma_slot = jnp.where(uma_is_ptr_read,
+                         jnp.where(ptr_page_is_heap, ptr_heap_slot,
+                                   ptr_aux_slot),
+                         cur_heap_slot)
+
+    do_mem = is_uma & ~uma_skip_mem
+    hw_err = do_mem & use_heap_arena & (word1 >= config.heap_words)
+    aw_err = do_mem & use_aux_arena & (word1 >= config.aux_heap_words)
+    lane_error = lane_error | (active & (hw_err | aw_err))
+
+    h_base = uma_slot * config.heap_words
+    a_base = uma_slot * config.aux_heap_words
+
+    w0_heap = _gather_arena_l(heap_arena, h_base + word0)
+    w1_heap = _gather_arena_l(heap_arena, h_base + word1)
+    w0_aux = _gather_arena_l(aux_arena, a_base + word0)
+    w1_aux = _gather_arena_l(aux_arena, a_base + word1)
+    w0 = _sel8(do_mem, _sel8(use_heap_arena, w0_heap, w0_aux), z8)
+    w1 = _sel8(do_mem & is_unaligned,
+               _sel8(use_heap_arena, w1_heap, w1_aux), z8)
+
+    una_bits = unalign * 8
+    if "uma_shift" in DEBUG_SKIP:
+        read_val = w0
+    else:
+        read_val = _u256_shl(w0, una_bits) | _u256_shr(w1, 256 - una_bits)
+    beyond_uf = incremented < u_length
+    beyond = jnp.where(beyond_uf | uma_skip_mem, 0, incremented - u_length) \
+        & 31
+    bb = beyond * 8
+    read_val_ptr = _u256_shl(_u256_shr(read_val, bb), bb)
+    read_val = _sel8(uma_is_ptr_read, read_val_ptr, read_val)
+
+    sv = src1
+    keep_hi_bits = (32 - unalign) * 8
+    if "uma_shift" in DEBUG_SKIP:
+        new_w0, new_w1 = sv, sv
+    else:
+        new_w0 = _u256_shl(_u256_shr(w0, keep_hi_bits), keep_hi_bits) \
+            | _u256_shr(sv, una_bits)
+        new_w1 = _u256_shr(_u256_shl(w1, una_bits), una_bits) \
+            | _u256_shl(sv, keep_hi_bits)
+
+    uma_do_write = uma_is_write & ~uma_skip_mem
+    uma_do_read_mem = is_uma & ~uma_skip_mem
+
+    incremented_src0 = _set_row(src0, 0, incremented)
+
+    cut = _stage_cut(v, 5, read_val[0] ^ new_w0[0] ^ new_w1[0]
+                     ^ uma_cost ^ uma_slot)
+    if cut is not None:
+        return cut, []
+
+    # ---- log family disabled in this subset (batched_vm.py:817-831)
+    ergs_after_log = ergs2
+    new_spent_pubdata = v["spent_pubdata"]
+
+    # ---- near call (near_call.rs; batched_vm.py:1072-1076)
+    nc_abi = src0[0]
+    nc_pass_all = (nc_abi == 0) | (nc_abi > ergs_after_log)
+    nc_passed = jnp.where(nc_pass_all, ergs_after_log, nc_abi)
+    nc_left = jnp.where(nc_pass_all, 0, ergs_after_log - nc_abi)
+
+    # ---- ret (ret.rs; batched_vm.py:1078-1141)
+    ret_sub = sub_variant
+    ret_is_panic0 = is_ret & (ret_sub == RetOp.PANIC)
+    ret_src0 = _sel8(ret_is_panic0, z8, src0)
+    ret_src0_tag = src0_tag & ~ret_is_panic0
+    r_off = ret_src0[0]
+    r_page = ret_src0[1]
+    r_start = ret_src0[2]
+    r_len = ret_src0[3]
+    r_mode = (ret_src0[7] >> 8) & 0xFF
+    r_mode = jnp.where(r_mode > 2, 0, r_mode)
+    r_fwd = r_mode == 1
+    r_use_aux = r_mode == 2
+
+    nonlocal_ret = is_ret & ~is_local_frame
+    rp_not_ptr = r_fwd & ~ret_src0_tag
+    rp_back_fwd = r_fwd & (r_page < base_page)
+    r_sl = r_start + r_len
+    r_deref_exc = r_sl < r_start
+    r_off_exc = (~r_fwd) & (r_off != 0)
+    rp_validation = r_deref_exc | r_off_exc
+    rp_slice = r_off > r_len
+    ret_panic1 = nonlocal_ret & (rp_not_ptr | rp_back_fwd | rp_validation
+                                 | rp_slice)
+    ret_escalated = (is_ret & (ret_sub == RetOp.PANIC)) | ret_panic1
+    z32 = jnp.zeros_like(r_off)
+    r_off = jnp.where(ret_escalated, z32, r_off)
+    r_page = jnp.where(ret_escalated, z32, r_page)
+    r_start = jnp.where(ret_escalated, z32, r_start)
+    r_len = jnp.where(ret_escalated, z32, r_len)
+    apply_fwd = nonlocal_ret & ~ret_escalated
+    r_start = jnp.where(apply_fwd & r_fwd, r_start + r_off, r_start)
+    r_len = jnp.where(apply_fwd & r_fwd, r_len - r_off, r_len)
+    r_off = jnp.where(apply_fwd & r_fwd, 0, r_off)
+    r_page = jnp.where(apply_fwd & ~r_fwd,
+                       jnp.where(r_use_aux, aux_page, heap_page), r_page)
+    r_upper = r_start + r_len
+    r_upper = jnp.where(nonlocal_ret & r_deref_exc, U32_MAX, r_upper)
+    r_bound = jnp.where(r_use_aux, aux_bound0, heap_bound0)
+    r_growth_uf = r_upper < r_bound
+    r_growth = jnp.where(r_growth_uf, 0, r_upper - r_bound)
+    r_growth = jnp.where(nonlocal_ret & ~r_fwd, r_growth, 0)
+    r_cost = r_growth * p.MEMORY_GROWTH_ERGS_PER_BYTE
+    r_no_ergs = ergs_after_log < r_cost
+    ergs3 = jnp.where(is_ret & ~r_no_ergs,
+                      ergs_after_log - jnp.where(is_ret, r_cost, 0),
+                      jnp.where(is_ret & r_no_ergs, 0, ergs_after_log))
+    ret_panic2 = nonlocal_ret & r_no_ergs
+    ret_final_panic = ret_escalated | ret_panic2
+    r_off = jnp.where(ret_panic2, 0, r_off)
+    r_page = jnp.where(ret_panic2, 0, r_page)
+    r_start = jnp.where(ret_panic2, 0, r_start)
+    r_len = jnp.where(ret_panic2, 0, r_len)
+    ret_panicked = is_ret & ((ret_sub == RetOp.REVERT) | ret_final_panic)
+    is_to_label = is_ret & vflag0
+
+    returndata_u256 = jnp.stack(
+        [r_off, r_page, r_start, r_len, ztb, ztb, ztb, ztb], axis=0)
+
+    cut = _stage_cut(v, 6, returndata_u256[0] ^ ergs3 ^ nc_passed)
+    if cut is not None:
+        return cut, []
+
+    # ---- flags writeback (batched_vm.py:1298-1341)
+    add_eq = _u256_is_zero(sum_val)
+    sub_eq = _u256_is_zero(diff_val)
+    mul_of = ~_u256_is_zero(mul_hi)
+    mul_eq = _u256_is_zero(mul_lo)
+    div_eq = _u256_is_zero(div_q)
+    div_gt = _u256_is_zero(div_r)
+    shift_eq = _u256_is_zero(shift_val)
+    binop_eq = _u256_is_zero(binop_val)
+
+    fF = jnp.zeros((TB,), dtype=BOOL)
+    cb = carry.astype(BOOL)
+    bb_ = borrow.astype(BOOL)
+    new_lt = _bsel(is_add, cb, is_sub & bb_)
+    new_eq = _bsel(is_add, add_eq, is_sub & sub_eq)
+    new_gt = _bsel(is_add, ~add_eq & ~cb, is_sub & ~sub_eq & ~bb_)
+    new_lt = _bsel(is_mul, mul_of, new_lt)
+    new_eq = _bsel(is_mul, mul_eq, new_eq)
+    new_gt = _bsel(is_mul, ~mul_of & ~mul_eq, new_gt)
+    new_lt = _bsel(is_div, div_by_zero, new_lt)
+    new_eq = _bsel(is_div, div_eq & ~div_by_zero, new_eq)
+    new_gt = _bsel(is_div, div_gt & ~div_by_zero, new_gt)
+    new_eq = _bsel(is_shift, shift_eq, new_eq)
+    new_lt = ~(is_shift | is_binop) & new_lt
+    new_gt = ~(is_shift | is_binop) & new_gt
+    new_eq = _bsel(is_binop, binop_eq, new_eq)
+
+    writes_flags = set_flags & (is_add | is_sub | is_mul | is_div
+                                | is_shift | is_binop)
+    resets_flags = is_near_call | is_ret          # far call not in subset
+    ret_sets_lt = is_ret & ret_final_panic
+
+    flags_lt = _bsel(writes_flags, new_lt,
+                     _bsel(resets_flags, ret_sets_lt, lt_f))
+    flags_eq = _bsel(writes_flags, new_eq, ~resets_flags & eq_f)
+    flags_gt = _bsel(writes_flags, new_gt, ~resets_flags & gt_f)
+    new_flags = jnp.stack([flags_lt.astype(U32), flags_eq.astype(U32),
+                           flags_gt.astype(U32)], axis=0)
+
+    # ---- dst0 / dst1 selection (batched_vm.py:1343-1377)
+    dst0_val = z8
+    dst0_val = _sel8(is_add, sum_val, dst0_val)
+    dst0_val = _sel8(is_sub, diff_val, dst0_val)
+    dst0_val = _sel8(is_mul, mul_lo, dst0_val)
+    dst0_val = _sel8(is_div, _sel8(div_by_zero, z8, div_q), dst0_val)
+    dst0_val = _sel8(is_shift, shift_val, dst0_val)
+    dst0_val = _sel8(is_binop, binop_val, dst0_val)
+    dst0_val = _sel8(is_ctx, ctx_val, dst0_val)
+    dst0_val = _sel8(ptr_writes, ptr_result, dst0_val)
+    dst0_val = _sel8(uma_is_read & is_uma, read_val, dst0_val)
+    dst0_val = _sel8(uma_is_write & uma_increment, incremented_src0, dst0_val)
+    dst0_is_ptr = ptr_writes
+
+    dst0_write = is_add | is_sub | is_mul | is_div | is_shift | is_binop \
+        | ctx_writes_dst | ptr_writes \
+        | (uma_is_read & ~uma_set_panic) \
+        | (uma_is_write & uma_increment & ~uma_set_panic)
+
+    dst1_val = z8
+    dst1_val = _sel8(is_mul, mul_hi, dst1_val)
+    dst1_val = _sel8(is_div, _sel8(div_by_zero, z8, div_r), dst1_val)
+    dst1_val = _sel8(uma_is_read & uma_increment, incremented_src0, dst1_val)
+    dst1_is_ptr = uma_is_read & uma_increment & src0_tag
+    dst1_write = is_mul | is_div \
+        | (uma_is_read & uma_increment & ~uma_set_panic)
+
+    # pending-exception accumulation (shorthand panics)
+    new_pending = new_pending | (ptr_panic & is_ptr) | uma_set_panic
+
+    cut = _stage_cut(v, 7, dst0_val[0] ^ dst1_val[0]
+                     ^ new_flags[0].astype(U32))
+    if cut is not None:
+        return cut, []
+
+    # ---- pc + frame machinery (batched_vm.py:1386-1525)
+    cur_pc_new = new_pc_lin
+    cur_pc_new = jnp.where(is_jump, src0[0] & U16_MASK, cur_pc_new)
+
+    cur_scal = scal
+    cur_scal = _set_row(cur_scal, CS["pc"], cur_pc_new)
+    cur_scal = _set_row(cur_scal, CS["sp"], sp2)
+    cur_ergs_final = jnp.where(is_near_call, nc_left,
+                      jnp.where(is_ret, 0, ergs3))
+    cur_scal = _set_row(cur_scal, CS["ergs_remaining"], cur_ergs_final)
+    cur_scal = _set_row(cur_scal, CS["heap_bound"], 
+        jnp.where(is_uma, new_heap_bound_u, heap_bound0))
+    cur_scal = _set_row(cur_scal, CS["aux_heap_bound"], 
+        jnp.where(is_uma, new_aux_bound_u, aux_bound0))
+
+    new_cs_scalars = _scatter_l(v["cs_scalars"], depth, cur_scal, active)
+
+    # push (near call only in this subset)
+    push_mask = is_near_call & active
+    pushed = cur_scal
+    pushed = _set_row(pushed, CS["pc"], imm0)
+    pushed = _set_row(pushed, CS["exception_handler"], imm1)
+    pushed = _set_row(pushed, CS["ergs_remaining"], nc_passed)
+    pushed = _set_row(pushed, CS["flags_word"], flags_word | 2)
+    pushed = _set_row(pushed, CS["journal_snapshot"], ztb)
+    pushed = _set_row(pushed, CS["event_snapshot"], ztb)
+    push_idx = jnp.minimum(depth + 1, D - 1)
+    lane_error = lane_error | (active & push_mask & (depth + 1 >= D))
+    new_cs_scalars = _scatter_l(new_cs_scalars, push_idx, pushed, push_mask)
+    new_cs_this = _scatter_l(v["cs_this"], push_idx, this_addr, push_mask)
+    new_cs_sender = _scatter_l(v["cs_sender"], push_idx, msg_sender,
+                               push_mask)
+    new_cs_code = _scatter_l(v["cs_code"], push_idx, code_addr, push_mask)
+    new_cs_u128 = _scatter_l(v["cs_u128"], push_idx, frame_u128, push_mask)
+
+    # pop (ret): update the parent frame
+    pop_mask = is_ret & active
+    parent_idx = jnp.maximum(depth - 1, 0)
+    poh = _onehot_l(parent_idx, D)
+    parent_scal = _usum(jnp.where(poh[:, None, :], new_cs_scalars, 0),
+                         axis=0)
+    p_ergs = parent_scal[CS["ergs_remaining"]] + ergs3
+    parent_scal = _set_row(parent_scal, CS["ergs_remaining"], p_ergs)
+    label_jump = is_to_label & is_local_frame
+    p_pc = parent_scal[CS["pc"]]
+    p_pc = jnp.where(label_jump, imm0,
+            jnp.where(ret_panicked, scal[CS["exception_handler"]], p_pc))
+    parent_scal = _set_row(parent_scal, CS["pc"], p_pc)
+    loc = is_local_frame
+    parent_scal = _set_row(parent_scal, CS["heap_bound"], 
+        jnp.where(loc, jnp.where(is_uma, new_heap_bound_u, heap_bound0),
+                  parent_scal[CS["heap_bound"]]))
+    parent_scal = _set_row(parent_scal, CS["aux_heap_bound"], 
+        jnp.where(loc, jnp.where(is_uma, new_aux_bound_u, aux_bound0),
+                  parent_scal[CS["aux_heap_bound"]]))
+    new_cs_scalars = _scatter_l(new_cs_scalars, parent_idx, parent_scal,
+                                pop_mask)
+
+    new_depth = depth + push_mask.astype(I32) - pop_mask.astype(I32)
+    new_depth = jnp.maximum(new_depth, 0)
+    new_done = new_depth == 0
+
+    cut = _stage_cut(v, 8, new_cs_scalars[0, 0] ^ new_depth.astype(U32))
+    if cut is not None:
+        return cut, []
+
+    # ---- register writebacks (batched_vm.py:1527-1553)
+    dst0_to_reg = dst0_write & ~dst0_is_stack_mem & (dst0_reg > 0) & active
+    reg_ptr_b = v["reg_ptr"].astype(BOOL)
+    new_regs = _scatter_l(v["regs"],
+                          jnp.maximum(dst0_reg.astype(I32) - 1, 0),
+                          dst0_val, dst0_to_reg)
+    new_reg_ptr = _scatter_l(reg_ptr_b,
+                             jnp.maximum(dst0_reg.astype(I32) - 1, 0),
+                             dst0_is_ptr, dst0_to_reg)
+    dst1_to_reg = dst1_write & (dst1_reg > 0) & active
+    new_regs = _scatter_l(new_regs,
+                          jnp.maximum(dst1_reg.astype(I32) - 1, 0),
+                          dst1_val, dst1_to_reg)
+    new_reg_ptr = _scatter_l(new_reg_ptr,
+                             jnp.maximum(dst1_reg.astype(I32) - 1, 0),
+                             dst1_is_ptr, dst1_to_reg)
+
+    # non-local ret register-file protocol: r1 = returndata ptr, rest wiped
+    riota = jax.lax.broadcasted_iota(I32, (p.REGISTERS_COUNT, 1, TB), 0)
+    wipe = nonlocal_ret & active
+    wiped = jnp.where(riota == 0, returndata_u256[None, :, :],
+                      jnp.zeros_like(new_regs))
+    wiped_ptr = (riota[:, 0, :] == 0)
+    new_regs = jnp.where(wipe[None, None, :], wiped, new_regs)
+    new_reg_ptr = _bsel(wipe[None, :], wiped_ptr, new_reg_ptr)
+    new_context_u128 = _sel8(wipe, jnp.zeros((4, TB), dtype=U32),
+                             new_context_u128)
+
+    cut = _stage_cut(v, 9, new_regs[0, 0] ^ new_reg_ptr[0].astype(U32)
+                     ^ new_context_u128[0])
+    if cut is not None:
+        return cut, []
+
+    # ---- memory writebacks (batched_vm.py:1577-1611)
+    dst0_to_stack = dst0_write & dst0_is_stack_mem & active
+    dst0_phys, dst0_in_window = _map_stack_index_l(config, dst0_loc)
+    lane_error = lane_error | (dst0_to_stack & ~dst0_in_window)
+    new_stack = _scatter_arena_l(stack_arena, dst0_phys, dst0_val,
+                                 dst0_to_stack)
+    new_stack_tag = _scatter_l(stack_tag_arena, dst0_phys,
+                               dst0_is_ptr.astype(U32), dst0_to_stack)
+
+    w_heap0 = uma_do_write & use_heap_arena & active
+    w_heap1 = w_heap0 & is_unaligned
+    w_aux0 = uma_do_write & use_aux_arena & active
+    w_aux1 = w_aux0 & is_unaligned
+    new_heap = _scatter_arena_l(heap_arena, h_base + word0, new_w0, w_heap0)
+    new_heap = _scatter_arena_l(new_heap, h_base + word1, new_w1, w_heap1)
+    new_aux = _scatter_arena_l(aux_arena, a_base + word0, new_w0, w_aux0)
+    new_aux = _scatter_arena_l(new_aux, a_base + word1, new_w1, w_aux1)
+
+    cut = _stage_cut(v, 10, new_stack[0, 0] ^ new_heap[0, 0]
+                     ^ new_aux[0, 0] ^ new_stack_tag[0])
+    if cut is not None:
+        return cut, []
+
+    # ---- witness slot rows (golden emission order; batched_vm.py:1627-1692)
+    wq_count = v["wq_count"]
+    ts0 = v["timestamp"]
+    ts3 = v["timestamp"] + 3
+    stack_page_arr = base_page + 1
+    uma_page = jnp.where(uma_is_ptr_read, u_page_field,
+                jnp.where(uma_is_heap, heap_page, aux_page))
+    uma_type = jnp.where(uma_is_ptr_read, 3,
+                jnp.where(uma_is_aux, 2, 1)).astype(U32)
+    fB = jnp.zeros((TB,), dtype=BOOL)
+    t4 = jnp.full((TB,), 4, dtype=U32)
+    t0 = jnp.zeros((TB,), dtype=U32)
+    slots_raw = [
+        # (valid, type, page, index, value, is_ptr, rw(static), ts)
+        (code_read_needed & ~v["done"], t4, code_page, super_pc, code_word,
+         fB, False, ts0),
+        (do_src0_mem_read & src0_is_stack_mem, t0, stack_page_arr, src0_loc,
+         stack_val, stack_tag, False, ts0),
+        (do_src0_mem_read & src0_code, t4, code_page, src0_loc, code_val,
+         fB, False, ts0),
+        (uma_do_read_mem, uma_type, uma_page, word0, w0, fB, False, ts0),
+        (uma_do_read_mem & is_unaligned, uma_type, uma_page, word1, w1,
+         fB, False, ts0),
+        (dst0_to_stack, t0, stack_page_arr, dst0_loc, dst0_val, dst0_is_ptr,
+         True, ts3),
+        (uma_do_write, uma_type, uma_page, word0, new_w0, fB, True, ts3),
+        (uma_do_write & is_unaligned, uma_type, uma_page, word1, new_w1,
+         fB, True, ts3),
+    ]
+    slots = []
+    if config.queue_capacity > 0:
+        for valid, mtype, mpage, midx, mval, mptr, rw, ts in slots_raw:
+            lane_error = lane_error | (valid & active & ovf)
+            valid = valid & active & ~ovf
+            wq_count = wq_count + valid.astype(I32)
+            slots.append((valid, mtype, mpage.astype(U32), midx.astype(U32),
+                          mval, mptr, rw, ts))
+
+    # ---- assemble (batched_vm.py:1817-1884); freeze finished lanes
+    fz = frozen
+    nv = dict(v)
+    nv["regs"] = new_regs
+    nv["reg_ptr"] = new_reg_ptr.astype(U32)
+    nv["flags"] = _sel8(fz, v["flags"], new_flags)
+    nv["timestamp"] = jnp.where(fz, v["timestamp"],
+                                v["timestamp"] + p.TIME_DELTA_PER_CYCLE)
+    nv["monotonic_cycle_counter"] = jnp.where(
+        fz, v["monotonic_cycle_counter"], v["monotonic_cycle_counter"] + 1)
+    nv["spent_pubdata"] = jnp.where(fz, v["spent_pubdata"],
+                                    new_spent_pubdata)
+    nv["ergs_per_pubdata"] = jnp.where(fz, v["ergs_per_pubdata"],
+                                       new_ergs_per_pubdata)
+    nv["tx_number"] = jnp.where(fz, v["tx_number"], new_tx_number)
+    nv["pending_exception"] = _bsel(
+        fz, v["pending_exception"].astype(BOOL), new_pending).astype(U32)
+    nv["previous_code_word"] = _sel8(fz, v["previous_code_word"],
+                                     new_prev_code_word)
+    nv["previous_super_pc"] = jnp.where(fz, v["previous_super_pc"],
+                                        new_prev_super_pc)
+    nv["previous_code_page"] = jnp.where(fz, v["previous_code_page"],
+                                         new_prev_code_page)
+    nv["context_u128"] = _sel8(fz, v["context_u128"], new_context_u128)
+    nv["depth"] = jnp.where(fz, v["depth"], new_depth)
+    nv["cs_this"] = new_cs_this
+    nv["cs_sender"] = new_cs_sender
+    nv["cs_code"] = new_cs_code
+    nv["cs_u128"] = new_cs_u128
+    nv["cs_scalars"] = new_cs_scalars
+    if "mem" not in DEBUG_PASSTHROUGH:
+        mem["stack"][...] = new_stack
+        mem["stack_tag"][...] = new_stack_tag
+        mem["heap"][...] = new_heap
+        mem["aux_heap"][...] = new_aux
+    nv["done"] = _bsel(fz, v["done"].astype(BOOL),
+                       new_done).astype(U32)
+    nv["lane_error"] = lane_error.astype(U32)
+    nv["wq_count"] = wq_count
+    return nv, slots
+
+
+# ===========================================================================
+# kernel boundary: packing the BatchedVmState into batch-last VMEM buffers
+# ===========================================================================
+
+# packed per-lane scalar rows (one u32[16, B] array instead of 15 tiny refs)
+_SCAL_ROWS = (
+    "timestamp", "monotonic_cycle_counter", "spent_pubdata",
+    "ergs_per_pubdata", "tx_number", "previous_super_pc",
+    "previous_code_page", "page_counter",
+    "depth", "frame_count", "global_step", "wq_count",      # i32, bitcast-safe
+    "pending_exception", "done", "lane_error",              # bool
+)
+_SCAL_I32 = {"depth", "frame_count", "global_step", "wq_count"}
+_SCAL_BOOL = {"pending_exception", "done", "lane_error"}
+_SROW = {name: i for i, name in enumerate(_SCAL_ROWS)}
+
+# carried (in+out) tensor fields: name -> batch-last shape builder
+def _inout_specs(config: VmConfig):
+    D = config.max_depth
+    return [
+        ("scal", (16,)),
+        ("regs", (params.REGISTERS_COUNT, 8)),
+        ("reg_ptr", (params.REGISTERS_COUNT,)),
+        ("flags", (3,)),
+        ("previous_code_word", (8,)),
+        ("context_u128", (4,)),
+        ("cs_scalars", (D, NF)),
+        ("cs_this", (D, 5)),
+        ("cs_sender", (D, 5)),
+        ("cs_code", (D, 5)),
+        ("cs_u128", (D, 4)),
+        ("stack", (8, config.stack_words)),
+        ("stack_tag", (config.stack_words,)),
+        ("heap", (8, config.heap_frames * config.heap_words)),
+        ("aux_heap", (8, config.heap_frames * config.aux_heap_words)),
+    ]
+
+
+def _const_specs(config: VmConfig):
+    return [
+        ("code", (8, config.code_pages * config.code_words)),
+        ("hp_page", (config.heap_frames,)),
+        ("ap_page", (config.heap_frames,)),
+        ("cb_page", (config.code_pages,)),
+        ("cb_valid", (config.code_pages,)),
+    ]
+
+
+def _arena_batch_last(arr, config: VmConfig):
+    """State arena (either physical layout) -> u32[8, W, B]."""
+    if config.limb_major_arenas:
+        return jnp.transpose(arr, (1, 2, 0))          # [B, 8, W]
+    if arr.ndim == 2:                                  # flat stack [B, W*8]
+        arr = arr.reshape(arr.shape[0], -1, 8)
+    return jnp.transpose(arr, (2, 1, 0))               # [B, W, 8]
+
+
+def _arena_from_batch_last(arr, like, config: VmConfig):
+    """u32[8, W, B] -> the state's physical arena layout (shaped like `like`)."""
+    if config.limb_major_arenas:
+        return jnp.transpose(arr, (2, 0, 1))
+    out = jnp.transpose(arr, (2, 1, 0))                # [B, W, 8]
+    if like.ndim == 2:
+        out = out.reshape(like.shape)
+    return out
+
+
+def _pack(state: BatchedVmState, config: VmConfig) -> dict:
+    """BatchedVmState -> dict of batch-last kernel buffers."""
+    def scalrow(name):
+        x = getattr(state, name)
+        return x.astype(U32)
+
+    bufs = {
+        "scal": jnp.stack([scalrow(n) for n in _SCAL_ROWS]
+                          + [jnp.zeros_like(state.timestamp)], axis=0),
+        "regs": jnp.transpose(state.regs, (1, 2, 0)),
+        "reg_ptr": jnp.transpose(state.reg_ptr.astype(U32), (1, 0)),
+        "flags": jnp.transpose(state.flags.astype(U32), (1, 0)),
+        "previous_code_word": jnp.transpose(state.previous_code_word, (1, 0)),
+        "context_u128": jnp.transpose(state.context_u128, (1, 0)),
+        "cs_scalars": jnp.transpose(state.cs_scalars, (1, 2, 0)),
+        "cs_this": jnp.transpose(state.cs_this_address, (1, 2, 0)),
+        "cs_sender": jnp.transpose(state.cs_msg_sender, (1, 2, 0)),
+        "cs_code": jnp.transpose(state.cs_code_address, (1, 2, 0)),
+        "cs_u128": jnp.transpose(state.cs_context_u128, (1, 2, 0)),
+        "stack": _arena_batch_last(state.stack, config),
+        "stack_tag": jnp.transpose(state.stack_ptr_tag.astype(U32), (1, 0)),
+        "heap": _arena_batch_last(state.heap, config),
+        "aux_heap": _arena_batch_last(state.aux_heap, config),
+        "code": _arena_batch_last(state.code, config),
+        "hp_page": jnp.transpose(state.hp_page, (1, 0)),
+        "ap_page": jnp.transpose(state.ap_page, (1, 0)),
+        "cb_page": jnp.transpose(state.cb_page, (1, 0)),
+        "cb_valid": jnp.transpose(state.cb_valid.astype(U32), (1, 0)),
+    }
+    return bufs
+
+
+def _unpack(bufs: dict, state: BatchedVmState,
+            config: VmConfig) -> BatchedVmState:
+    """Batch-last kernel buffers -> BatchedVmState (non-subset fields pass
+    through from the input state)."""
+    import dataclasses as _dc
+
+    s = bufs["scal"]
+
+    def row(name):
+        x = s[_SROW[name]]
+        if name in _SCAL_I32:
+            return x.astype(I32)
+        if name in _SCAL_BOOL:
+            return x.astype(BOOL)
+        return x
+
+    return _dc.replace(
+        state,
+        regs=jnp.transpose(bufs["regs"], (2, 0, 1)),
+        reg_ptr=jnp.transpose(bufs["reg_ptr"], (1, 0)).astype(BOOL),
+        flags=jnp.transpose(bufs["flags"], (1, 0)).astype(BOOL),
+        previous_code_word=jnp.transpose(bufs["previous_code_word"], (1, 0)),
+        context_u128=jnp.transpose(bufs["context_u128"], (1, 0)),
+        cs_scalars=jnp.transpose(bufs["cs_scalars"], (2, 0, 1)),
+        cs_this_address=jnp.transpose(bufs["cs_this"], (2, 0, 1)),
+        cs_msg_sender=jnp.transpose(bufs["cs_sender"], (2, 0, 1)),
+        cs_code_address=jnp.transpose(bufs["cs_code"], (2, 0, 1)),
+        cs_context_u128=jnp.transpose(bufs["cs_u128"], (2, 0, 1)),
+        stack=_arena_from_batch_last(bufs["stack"], state.stack, config),
+        stack_ptr_tag=jnp.transpose(bufs["stack_tag"], (1, 0)).astype(BOOL),
+        heap=_arena_from_batch_last(bufs["heap"], state.heap, config),
+        aux_heap=_arena_from_batch_last(bufs["aux_heap"], state.aux_heap,
+                                        config),
+        timestamp=row("timestamp"),
+        monotonic_cycle_counter=row("monotonic_cycle_counter"),
+        spent_pubdata=row("spent_pubdata"),
+        ergs_per_pubdata=row("ergs_per_pubdata"),
+        tx_number=row("tx_number"),
+        previous_super_pc=row("previous_super_pc"),
+        previous_code_page=row("previous_code_page"),
+        page_counter=row("page_counter"),
+        depth=row("depth"),
+        frame_count=row("frame_count"),
+        global_step=row("global_step"),
+        wq_count=row("wq_count"),
+        pending_exception=row("pending_exception"),
+        done=row("done"),
+        lane_error=row("lane_error"),
+    )
+
+
+# ===========================================================================
+# the Pallas kernel + public driver
+# ===========================================================================
+
+def _vals_from_refs(refs: dict) -> tuple[dict, dict | None]:
+    """Load per-cycle state values from VMEM refs.
+
+    Booleans ride as u32 (i1 vectors in loop-visible state crash Mosaic);
+    _cycle_tile converts at its boundary.
+    """
+    s = refs["scal"][:]
+    v = {}
+    for name in _SCAL_ROWS:
+        x = s[_SROW[name]]
+        if name in _SCAL_I32:
+            x = x.astype(I32)
+        v[name] = x
+    for name in ("regs", "reg_ptr", "flags", "previous_code_word",
+                 "context_u128", "cs_scalars", "cs_this", "cs_sender",
+                 "cs_code", "cs_u128"):
+        v[name] = refs[name][:]
+    return v, None
+
+
+def _vals_to_refs(v: dict, refs: dict) -> None:
+    rows = []
+    for name in _SCAL_ROWS:
+        rows.append(v[name].astype(U32))
+    rows.append(jnp.zeros_like(rows[0]))
+    refs["scal"][:] = jnp.stack(rows, axis=0)
+    for name in ("regs", "reg_ptr", "flags", "previous_code_word",
+                 "context_u128", "cs_scalars", "cs_this", "cs_sender",
+                 "cs_code", "cs_u128"):
+        refs[name][:] = v[name]
+
+
+def _build_kernel(config: VmConfig, k_cycles: int):
+    inout = _inout_specs(config)
+    const = _const_specs(config)
+    with_wq = config.queue_capacity > 0
+    cap = max(config.queue_capacity, SLOTS_PER_CYCLE)
+
+    def kernel(step0_ref, *refs):
+        n_in = len(const) + len(inout)
+        in_refs = {name: r for (name, _), r in zip(const + inout,
+                                                   refs[:n_in])}
+        out_list = refs[n_in:]
+        out_refs = {name: r for (name, _), r in zip(inout, out_list)}
+        if with_wq:
+            wq_meta_ref, wq_value_ref, wq_flags_ref = out_list[len(inout):]
+        step0 = step0_ref[0]
+
+        # ALL state lives in the (aliased) output refs; the fori carry is
+        # empty.  Carrying the ~25 state arrays as loop values blows the
+        # Mosaic compile helper's resource limits (SIGABRT) once the full
+        # dataflow is live — per-iteration VMEM ref load/store bounds the
+        # live ranges instead (bisected; arenas alone weren't enough).
+        kconsts = {name: in_refs[name][:]
+                   for name in ("code", "hp_page", "ap_page", "cb_page")}
+        kconsts["cb_valid"] = in_refs["cb_valid"][:].astype(BOOL)
+        mem = {name: out_refs[name]
+               for name in ("stack", "stack_tag", "heap", "aux_heap")}
+        for name, _ in inout:
+            out_refs[name][...] = in_refs[name][...]
+
+        def body(k, _):
+            if with_wq:
+                ovf = (step0 + k) * SLOTS_PER_CYCLE \
+                    > cap - SLOTS_PER_CYCLE
+            else:
+                ovf = jnp.bool_(False)
+            v, _unused = _vals_from_refs(out_refs)
+            nv, slots = _cycle_tile(v, kconsts, mem, config, ovf)
+            for name in DEBUG_PASSTHROUGH:
+                if name in nv:
+                    nv[name] = v[name]
+            for s_i, (valid, mtype, mpage, midx, mval, mptr, rw, ts) \
+                    in enumerate(slots):
+                row = jnp.stack([ts, mtype, mpage, midx], axis=0)
+                wq_meta_ref[k * SLOTS_PER_CYCLE + s_i] = row
+                wq_value_ref[k * SLOTS_PER_CYCLE + s_i] = mval
+                wq_flags_ref[k * SLOTS_PER_CYCLE + s_i] = \
+                    (U32(1) if rw else U32(0)) | (mptr.astype(U32) << 1) \
+                    | (valid.astype(U32) << 2)
+            nv["global_step"] = v["global_step"] + 1
+            _vals_to_refs(nv, out_refs)
+            return 0
+
+        jax.lax.fori_loop(0, k_cycles, body, 0)
+
+    return kernel
+
+
+def _build_call(config: VmConfig, k_cycles: int, tile: int,
+                interpret: bool):
+    """pallas_call closure for one (config, K, TB) geometry."""
+    inout = _inout_specs(config)
+    const = _const_specs(config)
+    with_wq = config.queue_capacity > 0
+    B = config.batch
+    n_tiles = B // tile
+
+    def spec(shape_prefix):
+        nd = len(shape_prefix)
+        return pl.BlockSpec(
+            tuple(shape_prefix) + (tile,),
+            (lambda i, *_, _nd=nd: (0,) * _nd + (i,)),
+            memory_space=pltpu.VMEM)
+
+    in_specs = [spec(sh) for _, sh in const] + [spec(sh) for _, sh in inout]
+    out_specs = [spec(sh) for _, sh in inout]
+    out_shapes = [jax.ShapeDtypeStruct(tuple(sh) + (B,), jnp.uint32)
+                  for _, sh in inout]
+    if with_wq:
+        kq = k_cycles * SLOTS_PER_CYCLE
+        for sh in ((kq, 4), (kq, 8), (kq,)):
+            out_specs.append(spec(sh))
+            out_shapes.append(
+                jax.ShapeDtypeStruct(tuple(sh) + (B,), jnp.uint32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    kernel = _build_kernel(config, k_cycles)
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # v5e has ~128 MiB VMEM; the default Mosaic scoped-vmem limit
+            # (~16 MiB) makes the compile helper crash outright (HTTP 500,
+            # no diagnostic) once blocks exceed it — bisected empirically
+            vmem_limit_bytes=100 * 2**20),
+    )
+
+    def run(step0, bufs):
+        ins = [bufs[name] for name, _ in const] \
+            + [bufs[name] for name, _ in inout]
+        outs = call(jnp.asarray([step0], dtype=I32), *ins)
+        new_bufs = dict(bufs)
+        for (name, _), arr in zip(inout, outs[:len(inout)]):
+            new_bufs[name] = arr
+        blocks = outs[len(inout):] if with_wq else ()
+        return new_bufs, blocks
+
+    return run
+
+
+@partial(jax.jit, static_argnames=("config", "n_cycles", "tile", "k_inner",
+                                   "interpret"),
+         donate_argnames=("state",))
+def run_cycles_fused(state: BatchedVmState, config: VmConfig, n_cycles: int,
+                     tile: int = 128, k_inner: int = 64,
+                     interpret: bool | None = None) -> BatchedVmState:
+    """Drop-in run_cycles built on the fused VMEM-resident cycle kernel.
+
+    Bit-exact vs batched_vm.run_cycles for `supported(config)` geometries
+    (asserted).  `tile` lanes per kernel instance stay VMEM-resident for
+    `k_inner` cycles per kernel invocation; witness-queue blocks are spliced
+    into the persistent queue between invocations.
+    """
+    assert supported(config), "config outside the fused-kernel subset"
+    assert not config.sweep_gating, "fused path requires sweep_gating=False"
+    assert config.batch % tile == 0, (config.batch, tile)
+    if config.queue_capacity:
+        assert config.queue_capacity >= min(n_cycles, k_inner) * 8
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    bufs = _pack(state, config)
+    wq = (state.wq_meta, state.wq_value, state.wq_flags)
+    cap = max(config.queue_capacity, SLOTS_PER_CYCLE)
+
+    def run_chunk(k_cycles, bufs, wq):
+        call = _build_call(config, k_cycles, tile, interpret)
+        step0 = jnp.min(bufs["scal"][_SROW["global_step"]]).astype(I32)
+        bufs, blocks = call(step0, bufs)
+        if config.queue_capacity:
+            base = jnp.minimum(step0 * 8, cap - k_cycles * 8)
+            base = jnp.maximum(base, 0)
+            wq_meta, wq_value, wq_flags = wq
+            wq_meta = jax.lax.dynamic_update_slice(
+                wq_meta, blocks[0], (base, 0, 0))
+            wq_value = jax.lax.dynamic_update_slice(
+                wq_value, blocks[1], (base, 0, 0))
+            wq_flags = jax.lax.dynamic_update_slice(
+                wq_flags, blocks[2], (base, 0))
+            wq = (wq_meta, wq_value, wq_flags)
+        return bufs, wq
+
+    n_full = n_cycles // k_inner
+    rem = n_cycles % k_inner
+    if n_full == 1 and rem == 0:
+        bufs, wq = run_chunk(k_inner, bufs, wq)
+    elif n_full > 0:
+        def chunk_body(_, carry):
+            return run_chunk(k_inner, *carry)
+
+        bufs, wq = jax.lax.fori_loop(0, n_full, chunk_body, (bufs, wq))
+    if rem:
+        bufs, wq = run_chunk(rem, bufs, wq)
+
+    state = _unpack(bufs, state, config)
+    if config.queue_capacity:
+        state.wq_meta, state.wq_value, state.wq_flags = wq
+    return state

@@ -1,0 +1,171 @@
+"""Fused Pallas cycle kernel vs the jnp interpreter: bit-exact state equality.
+
+run_cycles_fused must reproduce run_cycles EXACTLY — every register, flag,
+arena word, callstack entry, counter, and the full witness-queue block
+content — for every supported program family (the jnp path is itself
+diff-tested against the golden oracle, so equality here closes the chain).
+Runs in Pallas interpret mode on CPU (tests/conftest.py pins the platform).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from era_zk_evm_tpu.isa.assembler import assemble_to_code_words
+from era_zk_evm_tpu.models import VmConfig, make_entry_state, run_cycles
+from era_zk_evm_tpu.models.fused_cycle import run_cycles_fused, supported
+
+from test_batched_vm import (
+    BASIC_PROGRAMS, CALL_PROGRAMS, CONTEXT_PROGRAMS, CONTROL_FLOW,
+    PTR_PROGRAMS, STACK_PROGRAMS, UMA_PROGRAMS,
+)
+
+N_CYCLES = 48
+
+
+def _config(batch, limb_major=False, queue=True):
+    return VmConfig(batch=batch, code_words=32, stack_words=256,
+                    sweep_gating=False, stack_abs_words=64, stack_sp_base=960,
+                    heap_words=64, aux_heap_words=16, max_depth=8,
+                    queue_capacity=N_CYCLES * 8 * 2 if queue else 0,
+                    limb_major_arenas=limb_major)
+
+
+def fused_diff(programs, n_cycles=N_CYCLES, tile=4, k_inner=16,
+               ergs=1 << 20, limb_major=False, queue=True):
+    B = len(programs)
+    while B % tile:  # largest divisor of B <= the requested tile
+        tile -= 1
+    config = _config(B, limb_major=limb_major, queue=queue)
+    assert supported(config)
+    words = [assemble_to_code_words(src) for src in programs]
+
+    ref = run_cycles(make_entry_state(config, words, ergs=ergs),
+                     config, n_cycles)
+    fus = run_cycles_fused(make_entry_state(config, words, ergs=ergs),
+                           config, n_cycles, tile=tile, k_inner=k_inner)
+
+    bad = []
+    for f in dataclasses.fields(ref):
+        a = np.asarray(getattr(ref, f.name))
+        b = np.asarray(getattr(fus, f.name))
+        if a.shape != b.shape or not (a == b).all():
+            bad.append(f.name)
+    assert not bad, f"fused/jnp mismatch in fields: {bad}"
+    return fus
+
+
+class TestFusedConformance:
+    def test_basic_arithmetic(self):
+        fused_diff(BASIC_PROGRAMS[:4])
+
+    def test_binops_and_swaps(self):
+        fused_diff(BASIC_PROGRAMS[4:])
+
+    def test_control_flow(self):
+        fused_diff(CONTROL_FLOW)
+
+    def test_stack(self):
+        fused_diff(STACK_PROGRAMS)
+
+    def test_uma(self):
+        fused_diff(UMA_PROGRAMS[:4])
+
+    def test_uma_growth_ergs(self):
+        fused_diff([UMA_PROGRAMS[4]])
+
+    def test_near_calls(self):
+        fused_diff(CALL_PROGRAMS)
+
+    def test_context(self):
+        fused_diff(CONTEXT_PROGRAMS)
+
+    def test_ptr_and_panics(self):
+        fused_diff(PTR_PROGRAMS)
+
+    def test_user_mode_masking(self):
+        # kernel-only ctx op from a user-space frame must mask to panic
+        fused_diff([
+            """
+            add 2000, r0, r9
+            near_call r9, @k, @h
+            done:
+            ret r0
+            k:
+            ctx.inc_tx
+            ret r0
+            h:
+            add 3, r0, r3
+            jump @done
+            """,
+        ])
+
+    def test_unsupported_families_flag_lane_error(self):
+        # LOG / FAR_CALL outside the subset raise lane_error on both paths
+        fus = fused_diff([
+            """
+            add 1, r0, r1
+            log.sread r1, r2
+            ret r0
+            """,
+        ])
+        assert np.asarray(fus.lane_error).all()
+
+
+class TestFusedGeometry:
+    def test_chunk_remainder(self):
+        # n_cycles not divisible by k_inner: full chunks + remainder kernel
+        fused_diff(CONTROL_FLOW, n_cycles=N_CYCLES, k_inner=20)
+
+    def test_single_chunk(self):
+        fused_diff(BASIC_PROGRAMS[:2], n_cycles=N_CYCLES, k_inner=N_CYCLES)
+
+    def test_multi_tile(self):
+        fused_diff(BASIC_PROGRAMS[:2] * 2, tile=2)
+
+    def test_limb_major_state_layout(self):
+        fused_diff(UMA_PROGRAMS[:2] + STACK_PROGRAMS[:2], limb_major=True)
+
+    def test_no_witness_queue(self):
+        fused_diff(BASIC_PROGRAMS[:2] + CALL_PROGRAMS[:2], queue=False)
+
+    def test_resume_preserves_block_clock(self):
+        # two run_cycles_fused calls on one state == one long jnp run
+        programs = CONTROL_FLOW
+        B = len(programs)
+        config = _config(B)
+        words = [assemble_to_code_words(s) for s in programs]
+        ref = run_cycles(make_entry_state(config, words, ergs=1 << 20),
+                         config, N_CYCLES)
+        fus = make_entry_state(config, words, ergs=1 << 20)
+        fus = run_cycles_fused(fus, config, N_CYCLES // 2, tile=B, k_inner=16)
+        fus = run_cycles_fused(fus, config, N_CYCLES // 2, tile=B, k_inner=16)
+        for f in dataclasses.fields(ref):
+            a = np.asarray(getattr(ref, f.name))
+            b = np.asarray(getattr(fus, f.name))
+            assert (a == b).all(), f.name
+
+
+class TestFusedFuzz:
+    def test_random_arith_programs(self):
+        import random
+
+        rng = random.Random(0xF05ED)
+        ops = ["add", "sub", "and", "or", "xor", "shl", "shr", "rol", "ror",
+               "mul", "div", "sub!", "add!"]
+        programs = []
+        for _ in range(4):
+            lines = [f"add {rng.randrange(1, 1 << 16)}, r0, r{j}"
+                     for j in range(1, 6)]
+            for _ in range(24):
+                op = rng.choice(ops)
+                a, b, d = (rng.randrange(1, 15) for _ in range(3))
+                if op in ("mul", "div"):
+                    d2 = rng.randrange(1, 15)
+                    lines.append(f"{op} r{a}, r{b}, r{d}, r{d2}")
+                else:
+                    lines.append(f"{op} r{a}, r{b}, r{d}")
+            lines.append("ret r0")
+            programs.append("\n".join(lines))
+        fused_diff(programs, n_cycles=40)
