@@ -64,7 +64,8 @@ WORKLOAD = """
 """
 
 
-def bench(batch: int, n_cycles: int, witness: bool, repeats: int = 3) -> dict:
+def bench(batch: int, n_cycles: int, witness: bool, repeats: int = 3,
+          engine: str = "fused") -> dict:
     # queue slots are consumed across ALL run_cycles calls (the global-step
     # clock persists for checkpoint/resume), so size for warmup + repeats
     q = n_cycles * 8 * (repeats + 2) if witness else 0
@@ -73,28 +74,40 @@ def bench(batch: int, n_cycles: int, witness: bool, repeats: int = 3) -> dict:
                       stack_abs_words=64, stack_sp_base=960,
                       heap_words=64, aux_heap_words=16, max_depth=8,
                       queue_capacity=q)
+    if engine == "fused":
+        from era_zk_evm_tpu.models.fused_cycle import run_cycles_fused
+
+        tile = 256 if batch % 256 == 0 else 128
+        def step(st):
+            return run_cycles_fused(st, config, n_cycles, tile=tile,
+                                    k_inner=min(128, n_cycles))
+    else:
+        def step(st):
+            return run_cycles(st, config, n_cycles)
     program = assemble_to_code_words(WORKLOAD)
     state = make_entry_state(config, [program] * batch, ergs=(1 << 31) - 1)
 
-    # compile + warmup
+    # compile + warmup (hard sync via a host readback: on the axon
+    # platform jax.block_until_ready can return before execution finishes,
+    # which made per-call timings bogus — measured)
     t0 = time.time()
-    state = run_cycles(state, config, n_cycles)
-    jax.block_until_ready(state)
+    state = step(state)
+    int(np.asarray(state.monotonic_cycle_counter)[0])
     compile_s = time.time() - t0
 
-    best = float("inf")
+    t0 = time.time()
     for _ in range(repeats):
-        t0 = time.time()
-        state = run_cycles(state, config, n_cycles)
-        jax.block_until_ready(state)
-        best = min(best, time.time() - t0)
+        state = step(state)
+    int(np.asarray(state.monotonic_cycle_counter)[0])
+    per_call = (time.time() - t0) / repeats
 
     err = int(np.sum(np.asarray(state.lane_error)))
     done = int(np.sum(np.asarray(state.done)))
-    cycles_per_sec = batch * n_cycles / best
+    cycles_per_sec = batch * n_cycles / per_call
     return {
         "batch": batch, "n_cycles": n_cycles, "witness": witness,
-        "compile_s": round(compile_s, 2), "step_s": best,
+        "engine": engine,
+        "compile_s": round(compile_s, 2), "step_s": per_call,
         "cycles_per_sec": cycles_per_sec,
         "error_lanes": err, "done_lanes": done,
     }
@@ -134,10 +147,10 @@ def bench_storage(batch: int, n_cycles: int,
     program = assemble_to_code_words(STORAGE_WORKLOAD)
     state = make_entry_state(config, [program] * batch, ergs=(1 << 31) - 1)
     state = run_cycles(state, config, n_cycles)
-    jax.block_until_ready(state)
+    int(np.asarray(state.monotonic_cycle_counter)[0])
     t0 = time.time()
     state = run_cycles(state, config, n_cycles)
-    jax.block_until_ready(state)
+    int(np.asarray(state.monotonic_cycle_counter)[0])
     return batch * n_cycles / (time.time() - t0)
 
 
@@ -201,11 +214,13 @@ def bench_farcall(batch: int = 16384, n_calls: int = 12,
         return populate_code_bank(s, config, [[(h, callee_words)]] * batch)
 
     n_cycles = n_calls * 12
-    jax.block_until_ready(run_cycles(fresh(), config, n_cycles))
+    warm = run_cycles(fresh(), config, n_cycles)
+    int(np.asarray(warm.monotonic_cycle_counter)[0])
     state = fresh()
     jax.block_until_ready(state)
     t0 = time.time()
-    jax.block_until_ready(run_cycles(state, config, n_cycles))
+    out = run_cycles(state, config, n_cycles)
+    int(np.asarray(out.monotonic_cycle_counter)[0])
     return batch * n_cycles / (time.time() - t0)
 
 
@@ -219,10 +234,10 @@ def bench_rolling(batch: int, n_cycles: int) -> float:
     program = assemble_to_code_words(WORKLOAD)
     state = make_entry_state(config, [program] * batch, ergs=(1 << 31) - 1)
     state = run_cycles(state, config, n_cycles)
-    jax.block_until_ready(state)
+    int(np.asarray(state.monotonic_cycle_counter)[0])
     t0 = time.time()
     state = run_cycles(state, config, n_cycles)
-    jax.block_until_ready(state)
+    int(np.asarray(state.monotonic_cycle_counter)[0])
     return batch * n_cycles / (time.time() - t0)
 
 
@@ -234,9 +249,9 @@ def bench_keccak(batch: int = 65536, iters: int = 32) -> float:
     st = jnp.ones((batch, 25, 2), jnp.uint32)
     f = jax.jit(lambda s: jax.lax.fori_loop(
         0, iters, lambda i, c: keccak_f1600_array(c), s))
-    jax.block_until_ready(f(st))
+    int(np.asarray(f(st))[0, 0, 0])
     t0 = time.time()
-    jax.block_until_ready(f(st))
+    int(np.asarray(f(st))[0, 0, 0])
     return batch * iters / (time.time() - t0)
 
 
@@ -248,9 +263,9 @@ def bench_sha256(batch: int = 65536, iters: int = 32) -> float:
     f = jax.jit(lambda s: jax.lax.fori_loop(
         0, iters, lambda i, c: sha256_compress_batched(c, block), s))
     st = sha256_iv(batch)
-    jax.block_until_ready(f(st))
+    int(np.asarray(f(st))[0, 0])
     t0 = time.time()
-    jax.block_until_ready(f(st))
+    int(np.asarray(f(st))[0, 0])
     return batch * iters / (time.time() - t0)
 
 
@@ -266,10 +281,13 @@ def main() -> None:
     print(f"keccak-f[1600]: {bench_keccak() / 1e6:.0f}M perms/s", file=sys.stderr)
     print(f"sha256 compress: {bench_sha256() / 1e6:.0f}M rounds/s", file=sys.stderr)
 
+    jnp_traced = bench(batch, n_cycles, witness=True, repeats=1,
+                       engine="jnp")
+    print(f"witness-traced (jnp): {jnp_traced}", file=sys.stderr)
     fast = bench(batch, n_cycles, witness=False)
-    print(f"no-witness: {fast}", file=sys.stderr)
+    print(f"no-witness (fused): {fast}", file=sys.stderr)
     traced = bench(batch, n_cycles, witness=True, repeats=1)
-    print(f"witness-traced: {traced}", file=sys.stderr)
+    print(f"witness-traced (fused): {traced}", file=sys.stderr)
     storage_rate = bench_storage(batch, n_cycles)
     print(f"storage/event workload: {storage_rate:.0f} cycles/s", file=sys.stderr)
     rolling_rate = bench_rolling(batch, n_cycles)
