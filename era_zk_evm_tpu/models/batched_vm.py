@@ -1673,13 +1673,18 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
             for valid, mtype, mpage, midx, mval, mptr, rw, ts in slots:
                 lane_error = lane_error | (valid & active & overflow)
                 valid = valid & active & ~overflow
+                vm = valid.astype(U32)
+                # invalid slots are all-zero rows (incl. the static rw bit):
+                # engines may then skip untouched-arena sweeps (gated-zero
+                # values) while staying bit-identical; stream extraction and
+                # commitments key on the valid bit only
                 meta_block.append(jnp.stack(
-                    [ts, mtype.astype(U32), mpage.astype(U32),
-                     midx.astype(U32)], axis=1))
-                value_block.append(mval)
-                flag_block.append((jnp.uint32(1) if rw else jnp.uint32(0))
-                                  | (mptr.astype(U32) << 1)
-                                  | (valid.astype(U32) << 2))
+                    [ts * vm, mtype.astype(U32) * vm, mpage.astype(U32) * vm,
+                     midx.astype(U32) * vm], axis=1))
+                value_block.append(jnp.where(valid[:, None], mval, 0))
+                flag_block.append(((jnp.uint32(1) if rw else jnp.uint32(0))
+                                   | (mptr.astype(U32) << 1)
+                                   | (vm << 2)) * vm)
                 wq_count = wq_count + valid.astype(I32)
             # batch-last slabs (see state.py on queue layouts)
             meta_b = jnp.stack(meta_block, axis=0)     # [8, B, 4]

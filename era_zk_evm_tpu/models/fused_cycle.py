@@ -469,8 +469,11 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     piota = jax.lax.broadcasted_iota(U32, cb_match.shape, 0)
     code_slot = _usum(jnp.where(cb_match, piota, 0), axis=0)
     code_page_found = jnp.any(cb_match, axis=0)
-    fetched = _gather_arena_l(consts["code"], code_slot * config.code_words
-                              + super_pc)
+    fetched = jax.lax.cond(
+        jnp.any(code_read_needed & ~frozen),
+        lambda: _gather_arena_l(consts["code"],
+                                code_slot * config.code_words + super_pc),
+        lambda: jnp.zeros((8, TB), dtype=U32))
     lane_error = lane_error | (active & code_read_needed
                                & (~code_page_found
                                   | (super_pc >= config.code_words)))
@@ -653,10 +656,21 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
         return cut, []
 
     src0_phys, src0_in_window = _map_stack_index_l(config, src0_loc)
-    stack_val = _gather_arena_l(stack_arena, src0_phys)
-    stack_tag = _gather_l(stack_tag_arena, src0_phys).astype(BOOL)
-    code_val = _gather_arena_l(consts["code"],
-                               code_slot * config.code_words + src0_loc)
+    # tile-occupancy conds around the arena SWEEPS (the one-hot compare+
+    # reduce compute is the per-cycle floor — ~1us per 256-word sweep at
+    # TB=256 — so the whole gather lives inside the cond; gating only the
+    # ref load while sweeping a zeros array saved nothing, measured)
+    stack_val, stack_tag_u = jax.lax.cond(
+        jnp.any(do_src0_mem_read & src0_is_stack_mem),
+        lambda: (_gather_arena_l(stack_arena, src0_phys),
+                 _gather_l(stack_tag_arena, src0_phys)),
+        lambda: (jnp.zeros((8, TB), dtype=U32), jnp.zeros((TB,), dtype=U32)))
+    stack_tag = stack_tag_u.astype(BOOL)
+    code_val = jax.lax.cond(
+        jnp.any(do_src0_mem_read & src0_code),
+        lambda: _gather_arena_l(consts["code"],
+                                code_slot * config.code_words + src0_loc),
+        lambda: jnp.zeros((8, TB), dtype=U32))
     lane_error = lane_error | (active & do_src0_mem_read & src0_is_stack_mem
                                & ~src0_in_window)
     lane_error = lane_error | (active & do_src0_mem_read & src0_code
@@ -921,10 +935,21 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     h_base = uma_slot * config.heap_words
     a_base = uma_slot * config.aux_heap_words
 
-    w0_heap = _gather_arena_l(heap_arena, h_base + word0)
-    w1_heap = _gather_arena_l(heap_arena, h_base + word1)
-    w0_aux = _gather_arena_l(aux_arena, a_base + word0)
-    w1_aux = _gather_arena_l(aux_arena, a_base + word1)
+    need_h = do_mem & use_heap_arena
+    need_a = do_mem & use_aux_arena
+    zg = lambda: jnp.zeros((8, TB), dtype=U32)
+    w0_heap = jax.lax.cond(
+        jnp.any(need_h),
+        lambda: _gather_arena_l(heap_arena, h_base + word0), zg)
+    w1_heap = jax.lax.cond(
+        jnp.any(need_h & is_unaligned),
+        lambda: _gather_arena_l(heap_arena, h_base + word1), zg)
+    w0_aux = jax.lax.cond(
+        jnp.any(need_a),
+        lambda: _gather_arena_l(aux_arena, a_base + word0), zg)
+    w1_aux = jax.lax.cond(
+        jnp.any(need_a & is_unaligned),
+        lambda: _gather_arena_l(aux_arena, a_base + word1), zg)
     w0 = _sel8(do_mem, _sel8(use_heap_arena, w0_heap, w0_aux), z8)
     w1 = _sel8(do_mem & is_unaligned,
                _sel8(use_heap_arena, w1_heap, w1_aux), z8)
@@ -1211,22 +1236,35 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     dst0_to_stack = dst0_write & dst0_is_stack_mem & active
     dst0_phys, dst0_in_window = _map_stack_index_l(config, dst0_loc)
     lane_error = lane_error | (dst0_to_stack & ~dst0_in_window)
-    new_stack = _scatter_arena_l(stack_arena, dst0_phys, dst0_val,
-                                 dst0_to_stack)
-    new_stack_tag = _scatter_l(stack_tag_arena, dst0_phys,
-                               dst0_is_ptr.astype(U32), dst0_to_stack)
-
     w_heap0 = uma_do_write & use_heap_arena & active
     w_heap1 = w_heap0 & is_unaligned
     w_aux0 = uma_do_write & use_aux_arena & active
     w_aux1 = w_aux0 & is_unaligned
-    new_heap = _scatter_arena_l(heap_arena, h_base + word0, new_w0, w_heap0)
-    new_heap = _scatter_arena_l(new_heap, h_base + word1, new_w1, w_heap1)
-    new_aux = _scatter_arena_l(aux_arena, a_base + word0, new_w0, w_aux0)
-    new_aux = _scatter_arena_l(new_aux, a_base + word1, new_w1, w_aux1)
+    # scatter sweeps (the where over the whole arena) live INSIDE the
+    # occupancy conds — see the gather conds above for why
+    if "mem" not in DEBUG_PASSTHROUGH:
+        @pl.when(jnp.any(dst0_to_stack))
+        def _store_stack():
+            mem["stack"][...] = _scatter_arena_l(
+                stack_arena, dst0_phys, dst0_val, dst0_to_stack)
+            mem["stack_tag"][...] = _scatter_l(
+                stack_tag_arena, dst0_phys, dst0_is_ptr.astype(U32),
+                dst0_to_stack)
 
-    cut = _stage_cut(v, 10, new_stack[0, 0] ^ new_heap[0, 0]
-                     ^ new_aux[0, 0] ^ new_stack_tag[0])
+        @pl.when(jnp.any(w_heap0))
+        def _store_heap():
+            nh = _scatter_arena_l(heap_arena, h_base + word0, new_w0,
+                                  w_heap0)
+            nh = _scatter_arena_l(nh, h_base + word1, new_w1, w_heap1)
+            mem["heap"][...] = nh
+
+        @pl.when(jnp.any(w_aux0))
+        def _store_aux():
+            na = _scatter_arena_l(aux_arena, a_base + word0, new_w0, w_aux0)
+            na = _scatter_arena_l(na, a_base + word1, new_w1, w_aux1)
+            mem["aux_heap"][...] = na
+
+    cut = _stage_cut(v, 10, dst0_val[0] ^ new_w0[0] ^ new_w1[0])
     if cut is not None:
         return cut, []
 
@@ -1244,7 +1282,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     t0 = jnp.zeros((TB,), dtype=U32)
     slots_raw = [
         # (valid, type, page, index, value, is_ptr, rw(static), ts)
-        (code_read_needed & ~v["done"], t4, code_page, super_pc, code_word,
+        (code_read_needed & ~frozen, t4, code_page, super_pc, code_word,
          fB, False, ts0),
         (do_src0_mem_read & src0_is_stack_mem, t0, stack_page_arr, src0_loc,
          stack_val, stack_tag, False, ts0),
@@ -1265,8 +1303,11 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
             lane_error = lane_error | (valid & active & ovf)
             valid = valid & active & ~ovf
             wq_count = wq_count + valid.astype(I32)
-            slots.append((valid, mtype, mpage.astype(U32), midx.astype(U32),
-                          mval, mptr, rw, ts))
+            vm = valid.astype(U32)
+            slots.append((valid, mtype * vm, mpage.astype(U32) * vm,
+                          midx.astype(U32) * vm,
+                          jnp.where(valid[None, :], mval, 0),
+                          mptr & valid, rw, ts * vm))
 
     # ---- assemble (batched_vm.py:1817-1884); freeze finished lanes
     fz = frozen
@@ -1298,11 +1339,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     nv["cs_code"] = new_cs_code
     nv["cs_u128"] = new_cs_u128
     nv["cs_scalars"] = new_cs_scalars
-    if "mem" not in DEBUG_PASSTHROUGH:
-        mem["stack"][...] = new_stack
-        mem["stack_tag"][...] = new_stack_tag
-        mem["heap"][...] = new_heap
-        mem["aux_heap"][...] = new_aux
+
     nv["done"] = _bsel(fz, v["done"].astype(BOOL),
                        new_done).astype(U32)
     nv["lane_error"] = lane_error.astype(U32)
@@ -1541,9 +1578,10 @@ def _build_kernel(config: VmConfig, k_cycles: int):
                 row = jnp.stack([ts, mtype, mpage, midx], axis=0)
                 wq_meta_ref[k * SLOTS_PER_CYCLE + s_i] = row
                 wq_value_ref[k * SLOTS_PER_CYCLE + s_i] = mval
+                vmf = valid.astype(U32)
                 wq_flags_ref[k * SLOTS_PER_CYCLE + s_i] = \
-                    (U32(1) if rw else U32(0)) | (mptr.astype(U32) << 1) \
-                    | (valid.astype(U32) << 2)
+                    ((U32(1) if rw else U32(0)) | (mptr.astype(U32) << 1)
+                     | (vmf << 2)) * vmf
             nv["global_step"] = v["global_step"] + 1
             _vals_to_refs(nv, out_refs)
             return 0

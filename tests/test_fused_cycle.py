@@ -24,6 +24,18 @@ from test_batched_vm import (
 N_CYCLES = 48
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_caches():
+    # After a long full-suite run, XLA:CPU segfaults inside a pjit exec in
+    # this module (position-dependent; the module alone always passes).
+    # Dropping the accumulated executables before these tests avoids the
+    # crashy interaction.
+    import jax
+
+    jax.clear_caches()
+    yield
+
+
 def _config(batch, limb_major=False, queue=True):
     return VmConfig(batch=batch, code_words=32, stack_words=256,
                     sweep_gating=False, stack_abs_words=64, stack_sp_base=960,
