@@ -66,14 +66,21 @@ SLOTS_PER_CYCLE = 8  # must match batched_vm.SLOTS_PER_CYCLE
 
 
 def supported(config: VmConfig) -> bool:
-    """Configs this kernel covers (see module docstring)."""
-    return (config.storage_slots == 0
-            and config.precompile_keccak_blocks == 0
+    """Configs this kernel covers (see module docstring).
+
+    The LOG family (storage/journal/events + log-witness queue) and
+    FAR_CALL (decommit bank, callstack, decommit-witness queue) are
+    in-kernel; precompiles and the rolling commitment remain on the jnp
+    path for now.
+    """
+    return (config.precompile_keccak_blocks == 0
+            and config.precompile_sha_rounds == 0
             and not config.precompile_ecrecover
             and not config.rolling_commitment
-            and config.log_queue_capacity == 0
-            and config.decommit_queue_capacity == 0
-            and config.precompile_queue_capacity == 0)
+            and config.precompile_queue_capacity == 0
+            and (config.storage_slots > 0 or
+                 (config.log_queue_capacity == 0
+                  and config.decommit_queue_capacity == 0)))
 
 
 # ===========================================================================
@@ -412,7 +419,7 @@ def _decode_family(raw_variant):
 
 
 def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
-                ovf) -> tuple[dict, list]:
+                ovfs) -> tuple[dict, list, tuple | None, tuple | None]:
     """Advance the tile one cycle; returns (new values, witness slot rows).
 
     `v` maps state-field names to batch-last arrays (see module docstring);
@@ -421,6 +428,8 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     Every section cites the batched_vm.cycle_step line it ports.
     """
     TB = v["done"].shape[0]
+    ovf, ovf_l, ovf_d = ovfs
+    log_enabled = config.storage_slots > 0
     # big arenas live in (aliased) output REFS, not the fori carry: carrying
     # multi-MB vector values across the loop back-edge aborts the Mosaic
     # compile helper (SIGABRT, bisected); in-VMEM ref read/write per cycle
@@ -465,7 +474,8 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     pages_differ = code_page != v["previous_code_page"]
     code_read_needed = (~pending) & (pages_differ
                                      | (super_pc != v["previous_super_pc"]))
-    cb_match = (consts["cb_page"] == code_page[None, :]) & consts["cb_valid"]  # [P,TB]
+    cb_page_tab = mem["cb_page"][...]
+    cb_match = (cb_page_tab == code_page[None, :]) & consts["cb_valid"]  # [P,TB]
     piota = jax.lax.broadcasted_iota(U32, cb_match.shape, 0)
     code_slot = _usum(jnp.where(cb_match, piota, 0), axis=0)
     code_page_found = jnp.any(cb_match, axis=0)
@@ -493,7 +503,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
 
     cut = _stage_cut(v, 1, insn_lo ^ insn_hi)
     if cut is not None:
-        return cut, []
+        return cut, [], None, None
 
     # ---- decode + masking (batched_vm.py:265-396)
     raw_variant = insn_lo & VARIANT_MASK
@@ -513,7 +523,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 11, fam16 ^ sub_raw ^ combo ^ src0_mode_raw
                      ^ dst0_mode_raw ^ imm0 ^ imm1)
     if cut is not None:
-        return cut, []
+        return cut, [], None, None
 
     invalid = fam16 == OP.INVALID
     requires_kernel = ((fam16 == OP.CONTEXT)
@@ -551,7 +561,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
                      ^ requires_kernel.astype(U32)
                      ^ allowed_in_static.astype(U32))
     if cut is not None:
-        return cut, []
+        return cut, [], None, None
 
     not_enough = ergs0 < price
     ergs1 = jnp.where(not_enough, 0, ergs0 - price)
@@ -576,7 +586,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 13, mask_panic.astype(U32)
                      ^ mask_nop.astype(U32) ^ ergs1)
     if cut is not None:
-        return cut, []
+        return cut, [], None, None
 
     zeroed = mask_panic | mask_nop
     src0_reg = jnp.where(zeroed, 0, src0_reg)
@@ -617,7 +627,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 21, opcode ^ sub_variant ^ src0_mode ^ dst0_mode
                      ^ set_flags.astype(U32) ^ price)
     if cut is not None:
-        return cut, []
+        return cut, [], None, None
 
 
     sp0 = scal[CS["sp"]]
@@ -635,7 +645,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 22, src0_reg_val[0] ^ src0_loc ^ sp1
                      ^ src0_reg_tag.astype(U32))
     if cut is not None:
-        return cut, []
+        return cut, [], None, None
 
     dst0_reg_val, _ = read_reg(dst0_reg)
     vaddr1 = ((dst0_reg_val[0] & U16_MASK) + imm1) & U16_MASK
@@ -653,7 +663,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 23, dst0_loc ^ sp2
                      ^ do_src0_mem_read.astype(U32))
     if cut is not None:
-        return cut, []
+        return cut, [], None, None
 
     src0_phys, src0_in_window = _map_stack_index_l(config, src0_loc)
     # tile-occupancy conds around the arena SWEEPS (the one-hot compare+
@@ -679,7 +689,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 24, stack_val[0] ^ code_val[0]
                      ^ stack_tag.astype(U32) ^ lane_error.astype(U32))
     if cut is not None:
-        return cut, []
+        return cut, [], None, None
 
     src0_mem_val = _sel8(src0_code, code_val, stack_val)
     src0_mem_tag = (~src0_code & stack_tag) & do_src0_mem_read
@@ -692,7 +702,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     src0_tag = _bsel(use_reg, src0_reg_tag, ~use_imm & src0_mem_tag)
     cut = _stage_cut(v, 25, src0[0] ^ src0_tag.astype(U32))
     if cut is not None:
-        return cut, []
+        return cut, [], None, None
 
     src1, src1_tag = read_reg(src1_reg)
 
@@ -703,7 +713,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
 
     cut = _stage_cut(v, 26, src0[0] ^ src1[0] ^ src1_tag.astype(U32))
     if cut is not None:
-        return cut, []
+        return cut, [], None, None
 
     new_pc_lin = (pc + 1) & U16_MASK
 
@@ -719,7 +729,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
 
     cut = _stage_cut(v, 2, src0[0] ^ src1[0] ^ dst0_loc ^ sp2)
     if cut is not None:
-        return cut, []
+        return cut, [], None, None
 
     # ---- opcode family predicates (batched_vm.py:476-495)
     is_add = opcode == OP.ADD
@@ -735,8 +745,11 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     is_ret = opcode == OP.RET
     is_uma = opcode == OP.UMA
     is_log = opcode == OP.LOG
-    # no-log subset: LOG and FAR_CALL raise lane_error (jnp path parity)
-    unsupported = (opcode == OP.FAR_CALL) | is_log
+    if log_enabled:
+        # precompiles stay on the jnp path (supported() excludes them)
+        unsupported = is_log & (sub_variant == LogOp.PRECOMPILE_CALL)
+    else:
+        unsupported = (opcode == OP.FAR_CALL) | is_log
     lane_error = lane_error | (active & unsupported)
 
     sum_val, carry = _u256_add(src0, src1)
@@ -776,7 +789,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 3, sum_val[0] ^ diff_val[0] ^ mul_lo[0]
                      ^ div_q[0] ^ shift_val[0] ^ binop_val[0])
     if cut is not None:
-        return cut, []
+        return cut, [], None, None
 
     # ---- context (context.rs; batched_vm.py:534-562)
     ctx_sub = sub_variant
@@ -848,7 +861,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 4, ctx_val[0] ^ ptr_result[0]
                      ^ ptr_panic.astype(U32))
     if cut is not None:
-        return cut, []
+        return cut, [], None, None
 
     # ---- UMA (uma.rs; batched_vm.py:597-728)
     uma_sub = sub_variant
@@ -910,8 +923,10 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     is_unaligned = unalign != 0
 
     # fat-pointer page resolution through the heap page tables
-    hp_match = consts["hp_page"] == u_page_field[None, :]    # [F, TB]
-    ap_match = consts["ap_page"] == u_page_field[None, :]
+    hp_page_tab = mem["hp_page"][...]
+    ap_page_tab = mem["ap_page"][...]
+    hp_match = hp_page_tab == u_page_field[None, :]    # [F, TB]
+    ap_match = ap_page_tab == u_page_field[None, :]
     fiota = jax.lax.broadcasted_iota(U32, hp_match.shape, 0)
     ptr_heap_slot = _usum(jnp.where(hp_match, fiota, 0), axis=0)
     ptr_aux_slot = _usum(jnp.where(ap_match, fiota, 0), axis=0)
@@ -984,11 +999,118 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 5, read_val[0] ^ new_w0[0] ^ new_w1[0]
                      ^ uma_cost ^ uma_slot)
     if cut is not None:
-        return cut, []
+        return cut, [], None, None
 
-    # ---- log family disabled in this subset (batched_vm.py:817-831)
-    ergs_after_log = ergs2
-    new_spent_pubdata = v["spent_pubdata"]
+    # ---- log family (log.rs; port of batched_vm.py:730-831)
+    ts_log = v["timestamp"] + 1
+    shard_this_u8 = scal[CS["shard_ids"]] & 0xFF
+    is_rollup = shard_this_u8 == 0
+    log_sub = sub_variant
+    l_sread = is_log & (log_sub == LogOp.STORAGE_READ)
+    l_swrite = is_log & (log_sub == LogOp.STORAGE_WRITE)
+    l_event = is_log & (log_sub == LogOp.EVENT)
+    l_tol1 = is_log & (log_sub == LogOp.TO_L1_MESSAGE)
+    if log_enabled:
+        S = config.storage_slots
+        J = config.journal_slots
+        E = config.event_slots
+        st_key_arr = mem["st_key"][...]          # [S, 14, TB]
+        st_val_arr = mem["st_val"][...]          # [S, 8, TB]
+        st_used_arr = mem["st_used"][...].astype(BOOL)   # [S, TB]
+        l_precomp = is_log & (log_sub == LogOp.PRECOMPILE_CALL)
+        ergs_on_pubdata = jnp.where(
+            l_swrite & is_rollup,
+            v["ergs_per_pubdata"]
+            * p.INITIAL_STORAGE_WRITE_PUBDATA_BYTES,
+            jnp.where(l_tol1,
+                      v["ergs_per_pubdata"] * p.L1_MESSAGE_PUBDATA_BYTES,
+                      0))
+        log_extra_cost = jnp.where(l_precomp, src1[0], 0)
+        log_total_cost = ergs_on_pubdata + log_extra_cost
+        log_not_enough = log_total_cost > ergs2
+        ergs_after_log = jnp.where(
+            is_log & log_not_enough, 0,
+            ergs2 - jnp.where(is_log, log_total_cost, 0))
+        new_spent_pubdata = v["spent_pubdata"] + jnp.where(
+            active & is_log,
+            jnp.where(log_not_enough, jnp.minimum(ergs2, ergs_on_pubdata),
+                      ergs_on_pubdata),
+            0)
+        log_skipped = log_not_enough
+
+        # storage lookup: compare-all over the per-lane KV slots
+        key14 = jnp.concatenate(
+            [src0, this_addr, shard_this_u8[None, :]], axis=0)  # [14, TB]
+        slot_match = jnp.all(st_key_arr == key14[None, :, :], axis=1) \
+            & st_used_arr                                   # [S, TB]
+        slot_found = jnp.any(slot_match, axis=0)
+        current_val = _usum(jnp.where(slot_match[:, None, :],
+                                      st_val_arr, 0), axis=0)
+
+        do_sread = l_sread & active & ~zeroed
+        do_swrite = l_swrite & active & ~log_skipped
+        do_event = (l_event | l_tol1) & active & ~log_skipped
+        do_precomp = l_precomp & active & ~log_skipped
+
+        st_count = v["st_count"]
+        fresh_needed = do_swrite & ~slot_found
+        fresh_oh = _onehot_l(st_count, S) & fresh_needed[None, :]
+        lane_error = lane_error | (fresh_needed & (st_count >= S))
+        write_oh = (slot_match & do_swrite[None, :]) | fresh_oh
+        new_st_key = jnp.where(fresh_oh[:, None, :], key14[None, :, :],
+                               st_key_arr)
+        new_st_val = jnp.where(write_oh[:, None, :], src1[None, :, :],
+                               st_val_arr)
+        new_st_used = st_used_arr | fresh_oh
+        new_st_count = st_count + fresh_needed.astype(I32)
+        siota = jax.lax.broadcasted_iota(I32, (S, TB), 0)
+        write_slot = jnp.sum(jnp.where(write_oh, siota, 0), axis=0)
+
+        # journal append (slot, previous value) for rollback
+        j_count = v["j_count"]
+        j_oh = _onehot_l(j_count, J) & do_swrite[None, :]
+        lane_error = lane_error | (do_swrite & (j_count >= J))
+        j_slot_arr = mem["j_slot"][...]          # [J, TB] u32-coded i32
+        j_prev_arr = mem["j_prev"][...]          # [J, 8, TB]
+        new_j_slot = jnp.where(j_oh, write_slot.astype(U32)[None, :],
+                               j_slot_arr)
+        new_j_prev = jnp.where(j_oh[:, None, :], current_val[None, :, :],
+                               j_prev_arr)
+        new_j_count = j_count + do_swrite.astype(I32)
+
+        # event journal append
+        ev_count = v["ev_count"]
+        ev_oh = _onehot_l(ev_count, E) & do_event[None, :]
+        lane_error = lane_error | (do_event & (ev_count >= E))
+        aux_byte = jnp.where(l_event, U32(p.EVENT_AUX_BYTE),
+                             U32(p.L1_MESSAGE_AUX_BYTE))
+        ev_meta_row = jnp.stack(
+            [ts_log, aux_byte | (vflag0.astype(U32) << 8)
+             | (v["tx_number"] << 16)], axis=0)             # [2, TB]
+        ev_key_arr = mem["ev_key"][...]
+        ev_val_arr = mem["ev_val"][...]
+        ev_meta_arr = mem["ev_meta"][...]
+        new_ev_key = jnp.where(ev_oh[:, None, :], src0[None, :, :],
+                               ev_key_arr)
+        new_ev_val = jnp.where(ev_oh[:, None, :], src1[None, :, :],
+                               ev_val_arr)
+        new_ev_meta = jnp.where(ev_oh[:, None, :], ev_meta_row[None, :, :],
+                                ev_meta_arr)
+        new_ev_count = ev_count + do_event.astype(I32)
+
+        log_read_result = current_val
+    else:
+        ergs_after_log = ergs2
+        new_spent_pubdata = v["spent_pubdata"]
+        fB2 = jnp.zeros((TB,), dtype=BOOL)
+        do_sread = do_swrite = do_event = do_precomp = l_precomp = fB2
+        log_read_result = jnp.zeros((8, TB), dtype=U32)
+        current_val = log_read_result
+        aux_byte = jnp.zeros((TB,), dtype=U32)
+        new_st_key = new_st_val = new_st_used = None
+        new_j_count = v["j_count"]
+        new_ev_count = v["ev_count"]
+        new_st_count = v["st_count"]
 
     # ---- near call (near_call.rs; batched_vm.py:1072-1076)
     nc_abi = src0[0]
@@ -1057,7 +1179,155 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
 
     cut = _stage_cut(v, 6, returndata_u256[0] ^ ergs3 ^ nc_passed)
     if cut is not None:
-        return cut, []
+        return cut, [], None, None
+
+    # ---- far call (far_call.rs; port of batched_vm.py:1143-1296)
+    is_far_call = (opcode == OP.FAR_CALL) if log_enabled \
+        else jnp.zeros((TB,), dtype=BOOL)
+    if log_enabled:
+        fc_sub = sub_variant
+        fc_delegate = is_far_call & (fc_sub == 1)
+        fc_mimic = is_far_call & (fc_sub == 2)
+
+        fc_addr5 = src1[:5]
+        fc_dst_kernel = _addr_is_kernel_l(fc_addr5)
+        fc_off, fc_page_f = src0[0], src0[1]
+        fc_start, fc_len = src0[2], src0[3]
+        fc_ergs_abi = src0[6]
+        fc_shard_abi = src0[7] & 0xFF
+        fc_mode = (src0[7] >> 8) & 0xFF
+        fc_mode = jnp.where(fc_mode > 2, 0, fc_mode)
+        fc_ctor = (((src0[7] >> 16) & 0xFF) != 0) & is_kernel
+        fc_to_system = (((src0[7] >> 24) & 0xFF) != 0) & fc_dst_kernel
+        fc_static_flag = vflag0
+        fc_shard_flag = vflag1
+
+        fc_code_shard = jnp.where(fc_shard_flag, fc_shard_abi, shard_this_u8)
+        fc_this_shard = jnp.where(fc_delegate, shard_this_u8, fc_code_shard)
+        fc_new_base = v["page_counter"]
+
+        fc_trivial = fc_code_shard != 0
+        fc_do_sread = is_far_call & active & ~fc_trivial
+        zrow = jnp.zeros((4, TB), dtype=U32)
+        deployer5 = jnp.concatenate(
+            [jnp.full((1, TB), p.DEPLOYER_SYSTEM_CONTRACT_ADDRESS,
+                      dtype=U32), zrow], axis=0)
+        fc_key14 = jnp.concatenate(
+            [_addr_to_u256_l(fc_addr5), deployer5,
+             fc_code_shard[None, :]], axis=0)
+        fc_slot_match = jnp.all(new_st_key == fc_key14[None, :, :], axis=1) \
+            & new_st_used
+        fc_hash_storage = _usum(jnp.where(fc_slot_match[:, None, :],
+                                          new_st_val, 0), axis=0)
+        z8f = jnp.zeros((8, TB), dtype=U32)
+        fc_hash_storage = _sel8(fc_trivial, z8f, fc_hash_storage)
+        aa_hash = consts["default_aa_hash"]
+        fc_mask_aa = _u256_is_zero(fc_hash_storage) & ~fc_dst_kernel \
+            & ~fc_trivial
+        fc_hash_raw = _sel8(fc_mask_aa, aa_hash, fc_hash_storage)
+
+        h7 = fc_hash_raw[7]
+        vh_ok = (h7 >> 24) == p.CODE_HASH_VERSION_BYTE
+        vh_marker = (h7 >> 16) & 0xFF
+        vh_len = h7 & 0xFFFF
+        marker_rest = vh_marker == p.CODE_AT_REST_MARKER
+        marker_ctor = vh_marker == p.YET_CONSTRUCTED_MARKER
+        marker_valid = marker_rest | marker_ctor
+        can_plain = ~fc_ctor & marker_rest
+        can_ctor = fc_ctor & marker_ctor
+        callable_direct = vh_ok & marker_valid & (can_plain | can_ctor)
+        degrade_aa = vh_ok & marker_valid & ~(can_plain | can_ctor) \
+            & ~fc_dst_kernel
+        aa7 = aa_hash[7]
+        fcx_bad_hash = ~vh_ok | (vh_ok & ~marker_valid)
+        fcx_ctor_system = vh_ok & marker_valid & ~(can_plain | can_ctor) \
+            & fc_dst_kernel
+        stored_hash = _set_row(fc_hash_raw, 7, h7 & U32(0xFF00FFFF))
+        fc_code_hash = _sel8(callable_direct, stored_hash,
+                             _sel8(degrade_aa, aa_hash, z8f))
+        fc_code_len = jnp.where(callable_direct, vh_len,
+                                jnp.where(degrade_aa, aa7 & 0xFFFF, 0))
+
+        fc_fwd = fc_mode == 1
+        fc_use_aux = fc_mode == 2
+        fcx_not_ptr = fc_fwd & ~src0_tag
+        fc_sl = fc_start + fc_len
+        fcx_deref = fc_sl < fc_start
+        fcx_off = (~fc_fwd) & (fc_off != 0)
+        fcx_slice = fc_off > fc_len
+        fcx_malformed = fcx_deref | fcx_off | fcx_slice
+        fc_exc0 = is_far_call & (fcx_bad_hash | fcx_ctor_system | fcx_not_ptr
+                                 | fcx_malformed)
+        fc_start2 = jnp.where(fc_fwd, fc_start + fc_off, fc_start)
+        fc_len2 = jnp.where(fc_fwd, fc_len - fc_off, fc_len)
+        fc_off2 = jnp.where(fc_fwd, 0, fc_off)
+        fc_page2 = jnp.where(fc_fwd, fc_page_f,
+                             jnp.where(fc_use_aux, aux_page, heap_page))
+        fc_off2 = jnp.where(fc_exc0, 0, fc_off2)
+        fc_page2 = jnp.where(fc_exc0, 0, fc_page2)
+        fc_start2 = jnp.where(fc_exc0, 0, fc_start2)
+        fc_len2 = jnp.where(fc_exc0, 0, fc_len2)
+
+        fc_upper = fc_start2 + fc_len2
+        fc_upper = jnp.where(is_far_call & fcx_deref, U32_MAX, fc_upper)
+        fc_bound = jnp.where(fc_use_aux, aux_bound0, heap_bound0)
+        fc_growth_uf = fc_upper < fc_bound
+        fc_growth = jnp.where(fc_growth_uf | fc_fwd, 0, fc_upper - fc_bound)
+        fc_bound_update = is_far_call & ~fc_fwd & ~fc_growth_uf
+        fc_new_heap_bound = jnp.where(fc_bound_update & ~fc_use_aux,
+                                      fc_upper, heap_bound0)
+        fc_new_aux_bound = jnp.where(fc_bound_update & fc_use_aux,
+                                     fc_upper, aux_bound0)
+        fc_cost_growth = jnp.where(is_far_call, fc_growth, 0) \
+            * p.MEMORY_GROWTH_ERGS_PER_BYTE
+        fc_no_ergs_grow = ergs_after_log < fc_cost_growth
+        fc_exc1 = fc_exc0 | (is_far_call & fc_no_ergs_grow)
+        fc_ergs_a = jnp.where(fc_no_ergs_grow, 0,
+                              ergs_after_log - fc_cost_growth)
+
+        fc_cost_decommit = p.ERGS_PER_CODE_WORD_DECOMMITTMENT * fc_code_len
+        fc_no_ergs_dec = fc_ergs_a < fc_cost_decommit
+        fc_exc = fc_exc1 | (is_far_call & fc_no_ergs_dec)
+        fc_ergs_b = jnp.where(fc_no_ergs_dec, fc_ergs_a,
+                              fc_ergs_a - fc_cost_decommit)
+
+        fc_do_decommit = is_far_call & active & ~fc_exc
+        bank_match = jnp.all(consts["cb_hash"] == fc_code_hash[None, :, :],
+                             axis=1) & consts["cb_valid"]       # [P, TB]
+        bank_found = jnp.any(bank_match, axis=0)
+        lane_error = lane_error | (fc_do_decommit & ~bank_found)
+        bound_page = _usum(jnp.where(bank_match, cb_page_tab, 0), axis=0)
+        fc_fresh = bound_page == 0
+        fc_code_page = jnp.where(fc_fresh, fc_new_base, bound_page)
+        bind_oh = bank_match & (fc_do_decommit & fc_fresh)[None, :]
+        new_cb_page = jnp.where(bind_oh, fc_new_base[None, :], cb_page_tab)
+        fc_ergs_c = jnp.where(fc_do_decommit & ~fc_fresh,
+                              fc_ergs_b + fc_cost_decommit, fc_ergs_b)
+        fc_code_page = jnp.where(fc_exc, U32(p.UNMAPPED_PAGE), fc_code_page)
+
+        fc_max_passable = (fc_ergs_c // 64) * 63
+        fc_leftover = fc_ergs_c - fc_max_passable
+        fc_want = fc_ergs_abi
+        fc_over = fc_want > fc_max_passable
+        fc_passed = jnp.where(fc_over, fc_max_passable, fc_want)
+        fc_left = jnp.where(fc_over, fc_leftover,
+                            fc_leftover + fc_max_passable - fc_want)
+
+        r15_val, _r15t = read_reg(jnp.full((TB,), 15, dtype=U32))
+        mimic_sender5 = r15_val[:5]
+        fc_next_this = _sel8(fc_delegate, this_addr, fc_addr5)
+        fc_next_sender = _sel8(fc_delegate, msg_sender,
+                               _sel8(fc_mimic, mimic_sender5, this_addr))
+        fc_next_u128 = _sel8(fc_delegate, frame_u128, v["context_u128"])
+
+        fc_heap_slot = v["frame_count"]
+        lane_error = lane_error | (is_far_call & active
+                                   & (fc_heap_slot >= config.heap_frames))
+    else:
+        fc_exc = jnp.zeros((TB,), dtype=BOOL)
+        fc_left = jnp.zeros((TB,), dtype=U32)
+        fc_do_sread = jnp.zeros((TB,), dtype=BOOL)
+        fc_do_decommit = fc_do_sread
 
     # ---- flags writeback (batched_vm.py:1298-1341)
     add_eq = _u256_is_zero(sum_val)
@@ -1088,7 +1358,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
 
     writes_flags = set_flags & (is_add | is_sub | is_mul | is_div
                                 | is_shift | is_binop)
-    resets_flags = is_near_call | is_ret          # far call not in subset
+    resets_flags = is_near_call | is_ret | is_far_call
     ret_sets_lt = is_ret & ret_final_panic
 
     flags_lt = _bsel(writes_flags, new_lt,
@@ -1110,10 +1380,15 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     dst0_val = _sel8(ptr_writes, ptr_result, dst0_val)
     dst0_val = _sel8(uma_is_read & is_uma, read_val, dst0_val)
     dst0_val = _sel8(uma_is_write & uma_increment, incremented_src0, dst0_val)
+    dst0_val = _sel8(do_sread, log_read_result, dst0_val)
+    precomp_one = jnp.concatenate(
+        [do_precomp.astype(U32)[None, :], jnp.zeros((7, TB), dtype=U32)],
+        axis=0)
+    dst0_val = _sel8(l_precomp & active, precomp_one, dst0_val)
     dst0_is_ptr = ptr_writes
 
     dst0_write = is_add | is_sub | is_mul | is_div | is_shift | is_binop \
-        | ctx_writes_dst | ptr_writes \
+        | ctx_writes_dst | ptr_writes | do_sread | (l_precomp & active) \
         | (uma_is_read & ~uma_set_panic) \
         | (uma_is_write & uma_increment & ~uma_set_panic)
 
@@ -1127,11 +1402,12 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
 
     # pending-exception accumulation (shorthand panics)
     new_pending = new_pending | (ptr_panic & is_ptr) | uma_set_panic
+    new_pending = new_pending | (is_far_call & fc_exc)
 
     cut = _stage_cut(v, 7, dst0_val[0] ^ dst1_val[0]
                      ^ new_flags[0].astype(U32))
     if cut is not None:
-        return cut, []
+        return cut, [], None, None
 
     # ---- pc + frame machinery (batched_vm.py:1386-1525)
     cur_pc_new = new_pc_lin
@@ -1141,32 +1417,94 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cur_scal = _set_row(cur_scal, CS["pc"], cur_pc_new)
     cur_scal = _set_row(cur_scal, CS["sp"], sp2)
     cur_ergs_final = jnp.where(is_near_call, nc_left,
-                      jnp.where(is_ret, 0, ergs3))
+                      jnp.where(is_far_call, fc_left,
+                      jnp.where(is_ret, 0, ergs3)))
     cur_scal = _set_row(cur_scal, CS["ergs_remaining"], cur_ergs_final)
-    cur_scal = _set_row(cur_scal, CS["heap_bound"], 
-        jnp.where(is_uma, new_heap_bound_u, heap_bound0))
-    cur_scal = _set_row(cur_scal, CS["aux_heap_bound"], 
-        jnp.where(is_uma, new_aux_bound_u, aux_bound0))
+    hb_cur = jnp.where(is_uma, new_heap_bound_u, heap_bound0)
+    ab_cur = jnp.where(is_uma, new_aux_bound_u, aux_bound0)
+    if log_enabled:
+        hb_cur = jnp.where(is_far_call, fc_new_heap_bound, hb_cur)
+        ab_cur = jnp.where(is_far_call, fc_new_aux_bound, ab_cur)
+    cur_scal = _set_row(cur_scal, CS["heap_bound"], hb_cur)
+    cur_scal = _set_row(cur_scal, CS["aux_heap_bound"], ab_cur)
 
     new_cs_scalars = _scatter_l(v["cs_scalars"], depth, cur_scal, active)
 
-    # push (near call only in this subset)
-    push_mask = is_near_call & active
+    # push (near call / far call; batched_vm.py:1412-1467)
+    push_mask = (is_near_call | is_far_call) & active
     pushed = cur_scal
-    pushed = _set_row(pushed, CS["pc"], imm0)
-    pushed = _set_row(pushed, CS["exception_handler"], imm1)
-    pushed = _set_row(pushed, CS["ergs_remaining"], nc_passed)
-    pushed = _set_row(pushed, CS["flags_word"], flags_word | 2)
-    pushed = _set_row(pushed, CS["journal_snapshot"], ztb)
-    pushed = _set_row(pushed, CS["event_snapshot"], ztb)
+    pushed = _set_row(pushed, CS["pc"],
+                      jnp.where(is_far_call, 0, imm0))
+    pushed = _set_row(pushed, CS["exception_handler"],
+                      jnp.where(is_far_call, imm0, imm1))
+    pushed = _set_row(pushed, CS["ergs_remaining"],
+                      jnp.where(is_far_call,
+                                fc_passed if log_enabled else 0, nc_passed))
+    push_flags = flags_word | 2          # near: is_local
+    push_this, push_sender = this_addr, msg_sender
+    push_code_addr, push_u128 = code_addr, frame_u128
+    new_context_u128_p = new_context_u128
+    if log_enabled:
+        push_flags = jnp.where(
+            is_far_call,
+            is_static.astype(U32) | fc_static_flag.astype(U32), push_flags)
+        pushed = _set_row(pushed, CS["base_memory_page"],
+                          jnp.where(is_far_call, fc_new_base, base_page))
+        pushed = _set_row(pushed, CS["code_page"],
+                          jnp.where(is_far_call, fc_code_page, code_page))
+        pushed = _set_row(pushed, CS["sp"],
+                          jnp.where(is_far_call,
+                                    U32(p.INITIAL_SP_ON_FAR_CALL), sp2))
+        pushed = _set_row(pushed, CS["shard_ids"], jnp.where(
+            is_far_call,
+            fc_this_shard | (shard_this_u8 << 8) | (fc_code_shard << 16),
+            scal[CS["shard_ids"]]))
+        pushed = _set_row(pushed, CS["heap_bound"], jnp.where(
+            is_far_call, U32(p.NEW_FRAME_MEMORY_STIPEND),
+            pushed[CS["heap_bound"]]))
+        pushed = _set_row(pushed, CS["aux_heap_bound"], jnp.where(
+            is_far_call, U32(p.NEW_FRAME_MEMORY_STIPEND),
+            pushed[CS["aux_heap_bound"]]))
+        pushed = _set_row(pushed, CS["heap_slot"], jnp.where(
+            is_far_call, fc_heap_slot.astype(U32),
+            pushed[CS["heap_slot"]]))
+        push_this = _sel8(is_far_call, fc_next_this, this_addr)
+        push_sender = _sel8(is_far_call, fc_next_sender, msg_sender)
+        push_code_addr = _sel8(is_far_call, fc_addr5, code_addr)
+        push_u128 = _sel8(is_far_call, fc_next_u128, frame_u128)
+        # context register is consumed by the call (far_call.rs:558)
+        new_context_u128_p = _sel8(is_far_call & active,
+                                   jnp.zeros((4, TB), dtype=U32),
+                                   new_context_u128)
+    new_context_u128 = new_context_u128_p
+    pushed = _set_row(pushed, CS["flags_word"], push_flags)
+    pushed = _set_row(pushed, CS["journal_snapshot"],
+                      new_j_count.astype(U32))
+    pushed = _set_row(pushed, CS["event_snapshot"],
+                      new_ev_count.astype(U32))
     push_idx = jnp.minimum(depth + 1, D - 1)
     lane_error = lane_error | (active & push_mask & (depth + 1 >= D))
     new_cs_scalars = _scatter_l(new_cs_scalars, push_idx, pushed, push_mask)
-    new_cs_this = _scatter_l(v["cs_this"], push_idx, this_addr, push_mask)
-    new_cs_sender = _scatter_l(v["cs_sender"], push_idx, msg_sender,
+    new_cs_this = _scatter_l(v["cs_this"], push_idx, push_this, push_mask)
+    new_cs_sender = _scatter_l(v["cs_sender"], push_idx, push_sender,
                                push_mask)
-    new_cs_code = _scatter_l(v["cs_code"], push_idx, code_addr, push_mask)
-    new_cs_u128 = _scatter_l(v["cs_u128"], push_idx, frame_u128, push_mask)
+    new_cs_code = _scatter_l(v["cs_code"], push_idx, push_code_addr,
+                             push_mask)
+    new_cs_u128 = _scatter_l(v["cs_u128"], push_idx, push_u128, push_mask)
+    # heap-slot allocation + page tables + page counter (far call)
+    new_frame_count = v["frame_count"]
+    new_page_counter = v["page_counter"]
+    if log_enabled:
+        new_frame_count = new_frame_count + (is_far_call
+                                             & active).astype(I32)
+        slot_oh_fc = _onehot_l(fc_heap_slot, config.heap_frames) \
+            & (is_far_call & active)[None, :]
+        new_hp_page = jnp.where(slot_oh_fc, (fc_new_base + 2)[None, :],
+                                hp_page_tab)
+        new_ap_page = jnp.where(slot_oh_fc, (fc_new_base + 3)[None, :],
+                                ap_page_tab)
+        new_page_counter = new_page_counter + jnp.where(
+            is_far_call & active, U32(p.NEW_MEMORY_PAGES_PER_FAR_CALL), 0)
 
     # pop (ret): update the parent frame
     pop_mask = is_ret & active
@@ -1191,13 +1529,45 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     new_cs_scalars = _scatter_l(new_cs_scalars, parent_idx, parent_scal,
                                 pop_mask)
 
+    # storage rollback + event cancel for panicked pops
+    # (storage.rs:156-181 value replay; event_sink.rs:154-175)
+    if log_enabled:
+        j_snap = scal[CS["journal_snapshot"]].astype(I32)
+        ev_snap = scal[CS["event_snapshot"]].astype(I32)
+        panic_pop = pop_mask & ret_panicked
+
+        def do_rollback():
+            def replay_body(i, st_val):
+                # replay journal entries top-down: entry new_j_count-1-i,
+                # active while it is still above the lane's snapshot
+                idx = new_j_count - 1 - i
+                lane_on = panic_pop & (idx >= j_snap) & (idx >= 0)
+                entry_oh = _onehot_l(idx, J) & lane_on[None, :]
+                slot = _usum(jnp.where(entry_oh, new_j_slot, 0), axis=0)
+                prev = _usum(jnp.where(entry_oh[:, None, :], new_j_prev, 0),
+                             axis=0)
+                slot_oh = _onehot_l(slot.astype(I32), S) & lane_on[None, :]
+                return jnp.where(slot_oh[:, None, :], prev[None, :, :],
+                                 st_val)
+
+            return jax.lax.fori_loop(0, J, replay_body, new_st_val)
+
+        new_st_val = jax.lax.cond(
+            jnp.any(panic_pop & (new_j_count > j_snap)), do_rollback,
+            lambda: new_st_val)
+        new_j_count = jnp.where(panic_pop, j_snap, new_j_count)
+        ev_pos = jax.lax.broadcasted_iota(I32, (E, TB), 0)
+        cancel = panic_pop[None, :] & (ev_pos >= ev_snap[None, :]) \
+            & (ev_pos < new_ev_count[None, :])
+        new_ev_cancelled = mem["ev_cancelled"][...] | cancel.astype(U32)
+
     new_depth = depth + push_mask.astype(I32) - pop_mask.astype(I32)
     new_depth = jnp.maximum(new_depth, 0)
     new_done = new_depth == 0
 
     cut = _stage_cut(v, 8, new_cs_scalars[0, 0] ^ new_depth.astype(U32))
     if cut is not None:
-        return cut, []
+        return cut, [], None, None
 
     # ---- register writebacks (batched_vm.py:1527-1553)
     dst0_to_reg = dst0_write & ~dst0_is_stack_mem & (dst0_reg > 0) & active
@@ -1227,10 +1597,33 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     new_context_u128 = _sel8(wipe, jnp.zeros((4, TB), dtype=U32),
                              new_context_u128)
 
+    # far-call register protocol (far_call.rs:571-610): r1 = calldata fat
+    # ptr, r2 = ctor|system markers, r3..r12 kept (tags cleared) only for
+    # system calls, r13..r15 zeroed
+    if log_enabled:
+        calldata_u256 = jnp.stack(
+            [fc_off2, fc_page2, fc_start2, fc_len2,
+             ztb, ztb, ztb, ztb], axis=0)
+        marker_row = fc_ctor.astype(U32) | (fc_to_system.astype(U32) << 1)
+        marker_u256 = jnp.concatenate(
+            [marker_row[None, :], jnp.zeros((7, TB), dtype=U32)], axis=0)
+        pos15 = jax.lax.broadcasted_iota(
+            I32, (p.REGISTERS_COUNT, 1, TB), 0)
+        keep_sys = (pos15 >= 2) & (pos15 <= 11) \
+            & fc_to_system[None, None, :]
+        far_file = jnp.where(keep_sys, new_regs,
+                             jnp.zeros_like(new_regs))
+        far_file = jnp.concatenate(
+            [calldata_u256[None], marker_u256[None], far_file[2:]], axis=0)
+        far_tags = (pos15[:, 0, :] == 0)
+        fc_wipe = is_far_call & active
+        new_regs = jnp.where(fc_wipe[None, None, :], far_file, new_regs)
+        new_reg_ptr = _bsel(fc_wipe[None, :], far_tags, new_reg_ptr)
+
     cut = _stage_cut(v, 9, new_regs[0, 0] ^ new_reg_ptr[0].astype(U32)
                      ^ new_context_u128[0])
     if cut is not None:
-        return cut, []
+        return cut, [], None, None
 
     # ---- memory writebacks (batched_vm.py:1577-1611)
     dst0_to_stack = dst0_write & dst0_is_stack_mem & active
@@ -1266,7 +1659,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
 
     cut = _stage_cut(v, 10, dst0_val[0] ^ new_w0[0] ^ new_w1[0])
     if cut is not None:
-        return cut, []
+        return cut, [], None, None
 
     # ---- witness slot rows (golden emission order; batched_vm.py:1627-1692)
     wq_count = v["wq_count"]
@@ -1309,6 +1702,54 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
                           jnp.where(valid[None, :], mval, 0),
                           mptr & valid, rw, ts * vm))
 
+    # ---- log-witness queue row (1 slot per cycle; batched_vm.py:1747-1793)
+    lrow = None
+    new_lq_count = v["lq_count"]
+    if log_enabled and config.log_queue_capacity > 0:
+        lvalid = (do_sread | do_swrite | do_event | do_precomp
+                  | fc_do_sread) & ~ovf_l
+        lane_error = lane_error | ((do_sread | do_swrite | do_event
+                                    | do_precomp | fc_do_sread) & ovf_l)
+        l_aux = jnp.where(do_precomp, U32(p.PRECOMPILE_AUX_BYTE),
+                jnp.where(do_sread | do_swrite | fc_do_sread,
+                          U32(p.STORAGE_AUX_BYTE), aux_byte))
+        l_rw = (do_swrite | do_event).astype(U32)
+        l_svc = (~fc_do_sread & vflag0).astype(U32)
+        l_shard = jnp.where(fc_do_sread, fc_code_shard, shard_this_u8)
+        packed_meta = l_aux | (l_rw << 8) | (l_svc << 9) | (l_shard << 16)
+        lvu = lvalid.astype(U32)
+        meta_row = jnp.stack(
+            [ts_log * lvu, packed_meta * lvu, v["tx_number"] * lvu, lvu],
+            axis=0)                                       # [4, TB]
+        read_row = _sel8(do_sread | do_swrite, current_val, z8)
+        read_row = _sel8(do_precomp, z8, read_row)
+        written_row = _sel8(do_sread, current_val,
+                            _sel8(do_swrite | do_event, src1, z8))
+        addr_row = _sel8(fc_do_sread, deployer5, this_addr)
+        key_row = _sel8(fc_do_sread, _addr_to_u256_l(fc_addr5), src0)
+        read_row = _sel8(fc_do_sread, fc_hash_storage, read_row)
+        written_row = _sel8(fc_do_sread, fc_hash_storage, written_row)
+        lm = lvalid[None, :]
+        lrow = (meta_row, jnp.where(lm, addr_row[:5], 0),
+                jnp.where(lm, key_row, 0), jnp.where(lm, read_row, 0),
+                jnp.where(lm, written_row, 0))
+        new_lq_count = new_lq_count + lvalid.astype(I32)
+
+    # ---- decommit-witness queue row (batched_vm.py:1795-1815)
+    drow = None
+    new_dq_count = v["dq_count"]
+    if log_enabled and config.decommit_queue_capacity > 0:
+        dvalid = fc_do_decommit & ~ovf_d
+        lane_error = lane_error | (fc_do_decommit & ovf_d)
+        dvu = dvalid.astype(U32)
+        dmeta = jnp.stack(
+            [(v["timestamp"] + 1) * dvu, fc_code_page * dvu,
+             fc_code_len * dvu,
+             (dvu | ((dvalid & fc_fresh).astype(U32) << 1))
+             * dvu], axis=0)                              # [4, TB]
+        drow = (jnp.where(dvalid[None, :], fc_code_hash, 0), dmeta)
+        new_dq_count = new_dq_count + dvalid.astype(I32)
+
     # ---- assemble (batched_vm.py:1817-1884); freeze finished lanes
     fz = frozen
     nv = dict(v)
@@ -1344,7 +1785,38 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
                        new_done).astype(U32)
     nv["lane_error"] = lane_error.astype(U32)
     nv["wq_count"] = wq_count
-    return nv, slots
+    if log_enabled:
+        @pl.when(jnp.any(is_log & active))
+        def _store_log_state():
+            mem["st_key"][...] = new_st_key
+            mem["st_val"][...] = new_st_val
+            mem["st_used"][...] = new_st_used.astype(U32)
+            mem["j_slot"][...] = new_j_slot
+            mem["j_prev"][...] = new_j_prev
+            mem["ev_key"][...] = new_ev_key
+            mem["ev_val"][...] = new_ev_val
+            mem["ev_meta"][...] = new_ev_meta
+
+        @pl.when(jnp.any(pop_mask & ret_panicked))
+        def _store_rollback():
+            mem["st_val"][...] = new_st_val
+            mem["ev_cancelled"][...] = new_ev_cancelled
+
+        @pl.when(jnp.any(is_far_call & active))
+        def _store_fc_state():
+            mem["cb_page"][...] = new_cb_page
+            mem["hp_page"][...] = new_hp_page
+            mem["ap_page"][...] = new_ap_page
+        nv["st_count"] = jnp.where(fz, v["st_count"], new_st_count)
+        nv["j_count"] = jnp.where(fz, v["j_count"], new_j_count)
+        nv["ev_count"] = jnp.where(fz, v["ev_count"], new_ev_count)
+        nv["lq_count"] = jnp.where(fz, v["lq_count"], new_lq_count)
+        nv["dq_count"] = jnp.where(fz, v["dq_count"], new_dq_count)
+        nv["frame_count"] = jnp.where(fz, v["frame_count"],
+                                      new_frame_count)
+        nv["page_counter"] = jnp.where(fz, v["page_counter"],
+                                       new_page_counter)
+    return nv, slots, lrow, drow
 
 
 # ===========================================================================
@@ -1358,16 +1830,25 @@ _SCAL_ROWS = (
     "previous_code_page", "page_counter",
     "depth", "frame_count", "global_step", "wq_count",      # i32, bitcast-safe
     "pending_exception", "done", "lane_error",              # bool
+    "st_count", "j_count", "ev_count", "lq_count", "dq_count",  # i32
 )
-_SCAL_I32 = {"depth", "frame_count", "global_step", "wq_count"}
+_SCAL_I32 = {"depth", "frame_count", "global_step", "wq_count",
+             "st_count", "j_count", "ev_count", "lq_count", "dq_count"}
 _SCAL_BOOL = {"pending_exception", "done", "lane_error"}
 _SROW = {name: i for i, name in enumerate(_SCAL_ROWS)}
 
 # carried (in+out) tensor fields: name -> batch-last shape builder
+#: arrays the kernel mutates in-place via output refs (beyond the carry)
+MEM_FIELDS = ("stack", "stack_tag", "heap", "aux_heap", "hp_page", "ap_page",
+              "cb_page")
+LOG_MEM_FIELDS = ("st_key", "st_val", "st_used", "j_slot", "j_prev",
+                  "ev_key", "ev_val", "ev_meta", "ev_cancelled")
+
+
 def _inout_specs(config: VmConfig):
     D = config.max_depth
-    return [
-        ("scal", (16,)),
+    specs = [
+        ("scal", (24,)),
         ("regs", (params.REGISTERS_COUNT, 8)),
         ("reg_ptr", (params.REGISTERS_COUNT,)),
         ("flags", (3,)),
@@ -1382,16 +1863,30 @@ def _inout_specs(config: VmConfig):
         ("stack_tag", (config.stack_words,)),
         ("heap", (8, config.heap_frames * config.heap_words)),
         ("aux_heap", (8, config.heap_frames * config.aux_heap_words)),
+        # page tables mutate on far call (slot allocation, decommit bind)
+        ("hp_page", (config.heap_frames,)),
+        ("ap_page", (config.heap_frames,)),
+        ("cb_page", (config.code_pages,)),
     ]
+    if config.storage_slots > 0:
+        S, J, E = (config.storage_slots, config.journal_slots,
+                   config.event_slots)
+        specs += [
+            ("st_key", (S, 14)), ("st_val", (S, 8)), ("st_used", (S,)),
+            ("j_slot", (J,)), ("j_prev", (J, 8)),
+            ("ev_key", (E, 8)), ("ev_val", (E, 8)), ("ev_meta", (E, 2)),
+            ("ev_cancelled", (E,)),
+        ]
+    return specs
 
 
 def _const_specs(config: VmConfig):
     return [
         ("code", (8, config.code_pages * config.code_words)),
-        ("hp_page", (config.heap_frames,)),
-        ("ap_page", (config.heap_frames,)),
-        ("cb_page", (config.code_pages,)),
         ("cb_valid", (config.code_pages,)),
+        ("cb_hash", (config.code_pages, 8)),
+        ("cb_len", (config.code_pages,)),
+        ("default_aa_hash", (8,)),
     ]
 
 
@@ -1420,9 +1915,10 @@ def _pack(state: BatchedVmState, config: VmConfig) -> dict:
         x = getattr(state, name)
         return x.astype(U32)
 
+    pad = 24 - len(_SCAL_ROWS)
     bufs = {
         "scal": jnp.stack([scalrow(n) for n in _SCAL_ROWS]
-                          + [jnp.zeros_like(state.timestamp)], axis=0),
+                          + [jnp.zeros_like(state.timestamp)] * pad, axis=0),
         "regs": jnp.transpose(state.regs, (1, 2, 0)),
         "reg_ptr": jnp.transpose(state.reg_ptr.astype(U32), (1, 0)),
         "flags": jnp.transpose(state.flags.astype(U32), (1, 0)),
@@ -1442,7 +1938,23 @@ def _pack(state: BatchedVmState, config: VmConfig) -> dict:
         "ap_page": jnp.transpose(state.ap_page, (1, 0)),
         "cb_page": jnp.transpose(state.cb_page, (1, 0)),
         "cb_valid": jnp.transpose(state.cb_valid.astype(U32), (1, 0)),
+        "cb_hash": jnp.transpose(state.cb_hash, (1, 2, 0)),
+        "cb_len": jnp.transpose(state.cb_len, (1, 0)),
+        "default_aa_hash": jnp.transpose(state.default_aa_hash, (1, 0)),
     }
+    if config.storage_slots > 0:
+        bufs.update(
+            st_key=jnp.transpose(state.st_key, (1, 2, 0)),
+            st_val=jnp.transpose(state.st_val, (1, 2, 0)),
+            st_used=jnp.transpose(state.st_used.astype(U32), (1, 0)),
+            j_slot=jnp.transpose(state.j_slot.astype(U32), (1, 0)),
+            j_prev=jnp.transpose(state.j_prev, (1, 2, 0)),
+            ev_key=jnp.transpose(state.ev_key, (1, 2, 0)),
+            ev_val=jnp.transpose(state.ev_val, (1, 2, 0)),
+            ev_meta=jnp.transpose(state.ev_meta, (1, 2, 0)),
+            ev_cancelled=jnp.transpose(state.ev_cancelled.astype(U32),
+                                       (1, 0)),
+        )
     return bufs
 
 
@@ -1494,6 +2006,24 @@ def _unpack(bufs: dict, state: BatchedVmState,
         pending_exception=row("pending_exception"),
         done=row("done"),
         lane_error=row("lane_error"),
+        hp_page=jnp.transpose(bufs["hp_page"], (1, 0)),
+        ap_page=jnp.transpose(bufs["ap_page"], (1, 0)),
+        cb_page=jnp.transpose(bufs["cb_page"], (1, 0)),
+        st_count=row("st_count"), j_count=row("j_count"),
+        ev_count=row("ev_count"), lq_count=row("lq_count"),
+        dq_count=row("dq_count"),
+        **({} if config.storage_slots == 0 else dict(
+            st_key=jnp.transpose(bufs["st_key"], (2, 0, 1)),
+            st_val=jnp.transpose(bufs["st_val"], (2, 0, 1)),
+            st_used=jnp.transpose(bufs["st_used"], (1, 0)).astype(BOOL),
+            j_slot=jnp.transpose(bufs["j_slot"], (1, 0)).astype(I32),
+            j_prev=jnp.transpose(bufs["j_prev"], (2, 0, 1)),
+            ev_key=jnp.transpose(bufs["ev_key"], (2, 0, 1)),
+            ev_val=jnp.transpose(bufs["ev_val"], (2, 0, 1)),
+            ev_meta=jnp.transpose(bufs["ev_meta"], (2, 0, 1)),
+            ev_cancelled=jnp.transpose(bufs["ev_cancelled"],
+                                       (1, 0)).astype(BOOL),
+        )),
     )
 
 
@@ -1525,7 +2055,7 @@ def _vals_to_refs(v: dict, refs: dict) -> None:
     rows = []
     for name in _SCAL_ROWS:
         rows.append(v[name].astype(U32))
-    rows.append(jnp.zeros_like(rows[0]))
+    rows += [jnp.zeros_like(rows[0])] * (24 - len(_SCAL_ROWS))
     refs["scal"][:] = jnp.stack(rows, axis=0)
     for name in ("regs", "reg_ptr", "flags", "previous_code_word",
                  "context_u128", "cs_scalars", "cs_this", "cs_sender",
@@ -1533,10 +2063,33 @@ def _vals_to_refs(v: dict, refs: dict) -> None:
         refs[name][:] = v[name]
 
 
+def _block_specs(config: VmConfig, k_cycles: int):
+    """(name, shape-prefix) of the per-call queue output blocks."""
+    blocks = []
+    if config.queue_capacity > 0:
+        kq = k_cycles * SLOTS_PER_CYCLE
+        blocks += [("wq_meta_blk", (kq, 4)), ("wq_value_blk", (kq, 8)),
+                   ("wq_flags_blk", (kq,))]
+    if config.storage_slots > 0 and config.log_queue_capacity > 0:
+        blocks += [("lq_meta_blk", (k_cycles, 4)),
+                   ("lq_addr_blk", (k_cycles, 5)),
+                   ("lq_key_blk", (k_cycles, 8)),
+                   ("lq_read_blk", (k_cycles, 8)),
+                   ("lq_written_blk", (k_cycles, 8))]
+    if config.storage_slots > 0 and config.decommit_queue_capacity > 0:
+        blocks += [("dq_hash_blk", (k_cycles, 8)),
+                   ("dq_meta_blk", (k_cycles, 4))]
+    return blocks
+
+
 def _build_kernel(config: VmConfig, k_cycles: int):
     inout = _inout_specs(config)
     const = _const_specs(config)
+    blocks = _block_specs(config, k_cycles)
     with_wq = config.queue_capacity > 0
+    with_lq = config.storage_slots > 0 and config.log_queue_capacity > 0
+    with_dq = config.storage_slots > 0 \
+        and config.decommit_queue_capacity > 0
     cap = max(config.queue_capacity, SLOTS_PER_CYCLE)
 
     def kernel(step0_ref, *refs):
@@ -1545,8 +2098,8 @@ def _build_kernel(config: VmConfig, k_cycles: int):
                                                    refs[:n_in])}
         out_list = refs[n_in:]
         out_refs = {name: r for (name, _), r in zip(inout, out_list)}
-        if with_wq:
-            wq_meta_ref, wq_value_ref, wq_flags_ref = out_list[len(inout):]
+        blk = {name: r for (name, _), r in zip(blocks,
+                                               out_list[len(inout):])}
         step0 = step0_ref[0]
 
         # ALL state lives in the (aliased) output refs; the fori carry is
@@ -1554,34 +2107,48 @@ def _build_kernel(config: VmConfig, k_cycles: int):
         # Mosaic compile helper's resource limits (SIGABRT) once the full
         # dataflow is live — per-iteration VMEM ref load/store bounds the
         # live ranges instead (bisected; arenas alone weren't enough).
-        kconsts = {name: in_refs[name][:]
-                   for name in ("code", "hp_page", "ap_page", "cb_page")}
+        kconsts = {name: in_refs[name][:] for name, _ in const
+                   if name != "cb_valid"}
         kconsts["cb_valid"] = in_refs["cb_valid"][:].astype(BOOL)
-        mem = {name: out_refs[name]
-               for name in ("stack", "stack_tag", "heap", "aux_heap")}
+        mem_names = [n for n in MEM_FIELDS]
+        if config.storage_slots > 0:
+            mem_names += list(LOG_MEM_FIELDS)
+        mem = {name: out_refs[name] for name in mem_names}
         for name, _ in inout:
             out_refs[name][...] = in_refs[name][...]
 
         def body(k, _):
-            if with_wq:
-                ovf = (step0 + k) * SLOTS_PER_CYCLE \
-                    > cap - SLOTS_PER_CYCLE
-            else:
-                ovf = jnp.bool_(False)
+            ovf = (step0 + k) * SLOTS_PER_CYCLE > cap - SLOTS_PER_CYCLE \
+                if with_wq else jnp.bool_(False)
+            ovf_l = (step0 + k) >= config.log_queue_capacity \
+                if with_lq else jnp.bool_(False)
+            ovf_d = (step0 + k) >= config.decommit_queue_capacity \
+                if with_dq else jnp.bool_(False)
             v, _unused = _vals_from_refs(out_refs)
-            nv, slots = _cycle_tile(v, kconsts, mem, config, ovf)
+            nv, slots, lrow, drow = _cycle_tile(v, kconsts, mem, config,
+                                                (ovf, ovf_l, ovf_d))
             for name in DEBUG_PASSTHROUGH:
                 if name in nv:
                     nv[name] = v[name]
             for s_i, (valid, mtype, mpage, midx, mval, mptr, rw, ts) \
                     in enumerate(slots):
                 row = jnp.stack([ts, mtype, mpage, midx], axis=0)
-                wq_meta_ref[k * SLOTS_PER_CYCLE + s_i] = row
-                wq_value_ref[k * SLOTS_PER_CYCLE + s_i] = mval
+                blk["wq_meta_blk"][k * SLOTS_PER_CYCLE + s_i] = row
+                blk["wq_value_blk"][k * SLOTS_PER_CYCLE + s_i] = mval
                 vmf = valid.astype(U32)
-                wq_flags_ref[k * SLOTS_PER_CYCLE + s_i] = \
+                blk["wq_flags_blk"][k * SLOTS_PER_CYCLE + s_i] = \
                     ((U32(1) if rw else U32(0)) | (mptr.astype(U32) << 1)
                      | (vmf << 2)) * vmf
+            if lrow is not None:
+                meta_r, addr_r, key_r, read_r, written_r = lrow
+                blk["lq_meta_blk"][k] = meta_r
+                blk["lq_addr_blk"][k] = addr_r
+                blk["lq_key_blk"][k] = key_r
+                blk["lq_read_blk"][k] = read_r
+                blk["lq_written_blk"][k] = written_r
+            if drow is not None:
+                blk["dq_hash_blk"][k] = drow[0]
+                blk["dq_meta_blk"][k] = drow[1]
             nv["global_step"] = v["global_step"] + 1
             _vals_to_refs(nv, out_refs)
             return 0
@@ -1607,16 +2174,12 @@ def _build_call(config: VmConfig, k_cycles: int, tile: int,
             (lambda i, *_, _nd=nd: (0,) * _nd + (i,)),
             memory_space=pltpu.VMEM)
 
+    blocks = _block_specs(config, k_cycles)
     in_specs = [spec(sh) for _, sh in const] + [spec(sh) for _, sh in inout]
-    out_specs = [spec(sh) for _, sh in inout]
+    out_specs = [spec(sh) for _, sh in inout] \
+        + [spec(sh) for _, sh in blocks]
     out_shapes = [jax.ShapeDtypeStruct(tuple(sh) + (B,), jnp.uint32)
-                  for _, sh in inout]
-    if with_wq:
-        kq = k_cycles * SLOTS_PER_CYCLE
-        for sh in ((kq, 4), (kq, 8), (kq,)):
-            out_specs.append(spec(sh))
-            out_shapes.append(
-                jax.ShapeDtypeStruct(tuple(sh) + (B,), jnp.uint32))
+                  for _, sh in inout + blocks]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1645,8 +2208,9 @@ def _build_call(config: VmConfig, k_cycles: int, tile: int,
         new_bufs = dict(bufs)
         for (name, _), arr in zip(inout, outs[:len(inout)]):
             new_bufs[name] = arr
-        blocks = outs[len(inout):] if with_wq else ()
-        return new_bufs, blocks
+        out_blocks = {name: arr for (name, _), arr
+                      in zip(blocks, outs[len(inout):])}
+        return new_bufs, out_blocks
 
     return run
 
@@ -1669,43 +2233,78 @@ def run_cycles_fused(state: BatchedVmState, config: VmConfig, n_cycles: int,
     assert config.batch % tile == 0, (config.batch, tile)
     if config.queue_capacity:
         assert config.queue_capacity >= min(n_cycles, k_inner) * 8
+    if config.storage_slots > 0 and config.log_queue_capacity:
+        assert config.log_queue_capacity >= min(n_cycles, k_inner)
+    if config.storage_slots > 0 and config.decommit_queue_capacity:
+        assert config.decommit_queue_capacity >= min(n_cycles, k_inner)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     bufs = _pack(state, config)
     wq = (state.wq_meta, state.wq_value, state.wq_flags)
+    lq = (state.lq_meta, state.lq_addr, state.lq_key, state.lq_read,
+          state.lq_written)
+    dq = (state.dq_hash, state.dq_meta)
     cap = max(config.queue_capacity, SLOTS_PER_CYCLE)
+    with_lq = config.storage_slots > 0 and config.log_queue_capacity > 0
+    with_dq = config.storage_slots > 0 \
+        and config.decommit_queue_capacity > 0
 
-    def run_chunk(k_cycles, bufs, wq):
+    def splice_batch_first(arr, block, base):
+        # state queue arrays are [B, CAP, r]; blocks arrive [K, r, B]
+        blk = jnp.transpose(block, (2, 0, 1))
+        return jax.lax.dynamic_update_slice(
+            arr, blk, (0, base) + (0,) * (arr.ndim - 2))
+
+    def run_chunk(k_cycles, bufs, wq, lq, dq):
         call = _build_call(config, k_cycles, tile, interpret)
         step0 = jnp.min(bufs["scal"][_SROW["global_step"]]).astype(I32)
         bufs, blocks = call(step0, bufs)
         if config.queue_capacity:
-            base = jnp.minimum(step0 * 8, cap - k_cycles * 8)
-            base = jnp.maximum(base, 0)
-            wq_meta, wq_value, wq_flags = wq
-            wq_meta = jax.lax.dynamic_update_slice(
-                wq_meta, blocks[0], (base, 0, 0))
-            wq_value = jax.lax.dynamic_update_slice(
-                wq_value, blocks[1], (base, 0, 0))
-            wq_flags = jax.lax.dynamic_update_slice(
-                wq_flags, blocks[2], (base, 0))
-            wq = (wq_meta, wq_value, wq_flags)
-        return bufs, wq
+            base = jnp.maximum(
+                jnp.minimum(step0 * 8, cap - k_cycles * 8), 0)
+            wq = (
+                jax.lax.dynamic_update_slice(
+                    wq[0], blocks["wq_meta_blk"], (base, 0, 0)),
+                jax.lax.dynamic_update_slice(
+                    wq[1], blocks["wq_value_blk"], (base, 0, 0)),
+                jax.lax.dynamic_update_slice(
+                    wq[2], blocks["wq_flags_blk"], (base, 0)),
+            )
+        if with_lq:
+            lbase = jnp.maximum(jnp.minimum(
+                step0, config.log_queue_capacity - k_cycles), 0)
+            lq = tuple(
+                splice_batch_first(arr, blocks[name], lbase)
+                for arr, name in zip(lq, ("lq_meta_blk", "lq_addr_blk",
+                                          "lq_key_blk", "lq_read_blk",
+                                          "lq_written_blk")))
+        if with_dq:
+            dbase = jnp.maximum(jnp.minimum(
+                step0, config.decommit_queue_capacity - k_cycles), 0)
+            dq = (splice_batch_first(dq[0], blocks["dq_hash_blk"], dbase),
+                  splice_batch_first(dq[1], blocks["dq_meta_blk"], dbase))
+        return bufs, wq, lq, dq
 
     n_full = n_cycles // k_inner
     rem = n_cycles % k_inner
     if n_full == 1 and rem == 0:
-        bufs, wq = run_chunk(k_inner, bufs, wq)
+        bufs, wq, lq, dq = run_chunk(k_inner, bufs, wq, lq, dq)
     elif n_full > 0:
         def chunk_body(_, carry):
             return run_chunk(k_inner, *carry)
 
-        bufs, wq = jax.lax.fori_loop(0, n_full, chunk_body, (bufs, wq))
+        bufs, wq, lq, dq = jax.lax.fori_loop(
+            0, n_full, chunk_body, (bufs, wq, lq, dq))
     if rem:
-        bufs, wq = run_chunk(rem, bufs, wq)
+        bufs, wq, lq, dq = run_chunk(rem, bufs, wq, lq, dq)
 
     state = _unpack(bufs, state, config)
     if config.queue_capacity:
         state.wq_meta, state.wq_value, state.wq_flags = wq
+    if with_lq:
+        (state.lq_meta, state.lq_addr, state.lq_key, state.lq_read,
+         state.lq_written) = lq
+    if with_dq:
+        state.dq_hash, state.dq_meta = dq
     return state

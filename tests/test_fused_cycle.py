@@ -181,3 +181,140 @@ class TestFusedFuzz:
             lines.append("ret r0")
             programs.append("\n".join(lines))
         fused_diff(programs, n_cycles=40)
+
+
+# ===========================================================================
+# LOG family + FAR_CALL coverage (fused vs jnp, full state equality)
+# ===========================================================================
+
+def _log_config(batch, n_cycles=N_CYCLES):
+    return VmConfig(batch=batch, code_words=32, stack_words=256,
+                    sweep_gating=False, stack_abs_words=64, stack_sp_base=960,
+                    heap_words=64, aux_heap_words=16, max_depth=8,
+                    queue_capacity=n_cycles * 8 * 2,
+                    storage_slots=8, journal_slots=16, event_slots=16,
+                    log_queue_capacity=n_cycles * 2, heap_frames=4,
+                    code_pages=4, decommit_queue_capacity=n_cycles * 2)
+
+
+def fused_diff_log(programs, contracts=None, n_cycles=N_CYCLES, tile=4,
+                   k_inner=16, ergs=1 << 20):
+    from era_zk_evm_tpu.isa import params
+    from era_zk_evm_tpu.isa.abi import code_hash_for_bytecode
+    from era_zk_evm_tpu.models.state import (
+        populate_code_bank, populate_storage,
+    )
+
+    B = len(programs)
+    while B % tile:
+        tile -= 1
+    config = _log_config(B, n_cycles)
+    assert supported(config)
+    words = [assemble_to_code_words(src) for src in programs]
+    entries, bank = [], []
+    for address, c_src in contracts or []:
+        c_words = assemble_to_code_words(c_src)
+        h = code_hash_for_bytecode(c_words)
+        entries.append((0, params.DEPLOYER_SYSTEM_CONTRACT_ADDRESS,
+                        address, h))
+        bank.append((h, c_words))
+
+    def fresh():
+        s = make_entry_state(config, words, ergs=ergs)
+        if entries:
+            s = populate_storage(s, config, [entries] * B)
+        if bank:
+            s = populate_code_bank(s, config, [list(bank)] * B)
+        return s
+
+    ref = run_cycles(fresh(), config, n_cycles)
+    fus = run_cycles_fused(fresh(), config, n_cycles, tile=tile,
+                           k_inner=k_inner)
+    bad = []
+    for f in dataclasses.fields(ref):
+        a = np.asarray(getattr(ref, f.name))
+        b = np.asarray(getattr(fus, f.name))
+        if a.shape != b.shape or not (a == b).all():
+            bad.append(f.name)
+    assert not bad, f"fused/jnp mismatch in fields: {bad}"
+    return fus
+
+
+class TestFusedLogFamily:
+    def test_storage_events(self):
+        from test_batched_vm import LOG_PROGRAMS
+
+        fused_diff_log(LOG_PROGRAMS)
+
+    def test_rollback_on_panic(self):
+        fused_diff_log([
+            """
+            add 9, r0, r1
+            add 11, r0, r2
+            log.swrite r1, r2
+            add 3000, r0, r9
+            near_call r9, @w, @h
+            done:
+            log.sread r1, r5
+            ret r0
+            w:
+            add 55, r0, r3
+            log.swrite r1, r3
+            log.event r1, r3
+            panic
+            h:
+            jump @done
+            """,
+        ])
+
+    def test_pubdata_out_of_ergs(self):
+        # storage write with too few ergs for pubdata: soft failure
+        fused_diff_log([
+            """
+            add 120, r0, r1
+            ctx.set_pubdata r1
+            add 1, r0, r2
+            add 190, r0, r9
+            near_call r9, @w, @h
+            done:
+            ret r0
+            w:
+            log.swrite r2, r2
+            ret r0
+            h:
+            add 7, r0, r7
+            jump @done
+            """,
+        ])
+
+
+class TestFusedFarCall:
+    def test_far_calls(self):
+        from test_batched_far_call import CONTRACTS, FAR_PROGRAMS
+
+        fused_diff_log(FAR_PROGRAMS, contracts=CONTRACTS, n_cycles=128,
+                       k_inner=32)
+
+    def test_delegate_and_mimic(self):
+        from test_batched_far_call import DELEGATE_CONTRACTS, DELEGATE_PROGRAMS
+
+        fused_diff_log(DELEGATE_PROGRAMS, contracts=DELEGATE_CONTRACTS,
+                       n_cycles=128, k_inner=32)
+
+    def test_far_call_bad_hash_panics_to_handler(self):
+        # empty code-hash slot + zero default AA: versioned-hash validation
+        # fails -> pending panic -> exception handler (no lane_error)
+        fus = fused_diff_log([
+            """
+            add code[@abi], r0, r4
+            add 77, r0, r2
+            far_call r4, r2, @h
+            ret r0
+            h:
+            add 5, r0, r5
+            ret r0
+            abi: .word 0
+            """,
+        ])
+        assert not np.asarray(fus.lane_error).any()
+        assert np.asarray(fus.done).all()
