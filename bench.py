@@ -243,19 +243,28 @@ def bench_farcall(batch: int = 16384, n_calls: int = 12,
     return batch * n_cycles / (time.time() - t0)
 
 
-def bench_rolling(batch: int, n_cycles: int) -> float:
+def bench_rolling(batch: int, n_cycles: int, engine: str = "fused") -> float:
     """Witness-committed mode: rolling sponge per query, no queue arrays."""
     config = VmConfig(batch=batch, code_words=16, stack_words=256,
                       sweep_gating=False,
                       stack_abs_words=64, stack_sp_base=960,
                       heap_words=64, aux_heap_words=16, max_depth=8,
                       queue_capacity=0, rolling_commitment=True)
+    if engine == "fused":
+        from era_zk_evm_tpu.models.fused_cycle import run_cycles_fused
+
+        def step(st):
+            return run_cycles_fused(st, config, n_cycles, tile=256,
+                                    k_inner=min(128, n_cycles))
+    else:
+        def step(st):
+            return run_cycles(st, config, n_cycles)
     program = assemble_to_code_words(WORKLOAD)
     state = make_entry_state(config, [program] * batch, ergs=(1 << 31) - 1)
-    state = run_cycles(state, config, n_cycles)
+    state = step(state)
     int(np.asarray(state.monotonic_cycle_counter)[0])
     t0 = time.time()
-    state = run_cycles(state, config, n_cycles)
+    state = step(state)
     int(np.asarray(state.monotonic_cycle_counter)[0])
     return batch * n_cycles / (time.time() - t0)
 
@@ -326,8 +335,8 @@ def main() -> None:
 
     _workload("storage/event workload",
               lambda e: bench_storage(batch, n_cycles, engine=e))
-    rolling_rate = bench_rolling(batch, n_cycles)
-    print(f"rolling-commitment mode: {rolling_rate:.0f} cycles/s", file=sys.stderr)
+    _workload("rolling-commitment mode",
+              lambda e: bench_rolling(batch, n_cycles, engine=e))
     _workload("far-call/decommit workload",
               lambda e: bench_farcall(engine=e))
 

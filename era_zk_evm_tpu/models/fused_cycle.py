@@ -73,11 +73,12 @@ def supported(config: VmConfig) -> bool:
     in-kernel; precompiles and the rolling commitment remain on the jnp
     path for now.
     """
-    return (config.precompile_keccak_blocks == 0
-            and config.precompile_sha_rounds == 0
-            and not config.precompile_ecrecover
-            and not config.rolling_commitment
+    pp_on = config.precompile_keccak_blocks > 0 \
+        or config.precompile_sha_rounds > 0
+    return (not config.precompile_ecrecover
             and config.precompile_queue_capacity == 0
+            and not (config.rolling_commitment and config.queue_capacity)
+            and (not pp_on or config.storage_slots > 0)
             and (config.storage_slots > 0 or
                  (config.log_queue_capacity == 0
                   and config.decommit_queue_capacity == 0)))
@@ -253,6 +254,72 @@ def _u256_div_mod(a, b):
     q = _sel8(b_zero, jnp.zeros_like(q), q)
     r = _sel8(b_zero, jnp.zeros_like(r), r)
     return q, r
+
+
+
+_SHA256_IV = None
+_SHA256_K = None
+
+
+
+def _keccak_f1600_kernel(lo: list, hi: list) -> tuple[list, list]:
+    """keccak-f[1600] under lax.fori_loop with round constants selected by
+    scalar where-chains — Pallas kernels reject array-valued constants
+    (rc tables would be closure captures) and the fully unrolled form blows
+    the XLA:CPU interpret-mode compile."""
+    from ..golden.precompiles import KECCAK_RC
+    from ..ops.keccak import _round
+
+    def body(i, carry):
+        lo, hi = list(carry[0]), list(carry[1])
+        rc_lo = U32(0)
+        rc_hi = U32(0)
+        for r in range(24):
+            rc_lo = jnp.where(i == r, U32(KECCAK_RC[r] & 0xFFFFFFFF), rc_lo)
+            rc_hi = jnp.where(i == r, U32(KECCAK_RC[r] >> 32), rc_hi)
+        lo, hi = _round(lo, hi, rc_lo, rc_hi)
+        return (tuple(lo), tuple(hi))
+
+    lo_t, hi_t = jax.lax.fori_loop(0, 24, body, (tuple(lo), tuple(hi)))
+    return list(lo_t), list(hi_t)
+
+def _sha256_compress_ll(st8: list, block16: list) -> list:
+    """SHA-256 compression over lists of u32[TB] vectors, as a fori over 4
+    blocks of 16 statically-indexed rounds: Pallas kernels reject the K-table
+    as a captured array constant and the fully unrolled 64-round chain blows
+    the XLA:CPU interpret-mode compile; round constants come from scalar
+    where-chains over the (static) block index."""
+    from ..golden.precompiles import SHA256_K
+
+    def rotr(x, n):
+        return (x >> n) | (x << (32 - n))
+
+    def body(j, carry):
+        a, b, c, d, e, f, g, h = carry[:8]
+        w = list(carry[8:])
+        for t in range(16):
+            # message schedule for rounds >= 16 (block j >= 1)
+            s0 = rotr(w[(t + 1) % 16], 7) ^ rotr(w[(t + 1) % 16], 18) \
+                ^ (w[(t + 1) % 16] >> 3)
+            s1 = rotr(w[(t + 14) % 16], 17) ^ rotr(w[(t + 14) % 16], 19) \
+                ^ (w[(t + 14) % 16] >> 10)
+            scheduled = w[t] + s0 + w[(t + 9) % 16] + s1
+            wi = jnp.where(j == 0, w[t], scheduled)
+            w[t] = wi
+            kc = U32(0)
+            for j_ in range(4):
+                kc = jnp.where(j == j_, U32(SHA256_K[16 * j_ + t]), kc)
+            s1r = rotr(e, 6) ^ rotr(e, 11) ^ rotr(e, 25)
+            ch = (e & f) ^ (~e & g)
+            t1 = h + s1r + ch + kc + wi
+            s0r = rotr(a, 2) ^ rotr(a, 13) ^ rotr(a, 22)
+            maj = (a & b) ^ (a & c) ^ (b & c)
+            t2 = s0r + maj
+            a, b, c, d, e, f, g, h = t1 + t2, a, b, c, d + t1, e, f, g
+        return (a, b, c, d, e, f, g, h, *w)
+
+    out = jax.lax.fori_loop(0, 4, body, (*st8, *block16))
+    return [st8[i] + out[i] for i in range(8)]
 
 
 # ===========================================================================
@@ -745,9 +812,12 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     is_ret = opcode == OP.RET
     is_uma = opcode == OP.UMA
     is_log = opcode == OP.LOG
+    pp_enabled = log_enabled and config.precompile_keccak_blocks > 0
     if log_enabled:
-        # precompiles stay on the jnp path (supported() excludes them)
-        unsupported = is_log & (sub_variant == LogOp.PRECOMPILE_CALL)
+        if pp_enabled:
+            unsupported = jnp.zeros((TB,), dtype=BOOL)
+        else:
+            unsupported = is_log & (sub_variant == LogOp.PRECOMPILE_CALL)
     else:
         unsupported = (opcode == OP.FAR_CALL) | is_log
     lane_error = lane_error | (active & unsupported)
@@ -1111,6 +1181,136 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
         new_j_count = v["j_count"]
         new_ev_count = v["ev_count"]
         new_st_count = v["st_count"]
+
+    # ---- precompile unit (keccak256 / sha256 in-cycle; port of
+    # batched_vm.py:833-990 minus ecrecover and the pq round-witness queue,
+    # which stay on the jnp path — see supported())
+    pp_key = src0
+    pp_write_h = jnp.zeros((TB,), dtype=BOOL)
+    pp_write_a = jnp.zeros((TB,), dtype=BOOL)
+    pp_out_val = jnp.zeros((8, TB), dtype=U32)
+    pp_out_idx = jnp.zeros((TB,), dtype=U32)
+    if pp_enabled:
+        MK = config.precompile_keccak_blocks
+        MS = max(config.precompile_sha_rounds, 1)
+        HW = config.heap_words
+        AW = config.aux_heap_words
+        pp_in_off = src0[0]
+        pp_in_len = src0[1]
+        pp_out_off = src0[2]
+        pp_page_r = jnp.where(src0[4] == 0, heap_page, src0[4])
+        pp_page_w = jnp.where(src0[5] == 0, heap_page, src0[5])
+        pp_rounds = src0[6]
+        addr16 = this_addr[0] & 0xFFFF
+        is_keccak_pc = do_precomp & (
+            addr16 == p.KECCAK256_ROUND_FUNCTION_PRECOMPILE_ADDRESS)
+        is_sha_pc = do_precomp & (
+            addr16 == p.SHA256_ROUND_FUNCTION_PRECOMPILE_ADDRESS)
+        pp_any = is_keccak_pc | is_sha_pc
+
+        def page_slot(page):
+            hm = hp_page_tab == page[None, :]
+            am = ap_page_tab == page[None, :]
+            on_h = jnp.any(hm, axis=0)
+            on_a = ~on_h & jnp.any(am, axis=0)
+            fi = jax.lax.broadcasted_iota(U32, hm.shape, 0)
+            slot = jnp.where(on_h, _usum(jnp.where(hm, fi, 0), axis=0),
+                             _usum(jnp.where(am, fi, 0), axis=0))
+            return on_h, on_a, slot
+
+        r_on_h, r_on_a, r_slot = page_slot(pp_page_r)
+        w_on_h, w_on_a, pp_w_slot = page_slot(pp_page_w)
+        lane_error = lane_error | (pp_any & ~(r_on_h | r_on_a)) \
+            | (pp_any & ~(w_on_h | w_on_a))
+
+        def read_in_word(idx):
+            hv = _gather_arena_l(heap_arena, r_slot * HW + idx)
+            av = _gather_arena_l(aux_arena, r_slot * AW + idx)
+            return _sel8(r_on_h, hv, av)
+
+        # ---- keccak256: byte-stream sponge with XOR-padding ----
+        kc_blocks = pp_in_len // 136 + 1
+        kc_last = kc_blocks * 136 - 1
+        lane_error = lane_error | (is_keccak_pc & (kc_blocks > MK))
+
+        def keccak_unit():
+            _perm = lambda lo, hi, unroll: _keccak_f1600_kernel(lo, hi)
+
+            lo = [ztb for _ in range(25)]
+            hi = [ztb for _ in range(25)]
+            for k in range(MK):
+                blk_on = is_keccak_pc & (k < kc_blocks)
+                base_byte = pp_in_off + k * 136
+                base_word = base_byte >> 5
+                window = [read_in_word(base_word + w) for w in range(6)]
+                wb = []
+                for w in range(6):
+                    for j in range(32):  # BE byte j of the 32-byte word
+                        limb = window[w][7 - j // 4]
+                        wb.append((limb >> (8 * (3 - j % 4))) & 0xFF)
+                wbv = jnp.stack(wb, axis=0)                # u32[192, TB]
+                sh = base_byte & 31
+                aligned = jnp.zeros((136, TB), dtype=U32)
+                for s_ in range(32):
+                    aligned = aligned + (sh == s_).astype(U32)[None, :] \
+                        * wbv[s_:s_ + 136]
+                g = jax.lax.broadcasted_iota(U32, (136, TB), 0) + k * 136
+                data = jnp.where(g < pp_in_len[None, :], aligned, 0)
+                blk = data ^ jnp.where(g == pp_in_len[None, :], 0x01, 0) \
+                    ^ jnp.where(g == kc_last[None, :], 0x80, 0)
+                for l_ in range(17):
+                    lane_lo = sum((blk[8 * l_ + t] << (8 * t))
+                                  for t in range(4))
+                    lane_hi = sum((blk[8 * l_ + t] << (8 * (t - 4)))
+                                  for t in range(4, 8))
+                    lo[l_] = lo[l_] ^ jnp.where(blk_on, lane_lo, 0)
+                    hi[l_] = hi[l_] ^ jnp.where(blk_on, lane_hi, 0)
+                # fori form, matching the jnp unit: the unrolled 24-round
+                # chain makes the XLA:CPU interpret-mode compile explode
+                plo, phi = _perm(lo, hi, unroll=False)
+                lo = [jnp.where(blk_on, plo[i], lo[i]) for i in range(25)]
+                hi = [jnp.where(blk_on, phi[i], hi[i]) for i in range(25)]
+            dbytes = []
+            for i in range(32):
+                lane_v = lo[i // 8] if (i % 8) < 4 else hi[i // 8]
+                dbytes.append((lane_v >> (8 * ((i % 8) % 4))) & 0xFF)
+            limbs = []
+            for j in range(8):
+                limbs.append((dbytes[28 - 4 * j] << 24)
+                             | (dbytes[29 - 4 * j] << 16)
+                             | (dbytes[30 - 4 * j] << 8)
+                             | dbytes[31 - 4 * j])
+            return jnp.stack(limbs, axis=0)
+
+        keccak_out = jax.lax.cond(jnp.any(is_keccak_pc), keccak_unit,
+                                  lambda: z8)
+
+        # ---- sha256 rounds ----
+        lane_error = lane_error | (is_sha_pc & (pp_rounds > MS))
+
+        def sha_unit():
+            from ..golden.precompiles import SHA256_IV
+
+            st8 = [jnp.full((TB,), iv, dtype=U32) for iv in SHA256_IV]
+            for k in range(MS):
+                r_on = is_sha_pc & (k < pp_rounds)
+                w0 = read_in_word(pp_in_off + 2 * k)
+                w1 = read_in_word(pp_in_off + 2 * k + 1)
+                block16 = [w0[7 - i] for i in range(8)] \
+                    + [w1[7 - i] for i in range(8)]    # BE u32 words
+                ns = _sha256_compress_ll(st8, block16)
+                st8 = [jnp.where(r_on, ns[i], st8[i]) for i in range(8)]
+            return jnp.stack(st8[::-1], axis=0)  # one BE u256 word
+
+        sha_out = jax.lax.cond(jnp.any(is_sha_pc), sha_unit, lambda: z8)
+
+        pp_out_val = _sel8(is_keccak_pc, keccak_out, sha_out)
+        pp_out_idx = pp_out_off
+        hw_ok = pp_out_off < jnp.where(w_on_h, U32(HW), U32(AW))
+        lane_error = lane_error | (pp_any & ~hw_ok)
+        pp_write_h = pp_any & w_on_h & hw_ok & active
+        pp_write_a = pp_any & w_on_a & hw_ok & active
+        pp_key = _set_row(_set_row(src0, 4, pp_page_r), 5, pp_page_w)
 
     # ---- near call (near_call.rs; batched_vm.py:1072-1076)
     nc_abi = src0[0]
@@ -1644,17 +1844,25 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
                 stack_tag_arena, dst0_phys, dst0_is_ptr.astype(U32),
                 dst0_to_stack)
 
-        @pl.when(jnp.any(w_heap0))
+        @pl.when(jnp.any(w_heap0 | pp_write_h))
         def _store_heap():
             nh = _scatter_arena_l(heap_arena, h_base + word0, new_w0,
                                   w_heap0)
             nh = _scatter_arena_l(nh, h_base + word1, new_w1, w_heap1)
+            if pp_enabled:
+                nh = _scatter_arena_l(
+                    nh, pp_w_slot * config.heap_words + pp_out_idx,
+                    pp_out_val, pp_write_h)
             mem["heap"][...] = nh
 
-        @pl.when(jnp.any(w_aux0))
+        @pl.when(jnp.any(w_aux0 | pp_write_a))
         def _store_aux():
             na = _scatter_arena_l(aux_arena, a_base + word0, new_w0, w_aux0)
             na = _scatter_arena_l(na, a_base + word1, new_w1, w_aux1)
+            if pp_enabled:
+                na = _scatter_arena_l(
+                    na, pp_w_slot * config.aux_heap_words + pp_out_idx,
+                    pp_out_val, pp_write_a)
             mem["aux_heap"][...] = na
 
     cut = _stage_cut(v, 10, dst0_val[0] ^ new_w0[0] ^ new_w1[0])
@@ -1691,16 +1899,72 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
          fB, True, ts3),
     ]
     slots = []
-    if config.queue_capacity > 0:
+    if config.queue_capacity > 0 or config.rolling_commitment:
         for valid, mtype, mpage, midx, mval, mptr, rw, ts in slots_raw:
             lane_error = lane_error | (valid & active & ovf)
             valid = valid & active & ~ovf
-            wq_count = wq_count + valid.astype(I32)
+            if config.queue_capacity > 0:
+                wq_count = wq_count + valid.astype(I32)
             vm = valid.astype(U32)
             slots.append((valid, mtype * vm, mpage.astype(U32) * vm,
                           midx.astype(U32) * vm,
                           jnp.where(valid[None, :], mval, 0),
                           mptr & valid, rw, ts * vm))
+
+    # ---- rolling memory-queue commitment (port of batched_vm.py:1694-1745:
+    # one keccak-f absorb per valid query record, per-slot occupancy-gated)
+    if config.rolling_commitment:
+        wc_arr = mem["wc_state"][...]          # u32[25, 2, TB]
+        wlo = [wc_arr[k_, 0] for k_ in range(25)]
+        whi = [wc_arr[k_, 1] for k_ in range(25)]
+        wc_count = v["wc_count"]
+
+        def _bswap(x):
+            x = x.astype(U32)
+            return ((x & 0xFF) << 24) | ((x & 0xFF00) << 8) \
+                | ((x >> 8) & 0xFF00) | (x >> 24)
+
+        for valid, mtype, mpage, midx, mval, mptr, rw, ts in slots:
+            fl = (U32(1) if rw else U32(0)) | (mptr.astype(U32) << 1)
+            rec_lo = [None] * 8
+            rec_hi = [None] * 8
+            rec_lo[0] = _bswap(ts)
+            rec_hi[0] = (mtype & 0xFF) | (((mpage >> 24) & 0xFF) << 8) \
+                | (((mpage >> 16) & 0xFF) << 16) \
+                | (((mpage >> 8) & 0xFF) << 24)
+            rec_lo[1] = (mpage & 0xFF) | (((midx >> 24) & 0xFF) << 8) \
+                | (((midx >> 16) & 0xFF) << 16) | (((midx >> 8) & 0xFF) << 24)
+            rec_hi[1] = (midx & 0xFF) | (fl << 8)
+            rec_lo[2] = rec_hi[2] = rec_lo[3] = rec_hi[3] = ztb
+            for k_ in range(4):
+                rec_lo[4 + k_] = _bswap(mval[7 - 2 * k_])
+                rec_hi[4 + k_] = _bswap(mval[6 - 2 * k_])
+            ab_lo = [jnp.where(valid, wlo[i] ^ rec_lo[i], wlo[i])
+                     if i < 8 else wlo[i] for i in range(25)]
+            ab_hi = [jnp.where(valid, whi[i] ^ rec_hi[i], whi[i])
+                     if i < 8 else whi[i] for i in range(25)]
+
+            def absorb(_lo=tuple(ab_lo), _hi=tuple(ab_hi)):
+                plo, phi = _keccak_f1600_kernel(list(_lo), list(_hi))
+                return tuple(plo), tuple(phi)
+
+            plo, phi = jax.lax.cond(
+                jnp.any(valid), absorb,
+                lambda _lo=tuple(ab_lo), _hi=tuple(ab_hi): (_lo, _hi))
+            wlo = [jnp.where(valid, plo[i], wlo[i]) for i in range(25)]
+            whi = [jnp.where(valid, phi[i], whi[i]) for i in range(25)]
+            wc_count = wc_count + valid.astype(U32)
+
+        any_absorb = jnp.any(slots[0][0])
+        for sl in slots[1:]:
+            any_absorb = any_absorb | jnp.any(sl[0])
+
+        @pl.when(any_absorb)
+        def _store_wc():
+            rows = [jnp.stack([wlo[k_], whi[k_]], axis=0)
+                    for k_ in range(25)]
+            mem["wc_state"][...] = jnp.stack(rows, axis=0)
+        nv_wc_count = wc_count
 
     # ---- log-witness queue row (1 slot per cycle; batched_vm.py:1747-1793)
     lrow = None
@@ -1726,7 +1990,8 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
         written_row = _sel8(do_sread, current_val,
                             _sel8(do_swrite | do_event, src1, z8))
         addr_row = _sel8(fc_do_sread, deployer5, this_addr)
-        key_row = _sel8(fc_do_sread, _addr_to_u256_l(fc_addr5), src0)
+        key_row = _sel8(fc_do_sread, _addr_to_u256_l(fc_addr5),
+                        _sel8(do_precomp, pp_key, src0))
         read_row = _sel8(fc_do_sread, fc_hash_storage, read_row)
         written_row = _sel8(fc_do_sread, fc_hash_storage, written_row)
         lm = lvalid[None, :]
@@ -1785,6 +2050,8 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
                        new_done).astype(U32)
     nv["lane_error"] = lane_error.astype(U32)
     nv["wq_count"] = wq_count
+    if config.rolling_commitment:
+        nv["wc_count"] = jnp.where(fz, v["wc_count"], nv_wc_count)
     if log_enabled:
         @pl.when(jnp.any(is_log & active))
         def _store_log_state():
@@ -1831,6 +2098,7 @@ _SCAL_ROWS = (
     "depth", "frame_count", "global_step", "wq_count",      # i32, bitcast-safe
     "pending_exception", "done", "lane_error",              # bool
     "st_count", "j_count", "ev_count", "lq_count", "dq_count",  # i32
+    "wc_count",
 )
 _SCAL_I32 = {"depth", "frame_count", "global_step", "wq_count",
              "st_count", "j_count", "ev_count", "lq_count", "dq_count"}
@@ -1868,6 +2136,8 @@ def _inout_specs(config: VmConfig):
         ("ap_page", (config.heap_frames,)),
         ("cb_page", (config.code_pages,)),
     ]
+    if config.rolling_commitment:
+        specs.append(("wc_state", (25, 2)))
     if config.storage_slots > 0:
         S, J, E = (config.storage_slots, config.journal_slots,
                    config.event_slots)
@@ -1939,6 +2209,8 @@ def _pack(state: BatchedVmState, config: VmConfig) -> dict:
         "cb_page": jnp.transpose(state.cb_page, (1, 0)),
         "cb_valid": jnp.transpose(state.cb_valid.astype(U32), (1, 0)),
         "cb_hash": jnp.transpose(state.cb_hash, (1, 2, 0)),
+        **({"wc_state": jnp.transpose(state.wc_state, (1, 2, 0))}
+           if config.rolling_commitment else {}),
         "cb_len": jnp.transpose(state.cb_len, (1, 0)),
         "default_aa_hash": jnp.transpose(state.default_aa_hash, (1, 0)),
     }
@@ -2011,7 +2283,9 @@ def _unpack(bufs: dict, state: BatchedVmState,
         cb_page=jnp.transpose(bufs["cb_page"], (1, 0)),
         st_count=row("st_count"), j_count=row("j_count"),
         ev_count=row("ev_count"), lq_count=row("lq_count"),
-        dq_count=row("dq_count"),
+        dq_count=row("dq_count"), wc_count=row("wc_count"),
+        **({"wc_state": jnp.transpose(bufs["wc_state"], (2, 0, 1))}
+           if config.rolling_commitment else {}),
         **({} if config.storage_slots == 0 else dict(
             st_key=jnp.transpose(bufs["st_key"], (2, 0, 1)),
             st_val=jnp.transpose(bufs["st_val"], (2, 0, 1)),
@@ -2113,6 +2387,8 @@ def _build_kernel(config: VmConfig, k_cycles: int):
         mem_names = [n for n in MEM_FIELDS]
         if config.storage_slots > 0:
             mem_names += list(LOG_MEM_FIELDS)
+        if config.rolling_commitment:
+            mem_names.append("wc_state")
         mem = {name: out_refs[name] for name in mem_names}
         for name, _ in inout:
             out_refs[name][...] = in_refs[name][...]
@@ -2131,7 +2407,7 @@ def _build_kernel(config: VmConfig, k_cycles: int):
                 if name in nv:
                     nv[name] = v[name]
             for s_i, (valid, mtype, mpage, midx, mval, mptr, rw, ts) \
-                    in enumerate(slots):
+                    in enumerate(slots if with_wq else ()):
                 row = jnp.stack([ts, mtype, mpage, midx], axis=0)
                 blk["wq_meta_blk"][k * SLOTS_PER_CYCLE + s_i] = row
                 blk["wq_value_blk"][k * SLOTS_PER_CYCLE + s_i] = mval

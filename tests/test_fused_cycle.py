@@ -318,3 +318,147 @@ class TestFusedFarCall:
         ])
         assert not np.asarray(fus.lane_error).any()
         assert np.asarray(fus.done).all()
+
+
+class TestFusedPrecompiles:
+    """keccak256/sha256 through log.precompile in the fused kernel
+    (pq round-witness + ecrecover stay on the jnp path; supported())."""
+
+    def _pp_config(self, batch, n_cycles):
+        return VmConfig(batch=batch, code_words=32, stack_words=256,
+                        sweep_gating=False, stack_abs_words=64,
+                        stack_sp_base=960, heap_words=32, aux_heap_words=16,
+                        max_depth=8, queue_capacity=n_cycles * 8,
+                        storage_slots=8, journal_slots=16, event_slots=16,
+                        log_queue_capacity=n_cycles, heap_frames=2,
+                        code_pages=2, decommit_queue_capacity=n_cycles,
+                        precompile_keccak_blocks=2, precompile_sha_rounds=2)
+
+    def _diff(self, programs, entry_address, n_cycles=64):
+        B = len(programs)
+        tile = B
+        config = self._pp_config(B, n_cycles)
+        assert supported(config)
+        # the jnp reference runs with sweep gating ON: it partitions the
+        # XLA:CPU graph (compile time), and since invalid witness rows are
+        # zero-masked in both engines the results are gating-invariant
+        ref_config = dataclasses.replace(config, sweep_gating=True)
+        words = [assemble_to_code_words(s) for s in programs]
+        ref = run_cycles(make_entry_state(ref_config, words, ergs=1 << 20,
+                                          entry_address=entry_address),
+                         ref_config, n_cycles)
+        fus = run_cycles_fused(
+            make_entry_state(config, words, ergs=1 << 20,
+                             entry_address=entry_address),
+            config, n_cycles, tile=tile, k_inner=32)
+        bad = [f.name for f in dataclasses.fields(ref)
+               if not (np.asarray(getattr(ref, f.name))
+                       == np.asarray(getattr(fus, f.name))).all()]
+        assert not bad, f"fused/jnp mismatch: {bad}"
+        return fus
+
+    def test_keccak_cases(self):
+        from era_zk_evm_tpu.isa import params
+        from test_batched_precompiles import keccak_abi
+
+        programs = [
+            # empty input
+            f"""
+            add code[@abi], r0, r4
+            log.precompile r4, r0, r5
+            ld.h 0, r7
+            ret r0
+            abi: .word {keccak_abi(0, 0, 0)}
+            """,
+            # unaligned offset 3, 40 bytes spanning two words
+            f"""
+            add code[@w0], r0, r2
+            st.h 0, r2
+            add code[@w1], r0, r3
+            st.h 32, r3
+            add code[@abi], r0, r4
+            log.precompile r4, r0, r5
+            add 96, r0, r6
+            ld.h r6, r7
+            ret r0
+            abi: .word {keccak_abi(3, 40, 3)}
+            w0: .word {int.from_bytes(bytes(range(32)), 'big')}
+            w1: .word {int.from_bytes(bytes(range(32, 64)), 'big')}
+            """,
+            # two-block input: 200 bytes
+            f"""
+            add code[@fill], r0, r2
+            st.h 0, r2
+            st.h 32, r2
+            st.h 64, r2
+            st.h 96, r2
+            st.h 128, r2
+            st.h 160, r2
+            st.h 192, r2
+            add code[@abi], r0, r4
+            log.precompile r4, r0, r5
+            ret r0
+            abi: .word {keccak_abi(0, 200, 8)}
+            fill: .word {int.from_bytes(bytes([0x7B] * 32), 'big')}
+            """,
+        ]
+        fus = self._diff(
+            programs,
+            params.KECCAK256_ROUND_FUNCTION_PRECOMPILE_ADDRESS,
+            n_cycles=64)
+        assert not np.asarray(fus.lane_error).any()
+
+    def test_sha256_rounds(self):
+        from era_zk_evm_tpu.isa import params
+        from test_batched_precompiles import sha_abi
+
+        msg = b"abc"
+        padded = msg + b"\x80" + bytes(52) + (len(msg) * 8).to_bytes(8, "big")
+        w0 = int.from_bytes(padded[:32], "big")
+        w1 = int.from_bytes(padded[32:], "big")
+        prog = f"""
+        add code[@w0], r0, r2
+        st.h 0, r2
+        add code[@w1], r0, r3
+        st.h 32, r3
+        add code[@abi], r0, r4
+        log.precompile r4, r0, r5
+        add 96, r0, r6
+        ld.h r6, r7
+        ret r0
+        abi: .word {sha_abi(0, 1, 3)}
+        w0: .word {w0}
+        w1: .word {w1}
+        """
+        fus = self._diff(
+            [prog], params.SHA256_ROUND_FUNCTION_PRECOMPILE_ADDRESS,
+            n_cycles=48)
+        assert not np.asarray(fus.lane_error).any()
+        from era_zk_evm_tpu.models.state import arena_word_major
+        from era_zk_evm_tpu.utils import from_limbs
+        import hashlib
+        heap = arena_word_major(np.asarray(fus.heap),
+                                self._pp_config(1, 48))
+        assert from_limbs(heap[0, 3]) == int.from_bytes(
+            hashlib.sha256(msg).digest(), "big")
+
+
+class TestFusedRollingCommitment:
+    def test_rolling_sponge_equality(self):
+        config = VmConfig(batch=2, code_words=32, stack_words=256,
+                          sweep_gating=False, stack_abs_words=64,
+                          stack_sp_base=960, heap_words=32, aux_heap_words=8,
+                          max_depth=8, queue_capacity=0,
+                          rolling_commitment=True)
+        assert supported(config)
+        programs = [UMA_PROGRAMS[1], STACK_PROGRAMS[0]]
+        words = [assemble_to_code_words(s) for s in programs]
+        ref = run_cycles(make_entry_state(config, words, ergs=1 << 20),
+                         config, N_CYCLES)
+        fus = run_cycles_fused(make_entry_state(config, words, ergs=1 << 20),
+                               config, N_CYCLES, tile=2, k_inner=16)
+        for f in dataclasses.fields(ref):
+            a = np.asarray(getattr(ref, f.name))
+            b = np.asarray(getattr(fus, f.name))
+            assert (a == b).all(), f.name
+        assert np.asarray(fus.wc_count).all()
