@@ -3,12 +3,12 @@
 // interpreter for high-volume differential fuzzing, and the machine's real
 // measured single-core witness-traced baseline for bench.py.
 //
-// Coverage: all 15 opcode families EXCEPT Log.precompile (the three hash
-// precompiles stay Python/TPU-side): NOP ADD SUB MUL DIV JUMP CONTEXT(all 10
+// Coverage: all 15 opcode families incl. Log.precompile for keccak256 and
+// sha256 (ecrecover stays Python/TPU-side): NOP ADD SUB MUL DIV JUMP CONTEXT(all 10
 // sub-ops) SHIFT BINOP PTR NEAR_CALL FAR_CALL(normal/delegate/mimic, decommit,
 // 63/64, register protocol) RET(ok/revert/panic with returndata forwarding)
 // UMA(heap/aux/fat-pointer) LOG(sread/swrite/event/to_l1 with journal
-// rollback).  Log.precompile terminates with ST_UNSUPPORTED.
+// rollback).  Log.precompile(ecrecover) terminates with ST_UNSUPPORTED.
 //
 // Decode tables are generated from the Python ISA layer (gen_tables.py) so
 // variant semantics have one source of truth; ISA constants are pinned
@@ -177,6 +177,116 @@ static Props unpack(u32 p) {
     r.src0_ptr_ok = (p >> 21) & 1; r.src1_ptr_ok = (p >> 22) & 1;
     r.explicit_panic = (p >> 23) & 1;
     return r;
+}
+
+
+// ---------------------------------------------------------------------------
+// precompile hash primitives (keccak256 sponge + sha256 compression),
+// mirroring era_zk_evm_tpu/golden/precompiles.py
+// ---------------------------------------------------------------------------
+static const u64 KECCAK_RC[24] = {
+    0x0000000000000001ull, 0x0000000000008082ull, 0x800000000000808aull,
+    0x8000000080008000ull, 0x000000000000808bull, 0x0000000080000001ull,
+    0x8000000080008081ull, 0x8000000000008009ull, 0x000000000000008aull,
+    0x0000000000000088ull, 0x0000000080008009ull, 0x000000008000000aull,
+    0x000000008000808bull, 0x800000000000008bull, 0x8000000000008089ull,
+    0x8000000000008003ull, 0x8000000000008002ull, 0x8000000000000080ull,
+    0x000000000000800aull, 0x800000008000000aull, 0x8000000080008081ull,
+    0x8000000000008080ull, 0x0000000080000001ull, 0x8000000080008008ull};
+
+static inline u64 rotl64(u64 x, int n) {
+    return n ? (x << n) | (x >> (64 - n)) : x;
+}
+
+static void keccak_f1600(u64 st[25]) {
+    static const int rho[25] = {0, 1, 62, 28, 27, 36, 44, 6, 55, 20, 3, 10,
+                                43, 25, 39, 41, 45, 15, 21, 8, 18, 2, 61,
+                                56, 14};
+    for (int round = 0; round < 24; round++) {
+        u64 c[5], d[5];
+        for (int x = 0; x < 5; x++)
+            c[x] = st[x] ^ st[x + 5] ^ st[x + 10] ^ st[x + 15] ^ st[x + 20];
+        for (int x = 0; x < 5; x++)
+            d[x] = c[(x + 4) % 5] ^ rotl64(c[(x + 1) % 5], 1);
+        for (int y = 0; y < 5; y++)
+            for (int x = 0; x < 5; x++) st[x + 5 * y] ^= d[x];
+        u64 b[25];
+        for (int y = 0; y < 5; y++)
+            for (int x = 0; x < 5; x++) {
+                int nx = y, ny = (2 * x + 3 * y) % 5;
+                b[nx + 5 * ny] = rotl64(st[x + 5 * y], rho[x + 5 * y]);
+            }
+        for (int y = 0; y < 5; y++)
+            for (int x = 0; x < 5; x++)
+                st[x + 5 * y] = b[x + 5 * y]
+                    ^ (~b[(x + 1) % 5 + 5 * y] & b[(x + 2) % 5 + 5 * y]);
+        st[0] ^= KECCAK_RC[round];
+    }
+}
+
+static void keccak256(const u8 *data, size_t len, u8 out[32]) {
+    u64 st[25] = {0};
+    const size_t rate = 136;
+    size_t off = 0;
+    while (true) {
+        u8 blk[136] = {0};
+        size_t take = len - off < rate ? len - off : rate;
+        memcpy(blk, data + off, take);
+        bool last = take < rate;
+        if (last) {
+            blk[take] ^= 0x01;
+            blk[rate - 1] ^= 0x80;
+        }
+        for (int i = 0; i < 17; i++) {
+            u64 lane = 0;
+            for (int t = 7; t >= 0; t--) lane = (lane << 8) | blk[8 * i + t];
+            st[i] ^= lane;
+        }
+        keccak_f1600(st);
+        off += rate;
+        if (last) break;
+    }
+    for (int i = 0; i < 32; i++) out[i] = (u8)(st[i / 8] >> (8 * (i % 8)));
+}
+
+static const u32 SHA256K[64] = {
+    0x428a2f98, 0x71374491, 0xb5c0fbcf, 0xe9b5dba5, 0x3956c25b, 0x59f111f1,
+    0x923f82a4, 0xab1c5ed5, 0xd807aa98, 0x12835b01, 0x243185be, 0x550c7dc3,
+    0x72be5d74, 0x80deb1fe, 0x9bdc06a7, 0xc19bf174, 0xe49b69c1, 0xefbe4786,
+    0x0fc19dc6, 0x240ca1cc, 0x2de92c6f, 0x4a7484aa, 0x5cb0a9dc, 0x76f988da,
+    0x983e5152, 0xa831c66d, 0xb00327c8, 0xbf597fc7, 0xc6e00bf3, 0xd5a79147,
+    0x06ca6351, 0x14292967, 0x27b70a85, 0x2e1b2138, 0x4d2c6dfc, 0x53380d13,
+    0x650a7354, 0x766a0abb, 0x81c2c92e, 0x92722c85, 0xa2bfe8a1, 0xa81a664b,
+    0xc24b8b70, 0xc76c51a3, 0xd192e819, 0xd6990624, 0xf40e3585, 0x106aa070,
+    0x19a4c116, 0x1e376c08, 0x2748774c, 0x34b0bcb5, 0x391c0cb3, 0x4ed8aa4a,
+    0x5b9cca4f, 0x682e6ff3, 0x748f82ee, 0x78a5636f, 0x84c87814, 0x8cc70208,
+    0x90befffa, 0xa4506ceb, 0xbef9a3f7, 0xc67178f2};
+
+static inline u32 rotr32(u32 x, int n) { return (x >> n) | (x << (32 - n)); }
+
+static void sha256_compress(u32 st[8], const u8 blk[64]) {
+    u32 w[64];
+    for (int i = 0; i < 16; i++)
+        w[i] = ((u32)blk[4 * i] << 24) | ((u32)blk[4 * i + 1] << 16)
+             | ((u32)blk[4 * i + 2] << 8) | blk[4 * i + 3];
+    for (int i = 16; i < 64; i++) {
+        u32 s0 = rotr32(w[i - 15], 7) ^ rotr32(w[i - 15], 18) ^ (w[i - 15] >> 3);
+        u32 s1 = rotr32(w[i - 2], 17) ^ rotr32(w[i - 2], 19) ^ (w[i - 2] >> 10);
+        w[i] = w[i - 16] + s0 + w[i - 7] + s1;
+    }
+    u32 a = st[0], b = st[1], c = st[2], d = st[3];
+    u32 e = st[4], f = st[5], g = st[6], h = st[7];
+    for (int i = 0; i < 64; i++) {
+        u32 s1 = rotr32(e, 6) ^ rotr32(e, 11) ^ rotr32(e, 25);
+        u32 ch = (e & f) ^ (~e & g);
+        u32 t1 = h + s1 + ch + SHA256K[i] + w[i];
+        u32 s0 = rotr32(a, 2) ^ rotr32(a, 13) ^ rotr32(a, 22);
+        u32 maj = (a & b) ^ (a & c) ^ (b & c);
+        u32 t2 = s0 + maj;
+        h = g; g = f; f = e; e = d + t1; d = c; c = b; b = a; a = t1 + t2;
+    }
+    st[0] += a; st[1] += b; st[2] += c; st[3] += d;
+    st[4] += e; st[5] += f; st[6] += g; st[7] += h;
 }
 
 struct Frame {
@@ -1117,7 +1227,6 @@ extern "C" int eravm_oracle_run(
             case OP_LOG: {
                 cur.pc = new_pc;
                 u32 sub = pr.sub;  // 0 sread 1 swrite 2 event 3 to_l1 4 pc
-                if (sub == 4) { status = ST_UNSUPPORTED; break; }
                 bool is_first = pr.flag0;
                 u32 ts_log = timestamp + 1;
                 bool is_rollup = cur.this_shard == 0;
@@ -1126,7 +1235,9 @@ extern "C" int eravm_oracle_run(
                     ergs_on_pubdata = ergs_per_pubdata * STORAGE_WRITE_PUBDATA;
                 else if (sub == 3)
                     ergs_on_pubdata = ergs_per_pubdata * L1_MESSAGE_PUBDATA;
-                u32 total_cost = ergs_on_pubdata;  // no precompile extra here
+                u32 extra = (sub == 4)
+                    ? (u32)(src1.v.w[0] & 0xFFFFFFFFull) : 0;
+                u32 total_cost = ergs_on_pubdata + extra;
                 bool log_ne = total_cost > cur.ergs;
                 if (log_ne) {
                     spent_pubdata += cur.ergs < ergs_on_pubdata
@@ -1135,6 +1246,91 @@ extern "C" int eravm_oracle_run(
                 } else {
                     cur.ergs -= total_cost;
                     spent_pubdata += ergs_on_pubdata;
+                }
+                if (sub == 4) {
+                    // Log.precompile (golden/vm.py PRECOMPILE_CALL +
+                    // golden/precompiles.py keccak256/sha256; ecrecover
+                    // stays unsupported in the native subset)
+                    if (log_ne) { dst0_write(z256(), false); break; }
+                    auto limb32 = [](const U256 &v, int k) -> u32 {
+                        return (u32)(v.w[k / 2] >> (32 * (k % 2)));
+                    };
+                    u32 in_off = limb32(src0.v, 0);
+                    u32 in_len = limb32(src0.v, 1);
+                    u32 out_off = limb32(src0.v, 2);
+                    u32 page_r = limb32(src0.v, 4);
+                    u32 page_w = limb32(src0.v, 5);
+                    u32 rounds = limb32(src0.v, 6);
+                    if (page_r == 0) page_r = cur.base_page + 2;
+                    if (page_w == 0) page_w = cur.base_page + 2;
+                    U256 abi_key = src0.v;
+                    abi_key.w[2] = (u64)page_r | ((u64)page_w << 32);
+                    logw.record(ts_log, 4, cur.this_shard,
+                                (is_first ? 4 : 0), tx_number,
+                                cur.this_addr, abi_key, z256(), z256());
+                    u64 addr_low = cur.this_addr & 0xFFFF;
+                    bool is_keccak = addr_low == 0x8010;
+                    bool is_sha = addr_low == 0x02;
+                    bool is_ec = addr_low == 0x01;  // ECRECOVER_INNER
+                    if (is_ec) { status = ST_UNSUPPORTED; break; }
+                    if (is_keccak || is_sha) {
+                        auto itr = heap_pages.find(page_r);
+                        auto itw = heap_pages.find(page_w);
+                        if (itr == heap_pages.end()
+                            || itw == heap_pages.end()) {
+                            status = ST_OOB; break;
+                        }
+                        std::vector<U256> &rp = itr->second;
+                        std::vector<U256> &wp = itw->second;
+                        U256 out_word = z256();
+                        bool oob = false;
+                        auto read_word = [&](u32 w, u8 *dst) {
+                            if (w >= rp.size()) { oob = true; return; }
+                            to_be_bytes(rp[w], dst);
+                        };
+                        if (is_keccak) {
+                            std::vector<u8> data;
+                            if (in_len) {
+                                u32 fw = in_off / 32;
+                                u32 lw = (in_off + in_len - 1) / 32;
+                                std::vector<u8> raw((lw - fw + 1) * 32);
+                                for (u32 w = fw; w <= lw && !oob; w++)
+                                    read_word(w, raw.data()
+                                              + (size_t)(w - fw) * 32);
+                                if (oob) { status = ST_OOB; break; }
+                                u32 start = in_off - fw * 32;
+                                data.assign(raw.begin() + start,
+                                            raw.begin() + start + in_len);
+                            }
+                            u8 digest[32];
+                            keccak256(data.data(), data.size(), digest);
+                            out_word = from_be_bytes(digest);
+                        } else {
+                            u32 st8[8] = {0x6a09e667, 0xbb67ae85, 0x3c6ef372,
+                                          0xa54ff53a, 0x510e527f, 0x9b05688c,
+                                          0x1f83d9ab, 0x5be0cd19};
+                            for (u32 r = 0; r < rounds && !oob; r++) {
+                                u8 blk[64];
+                                read_word(in_off + 2 * r, blk);
+                                read_word(in_off + 2 * r + 1, blk + 32);
+                                if (!oob) sha256_compress(st8, blk);
+                            }
+                            if (oob) { status = ST_OOB; break; }
+                            u8 be[32];
+                            for (int i = 0; i < 8; i++) {
+                                be[4 * i] = (u8)(st8[i] >> 24);
+                                be[4 * i + 1] = (u8)(st8[i] >> 16);
+                                be[4 * i + 2] = (u8)(st8[i] >> 8);
+                                be[4 * i + 3] = (u8)st8[i];
+                            }
+                            out_word = from_be_bytes(be);
+                        }
+                        if (out_off >= wp.size()) { status = ST_OOB; break; }
+                        wp[out_off] = out_word;
+                    }
+                    U256 one = z256(); one.w[0] = 1;
+                    dst0_write(one, false);
+                    break;
                 }
                 if (sub == 0 || sub == 1) {
                     if (sub == 1 && log_ne) break;  // early return, no query

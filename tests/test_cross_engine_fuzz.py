@@ -148,3 +148,37 @@ class TestCrossEngineFarCallFuzz:
             want_dec = [(d["hash"], d["timestamp"], d["page"], d["length"],
                          d["is_fresh"]) for d in native["decommit_records"]]
             assert got_dec == want_dec, b
+
+
+class TestFusedEngineFuzz:
+    def test_fused_vs_jnp_random_programs(self):
+        """Third engine leg: the fused Pallas kernel must match the jnp
+        interpreter bit-exactly on the randomized fuzz programs (the jnp
+        engine is itself checked against the native C++ oracle above)."""
+        import dataclasses
+
+        from era_zk_evm_tpu.models.fused_cycle import (
+            run_cycles_fused, supported,
+        )
+
+        programs = _gen_programs(16, seed=0xFACE)
+        words = [assemble_to_code_words(p) for p in programs]
+        config = VmConfig(batch=len(programs),
+                          queue_capacity=MAX_CYCLES * 8,
+                          heap_words=64, stack_words=2048, code_words=64,
+                          max_depth=8, storage_slots=16, journal_slots=64,
+                          event_slots=64, log_queue_capacity=MAX_CYCLES,
+                          sweep_gating=False)
+        assert supported(config)
+        ref_config = dataclasses.replace(config, sweep_gating=True)
+        ref = run_cycles(make_entry_state(ref_config, words, ergs=1 << 20),
+                         ref_config, MAX_CYCLES)
+        fus = run_cycles_fused(
+            make_entry_state(config, words, ergs=1 << 20), config,
+            MAX_CYCLES, tile=16, k_inner=40)
+        bad = [f.name for f in dataclasses.fields(ref)
+               if not (np.asarray(getattr(ref, f.name))
+                       == np.asarray(getattr(fus, f.name))).all()]
+        assert not bad, bad
+        assert np.all(np.asarray(fus.done))
+        assert not np.any(np.asarray(fus.lane_error))
