@@ -462,3 +462,34 @@ class TestFusedRollingCommitment:
             b = np.asarray(getattr(fus, f.name))
             assert (a == b).all(), f.name
         assert np.asarray(fus.wc_count).all()
+
+
+class TestFusedSharded:
+    def test_run_block_fused_on_cpu_mesh(self):
+        """Fused engine under shard_map on the 8-device virtual mesh equals
+        the single-shard fused run (same aggregates + full state)."""
+        import jax
+
+        from era_zk_evm_tpu.parallel.fused import run_block_fused
+        from era_zk_evm_tpu.parallel.mesh import make_mesh, shard_state
+
+        B = 8
+        config = _config(B)
+        words = [assemble_to_code_words(s)
+                 for s in (BASIC_PROGRAMS[:4] + CONTROL_FLOW)[:B]]
+        words += [words[0]] * (B - len(words))
+        single = run_cycles_fused(
+            make_entry_state(config, words, ergs=1 << 20), config,
+            N_CYCLES, tile=8, k_inner=16)
+
+        mesh = make_mesh(8)
+        state = shard_state(make_entry_state(config, words, ergs=1 << 20),
+                            mesh)
+        sharded, agg = run_block_fused(state, config, N_CYCLES, mesh,
+                                       tile=1, k_inner=16)
+        assert int(agg["done_lanes"]) == B
+        assert int(agg["error_lanes"]) == 0
+        for f in dataclasses.fields(single):
+            a = np.asarray(getattr(single, f.name))
+            b = np.asarray(getattr(sharded, f.name))
+            assert (a == b).all(), f.name

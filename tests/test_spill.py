@@ -125,3 +125,35 @@ class TestCallstackSpill:
                               before["cs_scalars"][0, :d0 + 1])
         assert np.array_equal(np.asarray(state.cs_this_address)[0, :d0 + 1],
                               before["cs_this_address"][0, :d0 + 1])
+
+
+class TestSpillWithFusedEngine:
+    def test_deep_recursion_on_fused_kernel(self):
+        """run_segments drives the FUSED engine through the same
+        deep-recursion spill protocol, bit-equal to the jnp run."""
+        import dataclasses
+
+        from era_zk_evm_tpu.models.fused_cycle import (
+            run_cycles_fused, supported,
+        )
+
+        config = VmConfig(batch=2, queue_capacity=0, heap_words=16,
+                          stack_words=2048, code_words=64, max_depth=8,
+                          sweep_gating=False)
+        assert supported(config)
+        words = [assemble_to_code_words(RECURSE)] * 2
+        ref, ref_spill = run_segments(
+            make_entry_state(config, words, ergs=1 << 20), config,
+            run_cycles, n_cycles=80, segment=2)
+
+        def fused_engine(state, cfg, n):
+            return run_cycles_fused(state, cfg, n, tile=2, k_inner=n)
+
+        fus, fus_spill = run_segments(
+            make_entry_state(config, words, ergs=1 << 20), config,
+            fused_engine, n_cycles=80, segment=2)
+        assert np.all(np.asarray(fus.done))
+        for f in dataclasses.fields(ref):
+            a = np.asarray(getattr(ref, f.name))
+            b = np.asarray(getattr(fus, f.name))
+            assert (a == b).all(), f.name
