@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..isa import params
 from ..isa.encoding import VARIANT_MASK, exception_revert_encoding
 from ..isa.opcodes import (
-    Condition, ContextOp, LogOp, Opcode, OperandMode, PtrOp, RetOp, ShiftOp,
+    ContextOp, LogOp, Opcode, OperandMode, PtrOp, RetOp, ShiftOp,
     UMAOp, decode_consts,
 )
 from .state import CS, CS_SCALAR_FIELDS, BatchedVmState, VmConfig

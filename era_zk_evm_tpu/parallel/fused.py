@@ -14,7 +14,6 @@ are batch-LAST ([Q, ..., B] — see models/state.py on why).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

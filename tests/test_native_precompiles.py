@@ -148,3 +148,35 @@ class TestNativeVsGoldenPrecompileRecords:
         # heap digest parity
         want_heap = vm.memory.dump_page(10, 0, 64)
         assert native["heap"] == want_heap
+
+
+class TestNativeKeccakFuzz:
+    def test_randomized_offsets_and_lengths(self):
+        import random
+
+        rng = random.Random(0xC0FFEE)
+        for _ in range(10):
+            offset = rng.randrange(0, 32)
+            length = rng.randrange(0, 280)
+            data = bytes(rng.randrange(256) for _ in range(length))
+            padded = bytes(offset) + data
+            padded += bytes(-len(padded) % 32)
+            words, stores = [], []
+            for i in range(len(padded) // 32):
+                words.append(
+                    f"w{i}: .word "
+                    f"{int.from_bytes(padded[32*i:32*i+32], 'big')}")
+                stores.append(f"add code[@w{i}], r0, r2\nst.h {32*i}, r2")
+            prog = "\n".join(stores) + f"""
+            add code[@abi], r0, r4
+            log.precompile r4, r0, r5
+            ret r0
+            abi: .word {_abi(offset, length, 20)}
+            """ + "\n".join(words)
+            out = run_oracle(
+                assemble_to_code_words(prog), heap_words=64,
+                entry_address=
+                params.KECCAK256_ROUND_FUNCTION_PRECOMPILE_ADDRESS)
+            assert out["status"] == ST_DONE, (offset, length)
+            want = int.from_bytes(keccak256(data), "big")
+            assert _heap_word(out, 20) == want, (offset, length)
