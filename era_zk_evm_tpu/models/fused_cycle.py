@@ -76,7 +76,8 @@ def supported(config: VmConfig) -> bool:
     pp_on = config.precompile_keccak_blocks > 0 \
         or config.precompile_sha_rounds > 0
     return (not config.precompile_ecrecover
-            and config.precompile_queue_capacity == 0
+            and (config.precompile_queue_capacity == 0
+                 or (pp_on and config.storage_slots > 0))
             and not (config.rolling_commitment and config.queue_capacity)
             and (not pp_on or config.storage_slots > 0)
             and (config.storage_slots > 0 or
@@ -570,7 +571,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
 
     cut = _stage_cut(v, 1, insn_lo ^ insn_hi)
     if cut is not None:
-        return cut, [], None, None
+        return cut, [], None, None, None
 
     # ---- decode + masking (batched_vm.py:265-396)
     raw_variant = insn_lo & VARIANT_MASK
@@ -590,7 +591,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 11, fam16 ^ sub_raw ^ combo ^ src0_mode_raw
                      ^ dst0_mode_raw ^ imm0 ^ imm1)
     if cut is not None:
-        return cut, [], None, None
+        return cut, [], None, None, None
 
     invalid = fam16 == OP.INVALID
     requires_kernel = ((fam16 == OP.CONTEXT)
@@ -628,7 +629,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
                      ^ requires_kernel.astype(U32)
                      ^ allowed_in_static.astype(U32))
     if cut is not None:
-        return cut, [], None, None
+        return cut, [], None, None, None
 
     not_enough = ergs0 < price
     ergs1 = jnp.where(not_enough, 0, ergs0 - price)
@@ -653,7 +654,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 13, mask_panic.astype(U32)
                      ^ mask_nop.astype(U32) ^ ergs1)
     if cut is not None:
-        return cut, [], None, None
+        return cut, [], None, None, None
 
     zeroed = mask_panic | mask_nop
     src0_reg = jnp.where(zeroed, 0, src0_reg)
@@ -694,7 +695,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 21, opcode ^ sub_variant ^ src0_mode ^ dst0_mode
                      ^ set_flags.astype(U32) ^ price)
     if cut is not None:
-        return cut, [], None, None
+        return cut, [], None, None, None
 
 
     sp0 = scal[CS["sp"]]
@@ -712,7 +713,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 22, src0_reg_val[0] ^ src0_loc ^ sp1
                      ^ src0_reg_tag.astype(U32))
     if cut is not None:
-        return cut, [], None, None
+        return cut, [], None, None, None
 
     dst0_reg_val, _ = read_reg(dst0_reg)
     vaddr1 = ((dst0_reg_val[0] & U16_MASK) + imm1) & U16_MASK
@@ -730,7 +731,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 23, dst0_loc ^ sp2
                      ^ do_src0_mem_read.astype(U32))
     if cut is not None:
-        return cut, [], None, None
+        return cut, [], None, None, None
 
     src0_phys, src0_in_window = _map_stack_index_l(config, src0_loc)
     # tile-occupancy conds around the arena SWEEPS (the one-hot compare+
@@ -756,7 +757,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 24, stack_val[0] ^ code_val[0]
                      ^ stack_tag.astype(U32) ^ lane_error.astype(U32))
     if cut is not None:
-        return cut, [], None, None
+        return cut, [], None, None, None
 
     src0_mem_val = _sel8(src0_code, code_val, stack_val)
     src0_mem_tag = (~src0_code & stack_tag) & do_src0_mem_read
@@ -769,7 +770,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     src0_tag = _bsel(use_reg, src0_reg_tag, ~use_imm & src0_mem_tag)
     cut = _stage_cut(v, 25, src0[0] ^ src0_tag.astype(U32))
     if cut is not None:
-        return cut, [], None, None
+        return cut, [], None, None, None
 
     src1, src1_tag = read_reg(src1_reg)
 
@@ -780,7 +781,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
 
     cut = _stage_cut(v, 26, src0[0] ^ src1[0] ^ src1_tag.astype(U32))
     if cut is not None:
-        return cut, [], None, None
+        return cut, [], None, None, None
 
     new_pc_lin = (pc + 1) & U16_MASK
 
@@ -796,7 +797,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
 
     cut = _stage_cut(v, 2, src0[0] ^ src1[0] ^ dst0_loc ^ sp2)
     if cut is not None:
-        return cut, [], None, None
+        return cut, [], None, None, None
 
     # ---- opcode family predicates (batched_vm.py:476-495)
     is_add = opcode == OP.ADD
@@ -859,7 +860,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 3, sum_val[0] ^ diff_val[0] ^ mul_lo[0]
                      ^ div_q[0] ^ shift_val[0] ^ binop_val[0])
     if cut is not None:
-        return cut, [], None, None
+        return cut, [], None, None, None
 
     # ---- context (context.rs; batched_vm.py:534-562)
     ctx_sub = sub_variant
@@ -931,7 +932,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 4, ctx_val[0] ^ ptr_result[0]
                      ^ ptr_panic.astype(U32))
     if cut is not None:
-        return cut, [], None, None
+        return cut, [], None, None, None
 
     # ---- UMA (uma.rs; batched_vm.py:597-728)
     uma_sub = sub_variant
@@ -1069,7 +1070,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 5, read_val[0] ^ new_w0[0] ^ new_w1[0]
                      ^ uma_cost ^ uma_slot)
     if cut is not None:
-        return cut, [], None, None
+        return cut, [], None, None, None
 
     # ---- log family (log.rs; port of batched_vm.py:730-831)
     ts_log = v["timestamp"] + 1
@@ -1186,6 +1187,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     # batched_vm.py:833-990 minus ecrecover and the pq round-witness queue,
     # which stay on the jnp path — see supported())
     pp_key = src0
+    prow = None
     pp_write_h = jnp.zeros((TB,), dtype=BOOL)
     pp_write_a = jnp.zeros((TB,), dtype=BOOL)
     pp_out_val = jnp.zeros((8, TB), dtype=U32)
@@ -1312,6 +1314,61 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
         pp_write_a = pp_any & w_on_a & hw_ok & active
         pp_key = _set_row(_set_row(src0, 4, pp_page_r), 5, pp_page_w)
 
+        # ---- precompile round-witness rows (port of batched_vm.py:997-1066,
+        # minus the batch-global block clock: the kernel emits per-cycle
+        # rows + an emit flag; the WRAPPER advances the clock, splices the
+        # flagged cycles' blocks, and reconciles pq_count/overflow errors)
+        if config.precompile_queue_capacity > 0:
+            from .state import precompile_queue_slots
+
+            PS_IN, PS_OUT = precompile_queue_slots(config)
+            first_word_q = jnp.where(is_keccak_pc, pp_in_off >> 5, pp_in_off)
+            kq_words = jnp.where(
+                pp_in_len == 0, 0,
+                ((pp_in_off + pp_in_len - 1) >> 5) - (pp_in_off >> 5) + 1)
+            n_words = jnp.where(is_keccak_pc, kq_words,
+                                jnp.where(is_sha_pc, 2 * pp_rounds,
+                                          jnp.full((TB,), 4, dtype=U32)))
+            rounds_q = jnp.where(is_keccak_pc, kc_blocks,
+                                 jnp.where(is_sha_pc, pp_rounds,
+                                           jnp.full((TB,), 1, dtype=U32)))
+            emit = pp_any
+            lane_error = lane_error | (emit & (n_words > PS_IN))
+
+            def in_vals_unit():
+                return jnp.stack(
+                    [read_in_word(first_word_q + i) for i in range(PS_IN)],
+                    axis=0)                              # [PS_IN, 8, TB]
+
+            in_vals = jax.lax.cond(
+                jnp.any(emit), in_vals_unit,
+                lambda: jnp.zeros((PS_IN, 8, TB), dtype=U32))
+
+            ts_pread = ts_log
+            ts_pwrite = ts_log + 1
+            meta_rows, val_rows, flag_rows = [], [], []
+            for i in range(PS_IN):
+                vq = emit & (i < n_words)
+                vqu = vq.astype(U32)
+                meta_rows.append(jnp.stack(
+                    [ts_pread * vqu, jnp.full((TB,), 3, U32) * vqu,
+                     pp_page_r * vqu, (first_word_q + i) * vqu], axis=0))
+                val_rows.append(jnp.where(vq[None, :], in_vals[i], 0))
+                flag_rows.append(vqu << 2)
+            vqu = emit.astype(U32)
+            meta_rows.append(jnp.stack(
+                [ts_pwrite * vqu, jnp.full((TB,), 1, U32) * vqu,
+                 pp_page_w * vqu, pp_out_idx * vqu], axis=0))
+            val_rows.append(jnp.where(emit[None, :], pp_out_val, 0))
+            flag_rows.append((vqu | (vqu << 2)) | (rounds_q * vqu) << 3)
+            prow = (jnp.stack(meta_rows, axis=0),      # [PS, 4, TB]
+                    jnp.stack(val_rows, axis=0),       # [PS, 8, TB]
+                    jnp.stack(flag_rows, axis=0),      # [PS, TB]
+                    emit.astype(U32),                  # [TB]
+                    (n_words + 1) * vqu)               # [TB] slots per lane
+        else:
+            prow = None
+
     # ---- near call (near_call.rs; batched_vm.py:1072-1076)
     nc_abi = src0[0]
     nc_pass_all = (nc_abi == 0) | (nc_abi > ergs_after_log)
@@ -1379,7 +1436,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
 
     cut = _stage_cut(v, 6, returndata_u256[0] ^ ergs3 ^ nc_passed)
     if cut is not None:
-        return cut, [], None, None
+        return cut, [], None, None, None
 
     # ---- far call (far_call.rs; port of batched_vm.py:1143-1296)
     is_far_call = (opcode == OP.FAR_CALL) if log_enabled \
@@ -1607,7 +1664,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 7, dst0_val[0] ^ dst1_val[0]
                      ^ new_flags[0].astype(U32))
     if cut is not None:
-        return cut, [], None, None
+        return cut, [], None, None, None
 
     # ---- pc + frame machinery (batched_vm.py:1386-1525)
     cur_pc_new = new_pc_lin
@@ -1767,7 +1824,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
 
     cut = _stage_cut(v, 8, new_cs_scalars[0, 0] ^ new_depth.astype(U32))
     if cut is not None:
-        return cut, [], None, None
+        return cut, [], None, None, None
 
     # ---- register writebacks (batched_vm.py:1527-1553)
     dst0_to_reg = dst0_write & ~dst0_is_stack_mem & (dst0_reg > 0) & active
@@ -1823,7 +1880,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 9, new_regs[0, 0] ^ new_reg_ptr[0].astype(U32)
                      ^ new_context_u128[0])
     if cut is not None:
-        return cut, [], None, None
+        return cut, [], None, None, None
 
     # ---- memory writebacks (batched_vm.py:1577-1611)
     dst0_to_stack = dst0_write & dst0_is_stack_mem & active
@@ -1867,7 +1924,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
 
     cut = _stage_cut(v, 10, dst0_val[0] ^ new_w0[0] ^ new_w1[0])
     if cut is not None:
-        return cut, [], None, None
+        return cut, [], None, None, None
 
     # ---- witness slot rows (golden emission order; batched_vm.py:1627-1692)
     wq_count = v["wq_count"]
@@ -2083,7 +2140,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
                                       new_frame_count)
         nv["page_counter"] = jnp.where(fz, v["page_counter"],
                                        new_page_counter)
-    return nv, slots, lrow, drow
+    return nv, slots, lrow, drow, prow
 
 
 # ===========================================================================
@@ -2098,10 +2155,11 @@ _SCAL_ROWS = (
     "depth", "frame_count", "global_step", "wq_count",      # i32, bitcast-safe
     "pending_exception", "done", "lane_error",              # bool
     "st_count", "j_count", "ev_count", "lq_count", "dq_count",  # i32
-    "wc_count",
+    "wc_count", "pq_count", "pq_blocks",
 )
 _SCAL_I32 = {"depth", "frame_count", "global_step", "wq_count",
-             "st_count", "j_count", "ev_count", "lq_count", "dq_count"}
+             "st_count", "j_count", "ev_count", "lq_count", "dq_count",
+             "pq_count", "pq_blocks"}
 _SCAL_BOOL = {"pending_exception", "done", "lane_error"}
 _SROW = {name: i for i, name in enumerate(_SCAL_ROWS)}
 
@@ -2284,6 +2342,7 @@ def _unpack(bufs: dict, state: BatchedVmState,
         st_count=row("st_count"), j_count=row("j_count"),
         ev_count=row("ev_count"), lq_count=row("lq_count"),
         dq_count=row("dq_count"), wc_count=row("wc_count"),
+        pq_count=row("pq_count"), pq_blocks=row("pq_blocks"),
         **({"wc_state": jnp.transpose(bufs["wc_state"], (2, 0, 1))}
            if config.rolling_commitment else {}),
         **({} if config.storage_slots == 0 else dict(
@@ -2353,6 +2412,15 @@ def _block_specs(config: VmConfig, k_cycles: int):
     if config.storage_slots > 0 and config.decommit_queue_capacity > 0:
         blocks += [("dq_hash_blk", (k_cycles, 8)),
                    ("dq_meta_blk", (k_cycles, 4))]
+    if config.precompile_queue_capacity > 0:
+        from .state import precompile_queue_slots
+
+        ps = sum(precompile_queue_slots(config))
+        blocks += [("pq_meta_blk", (k_cycles, ps, 4)),
+                   ("pq_value_blk", (k_cycles, ps, 8)),
+                   ("pq_flags_blk", (k_cycles, ps)),
+                   ("pq_emit_blk", (k_cycles,)),
+                   ("pq_nslots_blk", (k_cycles,))]
     return blocks
 
 
@@ -2401,8 +2469,8 @@ def _build_kernel(config: VmConfig, k_cycles: int):
             ovf_d = (step0 + k) >= config.decommit_queue_capacity \
                 if with_dq else jnp.bool_(False)
             v, _unused = _vals_from_refs(out_refs)
-            nv, slots, lrow, drow = _cycle_tile(v, kconsts, mem, config,
-                                                (ovf, ovf_l, ovf_d))
+            nv, slots, lrow, drow, prow = _cycle_tile(
+                v, kconsts, mem, config, (ovf, ovf_l, ovf_d))
             for name in DEBUG_PASSTHROUGH:
                 if name in nv:
                     nv[name] = v[name]
@@ -2425,6 +2493,12 @@ def _build_kernel(config: VmConfig, k_cycles: int):
             if drow is not None:
                 blk["dq_hash_blk"][k] = drow[0]
                 blk["dq_meta_blk"][k] = drow[1]
+            if prow is not None:
+                blk["pq_meta_blk"][k] = prow[0]
+                blk["pq_value_blk"][k] = prow[1]
+                blk["pq_flags_blk"][k] = prow[2]
+                blk["pq_emit_blk"][k] = prow[3]
+                blk["pq_nslots_blk"][k] = prow[4]
             nv["global_step"] = v["global_step"] + 1
             _vals_to_refs(nv, out_refs)
             return 0
@@ -2525,6 +2599,8 @@ def run_cycles_fused(state: BatchedVmState, config: VmConfig, n_cycles: int,
     with_lq = config.storage_slots > 0 and config.log_queue_capacity > 0
     with_dq = config.storage_slots > 0 \
         and config.decommit_queue_capacity > 0
+    with_pq = config.precompile_queue_capacity > 0
+    pq = (state.pq_meta, state.pq_value, state.pq_flags)
 
     def splice_batch_first(arr, block, base):
         # state queue arrays are [B, CAP, r]; blocks arrive [K, r, B]
@@ -2532,7 +2608,7 @@ def run_cycles_fused(state: BatchedVmState, config: VmConfig, n_cycles: int,
         return jax.lax.dynamic_update_slice(
             arr, blk, (0, base) + (0,) * (arr.ndim - 2))
 
-    def run_chunk(k_cycles, bufs, wq, lq, dq):
+    def run_chunk(k_cycles, bufs, wq, lq, dq, pq):
         call = _build_call(config, k_cycles, tile, interpret)
         step0 = jnp.min(bufs["scal"][_SROW["global_step"]]).astype(I32)
         bufs, blocks = call(step0, bufs)
@@ -2560,20 +2636,81 @@ def run_cycles_fused(state: BatchedVmState, config: VmConfig, n_cycles: int,
                 step0, config.decommit_queue_capacity - k_cycles), 0)
             dq = (splice_batch_first(dq[0], blocks["dq_hash_blk"], dbase),
                   splice_batch_first(dq[1], blocks["dq_meta_blk"], dbase))
-        return bufs, wq, lq, dq
+        if with_pq:
+            # batch-global block clock: flagged cycles (any lane emitted)
+            # advance pq_blocks; their PS-slot blocks splice at the clock
+            # position; overflowed cycles drop their rows, flag lane_error,
+            # and skip the per-lane pq_count credit — matching the jnp
+            # clamp semantics at block granularity
+            from .state import precompile_queue_slots
+
+            PS = sum(precompile_queue_slots(config))
+            cap_p = config.precompile_queue_capacity
+            emit_rows = blocks["pq_emit_blk"]          # u32[K, B]
+            nslot_rows = blocks["pq_nslots_blk"]       # u32[K, B]
+            flags_k = jnp.any(emit_rows != 0, axis=1)  # [K]
+            blocks0 = jnp.min(bufs["scal"][_SROW["pq_blocks"]]).astype(I32)
+            pos_k = blocks0 + jnp.cumsum(flags_k.astype(I32)) \
+                - flags_k.astype(I32)
+            ovf_k = pos_k * PS > cap_p - PS
+            pq_meta, pq_value, pq_flags = pq
+
+            def body(k, carry):
+                pq_meta, pq_value, pq_flags, lerr, pcount = carry
+                base = jnp.minimum(pos_k[k] * PS, cap_p - PS)
+
+                def write(args):
+                    pq_meta, pq_value, pq_flags = args
+                    m = jnp.transpose(blocks["pq_meta_blk"][k], (2, 0, 1))
+                    vv = jnp.transpose(blocks["pq_value_blk"][k], (2, 0, 1))
+                    fl = jnp.transpose(blocks["pq_flags_blk"][k], (1, 0))
+                    return (
+                        jax.lax.dynamic_update_slice(pq_meta, m,
+                                                     (0, base, 0)),
+                        jax.lax.dynamic_update_slice(pq_value, vv,
+                                                     (0, base, 0)),
+                        jax.lax.dynamic_update_slice(pq_flags, fl,
+                                                     (0, base)))
+
+                pq_meta, pq_value, pq_flags = jax.lax.cond(
+                    flags_k[k] & ~ovf_k[k], write, lambda a: a,
+                    (pq_meta, pq_value, pq_flags))
+                lerr = lerr | ((emit_rows[k] != 0) & ovf_k[k])
+                pcount = pcount + jnp.where(ovf_k[k], 0,
+                                            nslot_rows[k]).astype(I32)
+                return pq_meta, pq_value, pq_flags, lerr, pcount
+
+            lerr0 = jnp.zeros((config.batch,), dtype=jnp.bool_)
+            pc0 = jnp.zeros((config.batch,), dtype=I32)
+            pq_meta, pq_value, pq_flags, lerr, pcount = jax.lax.fori_loop(
+                0, k_cycles, body, (pq_meta, pq_value, pq_flags, lerr0,
+                                    pc0))
+            pq = (pq_meta, pq_value, pq_flags)
+            scal = bufs["scal"]
+            scal = scal.at[_SROW["lane_error"]].set(
+                scal[_SROW["lane_error"]] | lerr.astype(jnp.uint32))
+            scal = scal.at[_SROW["pq_count"]].set(
+                scal[_SROW["pq_count"]] + pcount.astype(jnp.uint32))
+            scal = scal.at[_SROW["pq_blocks"]].set(
+                scal[_SROW["pq_blocks"]]
+                + jnp.sum(flags_k.astype(jnp.uint32)))
+            bufs = dict(bufs)
+            bufs["scal"] = scal
+        return bufs, wq, lq, dq, pq
 
     n_full = n_cycles // k_inner
     rem = n_cycles % k_inner
+
     if n_full == 1 and rem == 0:
-        bufs, wq, lq, dq = run_chunk(k_inner, bufs, wq, lq, dq)
+        bufs, wq, lq, dq, pq = run_chunk(k_inner, bufs, wq, lq, dq, pq)
     elif n_full > 0:
         def chunk_body(_, carry):
             return run_chunk(k_inner, *carry)
 
-        bufs, wq, lq, dq = jax.lax.fori_loop(
-            0, n_full, chunk_body, (bufs, wq, lq, dq))
+        bufs, wq, lq, dq, pq = jax.lax.fori_loop(
+            0, n_full, chunk_body, (bufs, wq, lq, dq, pq))
     if rem:
-        bufs, wq, lq, dq = run_chunk(rem, bufs, wq, lq, dq)
+        bufs, wq, lq, dq, pq = run_chunk(rem, bufs, wq, lq, dq, pq)
 
     state = _unpack(bufs, state, config)
     if config.queue_capacity:
@@ -2583,4 +2720,6 @@ def run_cycles_fused(state: BatchedVmState, config: VmConfig, n_cycles: int,
          state.lq_written) = lq
     if with_dq:
         state.dq_hash, state.dq_meta = dq
+    if with_pq:
+        state.pq_meta, state.pq_value, state.pq_flags = pq
     return state

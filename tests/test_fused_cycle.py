@@ -493,3 +493,59 @@ class TestFusedSharded:
             a = np.asarray(getattr(single, f.name))
             b = np.asarray(getattr(sharded, f.name))
             assert (a == b).all(), f.name
+
+
+class TestFusedPrecompileRoundWitness:
+    def test_pq_streams_and_clock(self):
+        """The precompile mem_in/mem_out round-witness queue: per-cycle
+        blocks spliced at the batch-global block clock by the wrapper,
+        bit-exact vs jnp incl. across chunk boundaries."""
+        from era_zk_evm_tpu.isa import params
+        from era_zk_evm_tpu.isa.abi import PrecompileCallABI
+        from era_zk_evm_tpu.witness.commitment import (
+            device_precompile_streams,
+        )
+
+        def kabi(o, l, out):
+            return PrecompileCallABI(o, l, out, 0, 0, 0, 0).to_u256()
+
+        prog = f"""
+        add code[@w0], r0, r2
+        st.h 0, r2
+        add code[@abi], r0, r4
+        log.precompile r4, r0, r5
+        add code[@abi2], r0, r4
+        log.precompile r4, r0, r5
+        ret r0
+        abi: .word {kabi(3, 24, 3)}
+        abi2: .word {kabi(0, 17, 5)}
+        w0: .word {int.from_bytes(bytes(range(64, 96)), 'big')}
+        """
+        N, B = 48, 2
+        config = VmConfig(batch=B, code_words=32, stack_words=256,
+                          sweep_gating=False, stack_abs_words=64,
+                          stack_sp_base=960, heap_words=32, aux_heap_words=16,
+                          max_depth=8, queue_capacity=N * 8, storage_slots=8,
+                          journal_slots=16, event_slots=16,
+                          log_queue_capacity=N, heap_frames=2, code_pages=2,
+                          decommit_queue_capacity=N,
+                          precompile_keccak_blocks=2, precompile_sha_rounds=2,
+                          precompile_queue_capacity=64)
+        assert supported(config)
+        words = [assemble_to_code_words(prog)] * B
+        entry = params.KECCAK256_ROUND_FUNCTION_PRECOMPILE_ADDRESS
+        rc = dataclasses.replace(config, sweep_gating=True)
+        ref = run_cycles(make_entry_state(rc, words, ergs=1 << 20,
+                                          entry_address=entry), rc, N)
+        # k_inner=8 forces the block clock across SIX chunk boundaries
+        fus = run_cycles_fused(
+            make_entry_state(config, words, ergs=1 << 20,
+                             entry_address=entry), config, N, tile=2,
+            k_inner=8)
+        bad = [f.name for f in dataclasses.fields(ref)
+               if not (np.asarray(getattr(ref, f.name))
+                       == np.asarray(getattr(fus, f.name))).all()]
+        assert not bad, bad
+        assert device_precompile_streams(ref) == \
+            device_precompile_streams(fus)
+        assert not np.asarray(fus.lane_error).any()
