@@ -18,9 +18,14 @@ speed over VMEM instead of HBM bandwidth.
 
 Semantics are a 1:1 port of batched_vm.cycle_step (same reference citations:
 /root/reference/src/vm_state/cycle.rs pipeline, mem_ops.rs addressing,
-opcodes/execution/* families) for the NO-LOG subset:
-  supported config: storage_slots == 0 (LOG/FAR_CALL raise lane_error),
-  precompiles off, rolling_commitment off, sweep_gating False.
+opcodes/execution/* families) covering ALL opcode families: the LOG unit
+(storage KV + journal rollback + events), FAR_CALL (code-hash reads,
+versioned-hash validation, decommit bank binding, 63/64 rule, register
+protocol), the keccak256/sha256 precompiles, and all four witness-queue
+families (memory 8-slot blocks, log, decommit, precompile round-witness)
+plus the rolling sponge commitment.  Only ecrecover stays on the jnp
+engine (its field arithmetic would add ~100k ops to the kernel and risk
+the Mosaic resource ceiling) — see supported().
 Conformance: tests/test_fused_cycle.py proves bit-exact state + witness
 stream equality against run_cycles on every supported program family.
 
