@@ -549,3 +549,71 @@ class TestFusedPrecompileRoundWitness:
         assert device_precompile_streams(ref) == \
             device_precompile_streams(fus)
         assert not np.asarray(fus.lane_error).any()
+
+
+class TestFusedCheckpointAndCompaction:
+    def test_checkpoint_resume_across_engines(self, tmp_path):
+        """Checkpoint a jnp run midway, resume on the FUSED engine (and vice
+        versa) — block clocks and queue contents survive the handoff."""
+        from era_zk_evm_tpu.models.checkpoint import (
+            load_checkpoint, save_checkpoint,
+        )
+
+        programs = CONTROL_FLOW
+        B = len(programs)
+        config = _config(B)
+        words = [assemble_to_code_words(s) for s in programs]
+        ref = run_cycles(make_entry_state(config, words, ergs=1 << 20),
+                         config, N_CYCLES)
+
+        half = make_entry_state(config, words, ergs=1 << 20)
+        half = run_cycles(half, config, N_CYCLES // 2)       # jnp first half
+        path = tmp_path / "mid.ckpt"
+        save_checkpoint(path, half, config)
+        restored, _ = load_checkpoint(path)
+        resumed = run_cycles_fused(restored, config, N_CYCLES // 2,
+                                   tile=B, k_inner=8)        # fused second
+        for f in dataclasses.fields(ref):
+            a = np.asarray(getattr(ref, f.name))
+            b = np.asarray(getattr(resumed, f.name))
+            assert (a == b).all(), f.name
+
+    def test_compaction_between_fused_segments(self):
+        """Journal/event compaction between fused run segments equals an
+        uncompacted jnp run's final storage + rollback behavior."""
+        from era_zk_evm_tpu.models.compaction import compact_log_state
+
+        src = """
+        add 1, r0, r10
+        add 6, r0, r1
+        loop:
+        log.swrite r1, r1
+        log.event r1, r1
+        sub! r1, r10, r1
+        jump.if_ne @loop
+        add 3, r0, r2
+        log.sread r2, r5
+        ret r0
+        """
+        config = _log_config(1)
+        words = [assemble_to_code_words(src)]
+        ref = run_cycles(make_entry_state(config, words, ergs=1 << 20),
+                         config, N_CYCLES)
+        fus = make_entry_state(config, words, ergs=1 << 20)
+        fus = run_cycles_fused(fus, config, N_CYCLES // 2, tile=1, k_inner=8)
+        fus = compact_log_state(fus, config)
+        fus = run_cycles_fused(fus, config, N_CYCLES // 2, tile=1, k_inner=8)
+        assert np.asarray(fus.done).all()
+        assert not np.asarray(fus.lane_error).any()
+        # storage end-state equality (journal positions differ by design)
+        ref_kv = {}
+        for i in range(config.storage_slots):
+            if np.asarray(ref.st_used)[0, i]:
+                ref_kv[int(np.asarray(ref.st_key)[0, i, 0])] = \
+                    int(np.asarray(ref.st_val)[0, i, 0])
+        fus_kv = {}
+        for i in range(config.storage_slots):
+            if np.asarray(fus.st_used)[0, i]:
+                fus_kv[int(np.asarray(fus.st_key)[0, i, 0])] = \
+                    int(np.asarray(fus.st_val)[0, i, 0])
+        assert ref_kv == fus_kv
