@@ -617,3 +617,32 @@ class TestFusedCheckpointAndCompaction:
                 fus_kv[int(np.asarray(fus.st_key)[0, i, 0])] = \
                     int(np.asarray(fus.st_val)[0, i, 0])
         assert ref_kv == fus_kv
+
+
+class TestFusedLogQueueResume:
+    def test_lq_dq_splice_at_resumed_clock(self):
+        """Two fused calls on one state: the log/decommit-queue blocks must
+        splice at the persistent step clock (step0 > 0 on the second call),
+        landing bit-exactly on the one-shot jnp run."""
+        prog = """
+        add 1, r0, r10
+        add 8, r0, r1
+        loop:
+        log.swrite r1, r1
+        log.event r1, r1
+        sub! r1, r10, r1
+        jump.if_ne @loop
+        log.sread r10, r5
+        ret r0
+        """
+        config = _log_config(2)
+        words = [assemble_to_code_words(prog)] * 2
+        ref = run_cycles(make_entry_state(config, words, ergs=1 << 20),
+                         config, N_CYCLES)
+        fus = make_entry_state(config, words, ergs=1 << 20)
+        fus = run_cycles_fused(fus, config, N_CYCLES // 2, tile=2, k_inner=8)
+        fus = run_cycles_fused(fus, config, N_CYCLES // 2, tile=2, k_inner=8)
+        for f in dataclasses.fields(ref):
+            a = np.asarray(getattr(ref, f.name))
+            b = np.asarray(getattr(fus, f.name))
+            assert (a == b).all(), f.name
