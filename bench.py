@@ -1,7 +1,18 @@
 """Benchmark: witness-traced EraVM cycles/sec/chip on the batched interpreter.
 
 Runs on the real TPU chip (the session's default JAX platform, `axon`).
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — ALWAYS,
+even on hard failure (then "value" is null and "error" is set), and always
+exits 0.  Driver-proofing (the round-1 bench died on a transient backend-init
+flake before printing anything):
+
+  parent process (this script, default mode)
+    └─ spawns itself with --child under a wall-clock budget; the child writes
+       the headline result to a temp file AS SOON AS it is measured, then
+       keeps going with secondary workloads.  The parent retries the child
+       (with backoff — the TPU tunnel wedges and recovers) if no headline was
+       produced, prints the one JSON line, and caches the last good result in
+       .bench_last_good.json for post-mortems.
 
 Baseline anchor: the reference publishes no numbers (BASELINE.md) and the
 image has no Rust toolchain, so the baseline is MEASURED live on this machine
@@ -15,22 +26,93 @@ vs_baseline = TPU rate / native single-core rate.  Falls back to an assumed
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-import jax
-import numpy as np
-
-from era_zk_evm_tpu.isa.assembler import assemble_to_code_words
-from era_zk_evm_tpu.models import VmConfig, make_entry_state
-from era_zk_evm_tpu.models.batched_vm import run_cycles
-
+METRIC = "eravm_witness_traced_cycles_per_sec_per_chip"
 ASSUMED_BASELINE_CYCLES_PER_SEC = 10e6  # fallback; see module docstring
+CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".bench_last_good.json")
+# Total wall budget for one child attempt.  TPU compiles of the cycle step
+# take 2-6 min each and the child compiles several geometries.
+CHILD_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 3000))
+CHILD_ATTEMPTS = int(os.environ.get("BENCH_ATTEMPTS", 3))
+RETRY_BACKOFF_S = (20.0, 90.0)
 
+
+# ---------------------------------------------------------------------------
+# Parent: spawn child under a budget, always print one JSON line, exit 0.
+# ---------------------------------------------------------------------------
+
+def parent_main(argv: list[str]) -> None:
+    result_path = os.path.join("/tmp", f"bench_result_{os.getpid()}.json")
+    result: dict = {"metric": METRIC, "value": None, "unit": "cycles/s",
+                    "vs_baseline": None}
+    errors: list[str] = []
+    for attempt in range(CHILD_ATTEMPTS):
+        if attempt:
+            back = RETRY_BACKOFF_S[min(attempt - 1, len(RETRY_BACKOFF_S) - 1)]
+            print(f"bench: retrying in {back:.0f}s "
+                  f"(attempt {attempt + 1}/{CHILD_ATTEMPTS})", file=sys.stderr)
+            time.sleep(back)
+        try:
+            os.unlink(result_path)
+        except FileNotFoundError:
+            pass
+        cmd = [sys.executable, os.path.abspath(__file__), "--child",
+               result_path] + argv
+        try:
+            proc = subprocess.run(cmd, timeout=CHILD_BUDGET_S)
+            rc = proc.returncode
+        except subprocess.TimeoutExpired:
+            rc = "timeout"
+        headline = _read_result(result_path)
+        if headline and headline.get("value"):
+            result.update(headline)
+            result.pop("error", None)
+            break
+        errors.append(f"attempt {attempt + 1}: rc={rc}, no headline result")
+        print(f"bench: child produced no headline (rc={rc})", file=sys.stderr)
+    else:
+        result["error"] = "; ".join(errors) or "no attempts ran"
+        last_good = _read_result(CACHE_PATH)
+        if last_good:
+            print(f"bench: last good result (NOT this run's): "
+                  f"{json.dumps(last_good)}", file=sys.stderr)
+    if result.get("value"):
+        try:
+            with open(CACHE_PATH, "w") as f:
+                json.dump({**result, "cached_at": time.time()}, f)
+        except OSError:
+            pass
+    try:
+        os.unlink(result_path)
+    except FileNotFoundError:
+        pass
+    print(json.dumps(result))
+    sys.exit(0)
+
+
+def _read_result(path: str) -> dict | None:
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        return data if isinstance(data, dict) else None
+    except (OSError, ValueError):
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Child: the actual measurement.  Writes the headline to result_path as soon
+# as it is known; secondary workloads are best-effort after that.
+# ---------------------------------------------------------------------------
 
 def measure_native_baseline() -> float:
     """Single-core witness-traced cycles/sec of the native C++ oracle."""
     try:
+        from era_zk_evm_tpu.isa.assembler import assemble_to_code_words
         from era_zk_evm_tpu.native import run_oracle
 
         code = assemble_to_code_words(WORKLOAD)
@@ -41,6 +123,7 @@ def measure_native_baseline() -> float:
     except Exception as exc:  # noqa: BLE001 — fall back to the pinned figure
         print(f"native baseline unavailable: {exc}", file=sys.stderr)
     return ASSUMED_BASELINE_CYCLES_PER_SEC
+
 
 # a sustained mixed workload: arithmetic, stack traffic, unaligned-capable
 # heap access, conditional control flow — ~10 cycles per iteration, 2^15 iters
@@ -66,6 +149,13 @@ WORKLOAD = """
 
 def bench(batch: int, n_cycles: int, witness: bool, repeats: int = 3,
           engine: str = "fused") -> dict:
+    import jax  # noqa: F401 — ensure backend is up before timing
+    import numpy as np
+
+    from era_zk_evm_tpu.isa.assembler import assemble_to_code_words
+    from era_zk_evm_tpu.models import VmConfig, make_entry_state
+    from era_zk_evm_tpu.models.batched_vm import run_cycles
+
     # queue slots are consumed across ALL run_cycles calls (the global-step
     # clock persists for checkpoint/resume), so size for warmup + repeats
     q = n_cycles * 8 * (repeats + 2) if witness else 0
@@ -139,6 +229,12 @@ def bench_storage(batch: int, n_cycles: int, engine: str = "fused",
     gates win (16.8M vs 10.1M cyc/s measured at B=32k); the fused engine
     gates sweeps at tile granularity in-kernel.
     """
+    import numpy as np
+
+    from era_zk_evm_tpu.isa.assembler import assemble_to_code_words
+    from era_zk_evm_tpu.models import VmConfig, make_entry_state
+    from era_zk_evm_tpu.models.batched_vm import run_cycles
+
     config = VmConfig(batch=batch, code_words=16, stack_words=256,
                       sweep_gating=sweep_gating and engine != "fused",
                       stack_abs_words=64, stack_sp_base=960,
@@ -172,10 +268,16 @@ def bench_farcall(batch: int = 16384, n_calls: int = 12,
     Sparse opcode mix (see bench_storage): gating ON measured 19.5M vs
     7.1M cyc/s at B=16k.
     """
+    import jax
+    import numpy as np
+
     from era_zk_evm_tpu.isa import params
     from era_zk_evm_tpu.isa.abi import (
         FarCallABI, FatPointer, ForwardingMode, RetABI, code_hash_for_bytecode,
     )
+    from era_zk_evm_tpu.isa.assembler import assemble_to_code_words
+    from era_zk_evm_tpu.models import VmConfig, make_entry_state
+    from era_zk_evm_tpu.models.batched_vm import run_cycles
     from era_zk_evm_tpu.models.state import populate_code_bank, populate_storage
 
     callee_addr = 0x20042
@@ -245,6 +347,12 @@ def bench_farcall(batch: int = 16384, n_calls: int = 12,
 
 def bench_rolling(batch: int, n_cycles: int, engine: str = "fused") -> float:
     """Witness-committed mode: rolling sponge per query, no queue arrays."""
+    import numpy as np
+
+    from era_zk_evm_tpu.isa.assembler import assemble_to_code_words
+    from era_zk_evm_tpu.models import VmConfig, make_entry_state
+    from era_zk_evm_tpu.models.batched_vm import run_cycles
+
     config = VmConfig(batch=batch, code_words=16, stack_words=256,
                       sweep_gating=False,
                       stack_abs_words=64, stack_sp_base=960,
@@ -271,7 +379,10 @@ def bench_rolling(batch: int, n_cycles: int, engine: str = "fused") -> float:
 
 def bench_keccak(batch: int = 65536, iters: int = 32) -> float:
     """Chained batched Keccak-f[1600] permutations/sec (verified kernel)."""
+    import jax
     import jax.numpy as jnp
+    import numpy as np
+
     from era_zk_evm_tpu.ops.keccak import keccak_f1600_array
 
     st = jnp.ones((batch, 25, 2), jnp.uint32)
@@ -284,7 +395,10 @@ def bench_keccak(batch: int = 65536, iters: int = 32) -> float:
 
 
 def bench_sha256(batch: int = 65536, iters: int = 32) -> float:
+    import jax
     import jax.numpy as jnp
+    import numpy as np
+
     from era_zk_evm_tpu.ops.sha256 import sha256_compress_batched, sha256_iv
 
     block = jnp.ones((batch, 16), jnp.uint32)
@@ -297,41 +411,84 @@ def bench_sha256(batch: int = 65536, iters: int = 32) -> float:
     return batch * iters / (time.time() - t0)
 
 
-def main() -> None:
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
-    n_cycles = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+def _init_backend(attempts: int = 4) -> None:
+    """Bring up the JAX backend, retrying transient tunnel flakes in-process."""
+    import jax
 
-    print(f"platform: {jax.default_backend()} {jax.devices()}", file=sys.stderr)
+    for i in range(attempts):
+        try:
+            devs = jax.devices()
+            print(f"platform: {jax.default_backend()} {devs}", file=sys.stderr)
+            return
+        except RuntimeError as exc:
+            if i == attempts - 1:
+                raise
+            wait = 15.0 * (i + 1)
+            print(f"backend init failed ({exc}); retry in {wait:.0f}s",
+                  file=sys.stderr)
+            time.sleep(wait)
+
+
+def child_main(result_path: str, argv: list[str]) -> None:
+    batch = int(argv[0]) if len(argv) > 0 else 32768
+    n_cycles = int(argv[1]) if len(argv) > 1 else 128
+
+    _init_backend()
     baseline = measure_native_baseline()
     print(f"native single-core baseline: {baseline / 1e6:.2f}M "
           f"witness-traced cycles/s", file=sys.stderr)
 
-    print(f"keccak-f[1600]: {bench_keccak() / 1e6:.0f}M perms/s", file=sys.stderr)
-    print(f"sha256 compress: {bench_sha256() / 1e6:.0f}M rounds/s", file=sys.stderr)
+    def _emit(value: float, extra: dict | None = None) -> None:
+        payload = {"metric": METRIC, "value": value, "unit": "cycles/s",
+                   "vs_baseline": value / baseline}
+        if extra:
+            payload.update({k: v for k, v in extra.items()
+                            if k in ("engine", "batch", "n_cycles")})
+        tmp = result_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, result_path)
 
-    jnp_traced = bench(batch, n_cycles, witness=True, repeats=1,
-                       engine="jnp")
-    print(f"witness-traced (jnp): {jnp_traced}", file=sys.stderr)
+    # HEADLINE FIRST: fused witness-traced.  Everything after is best-effort.
     try:
-        fast = bench(batch, n_cycles, witness=False)
-        print(f"no-witness (fused): {fast}", file=sys.stderr)
         traced = bench(batch, n_cycles, witness=True, repeats=1)
         print(f"witness-traced (fused): {traced}", file=sys.stderr)
+        _emit(traced["cycles_per_sec"], traced)
     except Exception as exc:  # noqa: BLE001 — headline survives a Mosaic flake
         print(f"fused engine failed ({exc}); headline falls back to jnp",
               file=sys.stderr)
-        traced = jnp_traced
+        traced = bench(batch, n_cycles, witness=True, repeats=1, engine="jnp")
+        print(f"witness-traced (jnp): {traced}", file=sys.stderr)
+        _emit(traced["cycles_per_sec"], traced)
+
+    if os.environ.get("BENCH_HEADLINE_ONLY"):
+        return
+
+    def _secondary(name, fn):
+        try:
+            out = fn()
+            print(f"{name}: {out}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name} failed: {exc}", file=sys.stderr)
+
+    _secondary("no-witness (fused)",
+               lambda: bench(batch, n_cycles, witness=False, repeats=1))
+    _secondary("witness-traced (jnp)",
+               lambda: bench(batch, n_cycles, witness=True, repeats=1,
+                             engine="jnp"))
+    _secondary("keccak-f[1600] Mperms/s", lambda: bench_keccak() / 1e6)
+    _secondary("sha256 Mrounds/s", lambda: bench_sha256() / 1e6)
 
     def _workload(name, fn):
-        try:
-            rate = fn("fused")
-            print(f"{name} (fused): {rate:.0f} cycles/s", file=sys.stderr)
-        except Exception as exc:  # noqa: BLE001
-            print(f"{name} fused failed ({exc}); jnp fallback",
-                  file=sys.stderr)
-            rate = fn("jnp")
-            print(f"{name} (jnp): {rate:.0f} cycles/s", file=sys.stderr)
-        return rate
+        def run():
+            try:
+                rate = fn("fused")
+                return f"(fused) {rate:.0f} cycles/s"
+            except Exception as exc:  # noqa: BLE001
+                print(f"{name} fused failed ({exc}); jnp fallback",
+                      file=sys.stderr)
+                return f"(jnp) {fn('jnp'):.0f} cycles/s"
+        _secondary(name, run)
 
     _workload("storage/event workload",
               lambda e: bench_storage(batch, n_cycles, engine=e))
@@ -340,14 +497,9 @@ def main() -> None:
     _workload("far-call/decommit workload",
               lambda e: bench_farcall(engine=e))
 
-    value = traced["cycles_per_sec"]
-    print(json.dumps({
-        "metric": "eravm_witness_traced_cycles_per_sec_per_chip",
-        "value": value,
-        "unit": "cycles/s",
-        "vs_baseline": value / baseline,
-    }))
-
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child_main(sys.argv[2], sys.argv[3:])
+    else:
+        parent_main(sys.argv[1:])
