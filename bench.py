@@ -167,7 +167,10 @@ def bench(batch: int, n_cycles: int, witness: bool, repeats: int = 3,
     if engine == "fused":
         from era_zk_evm_tpu.models.fused_cycle import run_cycles_fused
 
-        tile = 256 if batch % 256 == 0 else 128
+        # T=512 measured fastest at B=32k (38.4M vs 33M at T=256 —
+        # tools/ablate_fused.py tile sweep)
+        tile = 512 if batch % 512 == 0 else \
+            (256 if batch % 256 == 0 else 128)
         def step(st):
             return run_cycles_fused(st, config, n_cycles, tile=tile,
                                     k_inner=min(128, n_cycles))
@@ -345,8 +348,12 @@ def bench_farcall(batch: int = 16384, n_calls: int = 12,
     return batch * n_cycles / (time.time() - t0)
 
 
-def bench_rolling(batch: int, n_cycles: int, engine: str = "fused") -> float:
-    """Witness-committed mode: rolling sponge per query, no queue arrays."""
+def bench_rolling(batch: int, n_cycles: int, engine: str = "fused",
+                  tile: int = 128) -> float:
+    """Witness-committed mode: rolling sponge per query, no queue arrays.
+
+    tile=128 (not the headline 256): the in-kernel per-slot sponge absorbs
+    push the Mosaic resource ceiling at tile=256 (SIGABRT, observed)."""
     import numpy as np
 
     from era_zk_evm_tpu.isa.assembler import assemble_to_code_words
@@ -362,7 +369,7 @@ def bench_rolling(batch: int, n_cycles: int, engine: str = "fused") -> float:
         from era_zk_evm_tpu.models.fused_cycle import run_cycles_fused
 
         def step(st):
-            return run_cycles_fused(st, config, n_cycles, tile=256,
+            return run_cycles_fused(st, config, n_cycles, tile=tile,
                                     k_inner=min(128, n_cycles))
     else:
         def step(st):

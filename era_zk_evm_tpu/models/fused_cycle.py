@@ -73,14 +73,34 @@ SLOTS_PER_CYCLE = 8  # must match batched_vm.SLOTS_PER_CYCLE
 def supported(config: VmConfig) -> bool:
     """Configs this kernel covers (see module docstring).
 
-    The LOG family (storage/journal/events + log-witness queue) and
-    FAR_CALL (decommit bank, callstack, decommit-witness queue) are
-    in-kernel; precompiles and the rolling commitment remain on the jnp
-    path for now.
+    Everything is in-kernel — the LOG family (storage/journal/events +
+    log-witness queue), FAR_CALL (decommit bank, callstack,
+    decommit-witness queue), the keccak256/sha256 precompiles + their
+    round-witness (pq) queue, and the rolling sponge commitment — except
+    ecrecover, which stays on the jnp engine.  The accepted-geometry
+    couplings (each asserted below):
+
+      * ecrecover (when on) needs the keccak/sha units and the LOG unit:
+        the kernel only DETECTS ecrecover cycles (its field arithmetic,
+        ~100k kernel ops, would risk the Mosaic resource ceiling); the
+        wrapper re-runs the chunk up to the first such cycle (dynamic
+        k_stop) and executes that one cycle on the jnp engine —
+        bit-exact, with zero overhead for configs without it.
+      * pq queue needs the keccak/sha units AND the LOG unit
+        (storage_slots > 0): pq rows are emitted by in-kernel precompile
+        calls, which are LOG sub-ops.
+      * rolling commitment and the memory witness QUEUE are exclusive:
+        both consume the same per-cycle slot stream; the jnp engine has
+        the same restriction in practice (bench modes use one or the
+        other), and supporting both would double the slot writeback.
+      * precompile units need the LOG unit (they are LogOp.PRECOMPILE_CALL).
+      * log/decommit queues need the LOG/FAR_CALL unit (storage_slots > 0)
+        that emits them.
     """
     pp_on = config.precompile_keccak_blocks > 0 \
         or config.precompile_sha_rounds > 0
-    return (not config.precompile_ecrecover
+    return ((not config.precompile_ecrecover
+             or (pp_on and config.storage_slots > 0))
             and (config.precompile_queue_capacity == 0
                  or (pp_on and config.storage_slots > 0))
             and not (config.rolling_commitment and config.queue_capacity)
@@ -138,16 +158,25 @@ def _sel8(mask, a, b):
 
 
 def _shift_limbs(a, words, left: bool):
-    """Per-lane limb move: out[i] = a[i -/+ words] (0 out of range)."""
-    outs = []
-    w = words.astype(I32)
-    for i in range(8):
-        acc = jnp.zeros_like(a[0])
-        for j in range(8):
-            need = (i - j) if left else (j - i)
-            acc = acc | jnp.where(w == need, a[j], 0)
-        outs.append(acc)
-    return jnp.stack(outs, axis=0)
+    """Per-lane limb move: out[i] = a[i -/+ words] (0 out of range).
+
+    Log-depth form: stage-shift by 1/2/4 limbs selected by the bits of
+    `words` (24 selects vs the 64-compare/64-or one-hot sweep — measured
+    at ~2x cheaper in the UMA/shift units)."""
+    w = words.astype(U32)
+    x = [a[i] for i in range(8)]
+    zero = jnp.zeros_like(a[0])
+    for bit in (0, 1, 2):
+        sh = 1 << bit
+        take = ((w >> bit) & 1) != 0
+        if left:
+            moved = [x[i - sh] if i >= sh else zero for i in range(8)]
+        else:
+            moved = [x[i + sh] if i + sh < 8 else zero for i in range(8)]
+        x = [jnp.where(take, moved[i], x[i]) for i in range(8)]
+    big = w >= 8
+    x = [jnp.where(big, zero, x[i]) for i in range(8)]
+    return jnp.stack(x, axis=0)
 
 
 def _u256_shl(a, n):
@@ -522,13 +551,17 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     active = ~frozen
     lane_error = v["lane_error"].astype(BOOL)
 
+    # the CURRENT frame rides in a dedicated VMEM cache (v["cur_*"]), not
+    # gathered from the [D, ...] callstack arrays: the full-depth one-hot
+    # gather + the every-cycle writeback scatter were ~1/6 of the cycle
+    # cost (tools/ablate_fused.py stage profile); the cs arrays are now
+    # touched only on push/pop and at the chunk boundary.
     depth = v["depth"]
-    doh = _onehot_l(depth, D)                       # [D, TB]
-    scal = _usum(jnp.where(doh[:, None, :], v["cs_scalars"], 0), axis=0)
-    this_addr = _usum(jnp.where(doh[:, None, :], v["cs_this"], 0), axis=0)
-    msg_sender = _usum(jnp.where(doh[:, None, :], v["cs_sender"], 0), axis=0)
-    code_addr = _usum(jnp.where(doh[:, None, :], v["cs_code"], 0), axis=0)
-    frame_u128 = _usum(jnp.where(doh[:, None, :], v["cs_u128"], 0), axis=0)
+    scal = v["cur_scal"]                            # [NF, TB]
+    this_addr = v["cur_this"]                       # [5, TB]
+    msg_sender = v["cur_sender"]
+    code_addr = v["cur_code"]
+    frame_u128 = v["cur_u128"]                      # [4, TB]
 
     pc = scal[CS["pc"]]
     code_page = scal[CS["code_page"]]
@@ -539,6 +572,10 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     base_page = scal[CS["base_memory_page"]]
     heap_bound0 = scal[CS["heap_bound"]]
     aux_bound0 = scal[CS["aux_heap_bound"]]
+
+    cut = _stage_cut(v, 0, v["timestamp"] ^ scal[CS["pc"]])
+    if cut is not None:
+        return cut, [], None, None, None, None
 
     # ---- fetch: super-pc cache + pending override (batched_vm.py:230-263)
     pending = v["pending_exception"].astype(BOOL)
@@ -576,7 +613,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
 
     cut = _stage_cut(v, 1, insn_lo ^ insn_hi)
     if cut is not None:
-        return cut, [], None, None, None
+        return cut, [], None, None, None, None
 
     # ---- decode + masking (batched_vm.py:265-396)
     raw_variant = insn_lo & VARIANT_MASK
@@ -596,7 +633,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 11, fam16 ^ sub_raw ^ combo ^ src0_mode_raw
                      ^ dst0_mode_raw ^ imm0 ^ imm1)
     if cut is not None:
-        return cut, [], None, None, None
+        return cut, [], None, None, None, None
 
     invalid = fam16 == OP.INVALID
     requires_kernel = ((fam16 == OP.CONTEXT)
@@ -634,7 +671,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
                      ^ requires_kernel.astype(U32)
                      ^ allowed_in_static.astype(U32))
     if cut is not None:
-        return cut, [], None, None, None
+        return cut, [], None, None, None, None
 
     not_enough = ergs0 < price
     ergs1 = jnp.where(not_enough, 0, ergs0 - price)
@@ -659,7 +696,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 13, mask_panic.astype(U32)
                      ^ mask_nop.astype(U32) ^ ergs1)
     if cut is not None:
-        return cut, [], None, None, None
+        return cut, [], None, None, None, None
 
     zeroed = mask_panic | mask_nop
     src0_reg = jnp.where(zeroed, 0, src0_reg)
@@ -697,10 +734,15 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
         tag = jnp.any(oh & v["reg_ptr"].astype(BOOL), axis=0)
         return val, tag
 
+    def read_reg_low(idx):
+        """Limb 0 only (address generation) — 1/8 the sweep of read_reg."""
+        oh = _onehot_l(idx.astype(I32) - 1, p.REGISTERS_COUNT)
+        return _usum(jnp.where(oh, v["regs"][:, 0, :], 0), axis=0)
+
     cut = _stage_cut(v, 21, opcode ^ sub_variant ^ src0_mode ^ dst0_mode
                      ^ set_flags.astype(U32) ^ price)
     if cut is not None:
-        return cut, [], None, None, None
+        return cut, [], None, None, None, None
 
 
     sp0 = scal[CS["sp"]]
@@ -718,10 +760,10 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 22, src0_reg_val[0] ^ src0_loc ^ sp1
                      ^ src0_reg_tag.astype(U32))
     if cut is not None:
-        return cut, [], None, None, None
+        return cut, [], None, None, None, None
 
-    dst0_reg_val, _ = read_reg(dst0_reg)
-    vaddr1 = ((dst0_reg_val[0] & U16_MASK) + imm1) & U16_MASK
+    dst0_reg_low = read_reg_low(dst0_reg)
+    vaddr1 = ((dst0_reg_low & U16_MASK) + imm1) & U16_MASK
     dst0_pushpop = dst0_mode == M.FULL_STACK_PUSH_POP
     dst0_stack_off = dst0_mode == M.FULL_STACK_OFFSET
     dst0_abs = dst0_mode == M.FULL_ABS_STACK
@@ -736,7 +778,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 23, dst0_loc ^ sp2
                      ^ do_src0_mem_read.astype(U32))
     if cut is not None:
-        return cut, [], None, None, None
+        return cut, [], None, None, None, None
 
     src0_phys, src0_in_window = _map_stack_index_l(config, src0_loc)
     # tile-occupancy conds around the arena SWEEPS (the one-hot compare+
@@ -762,7 +804,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 24, stack_val[0] ^ code_val[0]
                      ^ stack_tag.astype(U32) ^ lane_error.astype(U32))
     if cut is not None:
-        return cut, [], None, None, None
+        return cut, [], None, None, None, None
 
     src0_mem_val = _sel8(src0_code, code_val, stack_val)
     src0_mem_tag = (~src0_code & stack_tag) & do_src0_mem_read
@@ -775,7 +817,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     src0_tag = _bsel(use_reg, src0_reg_tag, ~use_imm & src0_mem_tag)
     cut = _stage_cut(v, 25, src0[0] ^ src0_tag.astype(U32))
     if cut is not None:
-        return cut, [], None, None, None
+        return cut, [], None, None, None, None
 
     src1, src1_tag = read_reg(src1_reg)
 
@@ -786,7 +828,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
 
     cut = _stage_cut(v, 26, src0[0] ^ src1[0] ^ src1_tag.astype(U32))
     if cut is not None:
-        return cut, [], None, None, None
+        return cut, [], None, None, None, None
 
     new_pc_lin = (pc + 1) & U16_MASK
 
@@ -802,7 +844,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
 
     cut = _stage_cut(v, 2, src0[0] ^ src1[0] ^ dst0_loc ^ sp2)
     if cut is not None:
-        return cut, [], None, None, None
+        return cut, [], None, None, None, None
 
     # ---- opcode family predicates (batched_vm.py:476-495)
     is_add = opcode == OP.ADD
@@ -865,7 +907,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 3, sum_val[0] ^ diff_val[0] ^ mul_lo[0]
                      ^ div_q[0] ^ shift_val[0] ^ binop_val[0])
     if cut is not None:
-        return cut, [], None, None, None
+        return cut, [], None, None, None, None
 
     # ---- context (context.rs; batched_vm.py:534-562)
     ctx_sub = sub_variant
@@ -937,7 +979,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 4, ctx_val[0] ^ ptr_result[0]
                      ^ ptr_panic.astype(U32))
     if cut is not None:
-        return cut, [], None, None, None
+        return cut, [], None, None, None, None
 
     # ---- UMA (uma.rs; batched_vm.py:597-728)
     uma_sub = sub_variant
@@ -1046,26 +1088,45 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
                _sel8(use_heap_arena, w1_heap, w1_aux), z8)
 
     una_bits = unalign * 8
-    if "uma_shift" in DEBUG_SKIP:
-        read_val = w0
-    else:
-        read_val = _u256_shl(w0, una_bits) | _u256_shr(w1, 256 - una_bits)
     beyond_uf = incremented < u_length
     beyond = jnp.where(beyond_uf | uma_skip_mem, 0, incremented - u_length) \
         & 31
     bb = beyond * 8
-    read_val_ptr = _u256_shl(_u256_shr(read_val, bb), bb)
-    read_val = _sel8(uma_is_ptr_read, read_val_ptr, read_val)
-
     sv = src1
     keep_hi_bits = (32 - unalign) * 8
-    if "uma_shift" in DEBUG_SKIP:
-        new_w0, new_w1 = sv, sv
-    else:
+    # the splice shifts cost ~1.2us/cycle unconditionally (measured,
+    # tools/ablate_fused.py): occupancy-gate the whole unit on any UMA in
+    # the tile, and inside it take the aligned fast path (unalign == 0 ->
+    # read_val = w0, new_w0 = src1, new_w1 = w1 — the shl/shr identities
+    # below fold to exactly that) when no lane is unaligned this cycle.
+    any_uma_mem = jnp.any(do_mem)
+
+    def splice_unaligned():
+        read_val = _u256_shl(w0, una_bits) | _u256_shr(w1, 256 - una_bits)
         new_w0 = _u256_shl(_u256_shr(w0, keep_hi_bits), keep_hi_bits) \
             | _u256_shr(sv, una_bits)
         new_w1 = _u256_shr(_u256_shl(w1, una_bits), una_bits) \
             | _u256_shl(sv, keep_hi_bits)
+        return read_val, new_w0, new_w1
+
+    def splice_unit():
+        return jax.lax.cond(
+            jnp.any(do_mem & is_unaligned), splice_unaligned,
+            lambda: (w0, sv, w1))
+
+    if "uma_shift" in DEBUG_SKIP:
+        read_val, new_w0, new_w1 = w0, sv, sv
+    else:
+        read_val, new_w0, new_w1 = jax.lax.cond(
+            any_uma_mem, splice_unit, lambda: (z8, z8, z8))
+
+    def ptr_mask_unit():
+        masked = _u256_shl(_u256_shr(read_val, bb), bb)
+        return _sel8(uma_is_ptr_read, masked, read_val)
+
+    read_val = jax.lax.cond(
+        jnp.any(uma_is_ptr_read & do_mem), ptr_mask_unit,
+        lambda: read_val)
 
     uma_do_write = uma_is_write & ~uma_skip_mem
     uma_do_read_mem = is_uma & ~uma_skip_mem
@@ -1075,7 +1136,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 5, read_val[0] ^ new_w0[0] ^ new_w1[0]
                      ^ uma_cost ^ uma_slot)
     if cut is not None:
-        return cut, [], None, None, None
+        return cut, [], None, None, None, None
 
     # ---- log family (log.rs; port of batched_vm.py:730-831)
     ts_log = v["timestamp"] + 1
@@ -1109,7 +1170,12 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
             ergs2 - jnp.where(is_log, log_total_cost, 0))
         new_spent_pubdata = v["spent_pubdata"] + jnp.where(
             active & is_log,
-            jnp.where(log_not_enough, jnp.minimum(ergs2, ergs_on_pubdata),
+            # compare+select, not jnp.minimum: Mosaic cannot legalize
+            # vector arith.minui on this toolchain (bisected via the
+            # remote compile helper; signed min/max on i32 are fine)
+            jnp.where(log_not_enough,
+                      jnp.where(ergs2 < ergs_on_pubdata, ergs2,
+                                ergs_on_pubdata),
                       ergs_on_pubdata),
             0)
         log_skipped = log_not_enough
@@ -1214,6 +1280,16 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
         is_sha_pc = do_precomp & (
             addr16 == p.SHA256_ROUND_FUNCTION_PRECOMPILE_ADDRESS)
         pp_any = is_keccak_pc | is_sha_pc
+        # ecrecover: the kernel does NOT execute it (the wrapper re-runs
+        # the chunk up to the first such cycle and detours that one cycle
+        # through the jnp engine — see run_cycles_fused); here it is only
+        # DETECTED, and the lane's in-kernel "execution" is garbage that
+        # the wrapper discards.
+        if config.precompile_ecrecover:
+            want_ec = do_precomp & (
+                addr16 == p.ECRECOVER_INNER_FUNCTION_PRECOMPILE_ADDRESS)
+        else:
+            want_ec = None
 
         def page_slot(page):
             hm = hp_page_tab == page[None, :]
@@ -1441,7 +1517,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
 
     cut = _stage_cut(v, 6, returndata_u256[0] ^ ergs3 ^ nc_passed)
     if cut is not None:
-        return cut, [], None, None, None
+        return cut, [], None, None, None, None
 
     # ---- far call (far_call.rs; port of batched_vm.py:1143-1296)
     is_far_call = (opcode == OP.FAR_CALL) if log_enabled \
@@ -1575,8 +1651,10 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
         fc_left = jnp.where(fc_over, fc_leftover,
                             fc_leftover + fc_max_passable - fc_want)
 
-        r15_val, _r15t = read_reg(jnp.full((TB,), 15, dtype=U32))
-        mimic_sender5 = r15_val[:5]
+        mimic_sender5 = jax.lax.cond(
+            jnp.any(fc_mimic),
+            lambda: read_reg(jnp.full((TB,), 15, dtype=U32))[0][:5],
+            lambda: jnp.zeros((5, TB), dtype=U32))
         fc_next_this = _sel8(fc_delegate, this_addr, fc_addr5)
         fc_next_sender = _sel8(fc_delegate, msg_sender,
                                _sel8(fc_mimic, mimic_sender5, this_addr))
@@ -1669,7 +1747,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 7, dst0_val[0] ^ dst1_val[0]
                      ^ new_flags[0].astype(U32))
     if cut is not None:
-        return cut, [], None, None, None
+        return cut, [], None, None, None, None
 
     # ---- pc + frame machinery (batched_vm.py:1386-1525)
     cur_pc_new = new_pc_lin
@@ -1690,10 +1768,9 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cur_scal = _set_row(cur_scal, CS["heap_bound"], hb_cur)
     cur_scal = _set_row(cur_scal, CS["aux_heap_bound"], ab_cur)
 
-    new_cs_scalars = _scatter_l(v["cs_scalars"], depth, cur_scal, active)
-
     # push (near call / far call; batched_vm.py:1412-1467)
     push_mask = (is_near_call | is_far_call) & active
+    pop_mask_e = is_ret & active
     pushed = cur_scal
     pushed = _set_row(pushed, CS["pc"],
                       jnp.where(is_far_call, 0, imm0))
@@ -1746,13 +1823,28 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
                       new_ev_count.astype(U32))
     push_idx = jnp.minimum(depth + 1, D - 1)
     lane_error = lane_error | (active & push_mask & (depth + 1 >= D))
-    new_cs_scalars = _scatter_l(new_cs_scalars, push_idx, pushed, push_mask)
-    new_cs_this = _scatter_l(v["cs_this"], push_idx, push_this, push_mask)
-    new_cs_sender = _scatter_l(v["cs_sender"], push_idx, push_sender,
-                               push_mask)
-    new_cs_code = _scatter_l(v["cs_code"], push_idx, push_code_addr,
-                             push_mask)
-    new_cs_u128 = _scatter_l(v["cs_u128"], push_idx, push_u128, push_mask)
+
+    # cs arrays are touched only on frame events (the reference's
+    # every-cycle current-frame writeback collapses to the last write
+    # before the frame is left, plus the chunk-boundary writeback in
+    # _build_kernel): store the outgoing current frame at depth and the
+    # pushed frame at depth+1.
+    frame_event = push_mask | pop_mask_e
+    if "mem" not in DEBUG_PASSTHROUGH:
+        @pl.when(jnp.any(frame_event))
+        def _store_cs_event():
+            css = mem["cs_scalars"][...]
+            css = _scatter_l(css, depth, cur_scal, frame_event)
+            css = _scatter_l(css, push_idx, pushed, push_mask)
+            mem["cs_scalars"][...] = css
+            mem["cs_this"][...] = _scatter_l(
+                mem["cs_this"][...], push_idx, push_this, push_mask)
+            mem["cs_sender"][...] = _scatter_l(
+                mem["cs_sender"][...], push_idx, push_sender, push_mask)
+            mem["cs_code"][...] = _scatter_l(
+                mem["cs_code"][...], push_idx, push_code_addr, push_mask)
+            mem["cs_u128"][...] = _scatter_l(
+                mem["cs_u128"][...], push_idx, push_u128, push_mask)
     # heap-slot allocation + page tables + page counter (far call)
     new_frame_count = v["frame_count"]
     new_page_counter = v["page_counter"]
@@ -1768,12 +1860,31 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
         new_page_counter = new_page_counter + jnp.where(
             is_far_call & active, U32(p.NEW_MEMORY_PAGES_PER_FAR_CALL), 0)
 
-    # pop (ret): update the parent frame
-    pop_mask = is_ret & active
+    # pop (ret): load the parent frame from the cs refs (sees the stale
+    # write above — a root-frame ret gathers its own just-written row)
+    # and make it the new cached current frame
+    pop_mask = pop_mask_e
     parent_idx = jnp.maximum(depth - 1, 0)
-    poh = _onehot_l(parent_idx, D)
-    parent_scal = _usum(jnp.where(poh[:, None, :], new_cs_scalars, 0),
-                         axis=0)
+
+    def _pop_gather():
+        poh = _onehot_l(parent_idx, D)
+        pm = poh[:, None, :]
+        return (
+            _usum(jnp.where(pm, mem["cs_scalars"][...], 0), axis=0),
+            _usum(jnp.where(pm, mem["cs_this"][...], 0), axis=0),
+            _usum(jnp.where(pm, mem["cs_sender"][...], 0), axis=0),
+            _usum(jnp.where(pm, mem["cs_code"][...], 0), axis=0),
+            _usum(jnp.where(pm, mem["cs_u128"][...], 0), axis=0),
+        )
+
+    (parent_scal, parent_this, parent_sender, parent_code,
+     parent_u128) = jax.lax.cond(
+        jnp.any(pop_mask), _pop_gather,
+        lambda: (jnp.zeros((NF, TB), dtype=U32),
+                 jnp.zeros((5, TB), dtype=U32),
+                 jnp.zeros((5, TB), dtype=U32),
+                 jnp.zeros((5, TB), dtype=U32),
+                 jnp.zeros((4, TB), dtype=U32)))
     p_ergs = parent_scal[CS["ergs_remaining"]] + ergs3
     parent_scal = _set_row(parent_scal, CS["ergs_remaining"], p_ergs)
     label_jump = is_to_label & is_local_frame
@@ -1785,11 +1896,23 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     parent_scal = _set_row(parent_scal, CS["heap_bound"], 
         jnp.where(loc, jnp.where(is_uma, new_heap_bound_u, heap_bound0),
                   parent_scal[CS["heap_bound"]]))
-    parent_scal = _set_row(parent_scal, CS["aux_heap_bound"], 
+    parent_scal = _set_row(parent_scal, CS["aux_heap_bound"],
         jnp.where(loc, jnp.where(is_uma, new_aux_bound_u, aux_bound0),
                   parent_scal[CS["aux_heap_bound"]]))
-    new_cs_scalars = _scatter_l(new_cs_scalars, parent_idx, parent_scal,
-                                pop_mask)
+
+    # next cached current frame: pushed frame on push, updated parent on
+    # pop, the updated current otherwise (the updated parent lives ONLY
+    # in the cache until the next frame event / chunk boundary)
+    ncur_scal = jnp.where(pop_mask[None, :], parent_scal,
+                          jnp.where(push_mask[None, :], pushed, cur_scal))
+    ncur_this = _sel8(pop_mask, parent_this,
+                      _sel8(push_mask, push_this, this_addr))
+    ncur_sender = _sel8(pop_mask, parent_sender,
+                        _sel8(push_mask, push_sender, msg_sender))
+    ncur_code = _sel8(pop_mask, parent_code,
+                      _sel8(push_mask, push_code_addr, code_addr))
+    ncur_u128 = _sel8(pop_mask, parent_u128,
+                      _sel8(push_mask, push_u128, frame_u128))
 
     # storage rollback + event cancel for panicked pops
     # (storage.rs:156-181 value replay; event_sink.rs:154-175)
@@ -1827,9 +1950,9 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     new_depth = jnp.maximum(new_depth, 0)
     new_done = new_depth == 0
 
-    cut = _stage_cut(v, 8, new_cs_scalars[0, 0] ^ new_depth.astype(U32))
+    cut = _stage_cut(v, 8, ncur_scal[0] ^ new_depth.astype(U32))
     if cut is not None:
-        return cut, [], None, None, None
+        return cut, [], None, None, None, None
 
     # ---- register writebacks (batched_vm.py:1527-1553)
     dst0_to_reg = dst0_write & ~dst0_is_stack_mem & (dst0_reg > 0) & active
@@ -1885,7 +2008,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     cut = _stage_cut(v, 9, new_regs[0, 0] ^ new_reg_ptr[0].astype(U32)
                      ^ new_context_u128[0])
     if cut is not None:
-        return cut, [], None, None, None
+        return cut, [], None, None, None, None
 
     # ---- memory writebacks (batched_vm.py:1577-1611)
     dst0_to_stack = dst0_write & dst0_is_stack_mem & active
@@ -1929,7 +2052,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
 
     cut = _stage_cut(v, 10, dst0_val[0] ^ new_w0[0] ^ new_w1[0])
     if cut is not None:
-        return cut, [], None, None, None
+        return cut, [], None, None, None, None
 
     # ---- witness slot rows (golden emission order; batched_vm.py:1627-1692)
     wq_count = v["wq_count"]
@@ -2102,11 +2225,11 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
                                          new_prev_code_page)
     nv["context_u128"] = _sel8(fz, v["context_u128"], new_context_u128)
     nv["depth"] = jnp.where(fz, v["depth"], new_depth)
-    nv["cs_this"] = new_cs_this
-    nv["cs_sender"] = new_cs_sender
-    nv["cs_code"] = new_cs_code
-    nv["cs_u128"] = new_cs_u128
-    nv["cs_scalars"] = new_cs_scalars
+    nv["cur_scal"] = jnp.where(fz[None, :], v["cur_scal"], ncur_scal)
+    nv["cur_this"] = _sel8(fz, v["cur_this"], ncur_this)
+    nv["cur_sender"] = _sel8(fz, v["cur_sender"], ncur_sender)
+    nv["cur_code"] = _sel8(fz, v["cur_code"], ncur_code)
+    nv["cur_u128"] = _sel8(fz, v["cur_u128"], ncur_u128)
 
     nv["done"] = _bsel(fz, v["done"].astype(BOOL),
                        new_done).astype(U32)
@@ -2145,7 +2268,10 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
                                       new_frame_count)
         nv["page_counter"] = jnp.where(fz, v["page_counter"],
                                        new_page_counter)
-    return nv, slots, lrow, drow, prow
+    if config.precompile_ecrecover and not pp_enabled:
+        want_ec = jnp.zeros((TB,), dtype=BOOL)
+    ecrow = want_ec.astype(U32) if config.precompile_ecrecover else None
+    return nv, slots, lrow, drow, prow, ecrow
 
 
 # ===========================================================================
@@ -2369,35 +2495,53 @@ def _unpack(bufs: dict, state: BatchedVmState,
 # the Pallas kernel + public driver
 # ===========================================================================
 
-def _vals_from_refs(refs: dict) -> tuple[dict, dict | None]:
-    """Load per-cycle state values from VMEM refs.
+#: the per-lane rows that ride the fori carry as VALUES (~60KB at TB=256):
+#: all scalar rows + the cached current callstack frame.  The carry avoids
+#: re-loading + re-stacking + re-storing them every cycle — that fixed
+#: work was ~3us/tile-cycle, the largest single cost in the stage profile
+#: (tools/ablate_fused.py).  Big arrays (regs, arenas, cs) stay in refs:
+#: multi-MB live carries SIGABRT the Mosaic compile helper (bisected).
+def _carry_from_vals(v: dict):
+    # rank-2 [1, TB] rows: rank-1 carries crash Mosaic's vector-layout
+    # inference (VectorLayout::join check failure, observed)
+    rows = tuple(v[name].astype(U32)[None, :] for name in _SCAL_ROWS)
+    return rows + (v["cur_scal"], v["cur_this"], v["cur_sender"],
+                   v["cur_code"], v["cur_u128"])
+
+
+def _vals_from_carry(carry, refs: dict) -> dict:
+    """Rebuild the per-cycle value dict from the fori carry + big refs.
 
     Booleans ride as u32 (i1 vectors in loop-visible state crash Mosaic);
     _cycle_tile converts at its boundary.
     """
-    s = refs["scal"][:]
     v = {}
-    for name in _SCAL_ROWS:
-        x = s[_SROW[name]]
+    for i, name in enumerate(_SCAL_ROWS):
+        x = carry[i][0]
         if name in _SCAL_I32:
             x = x.astype(I32)
         v[name] = x
+    n = len(_SCAL_ROWS)
+    (v["cur_scal"], v["cur_this"], v["cur_sender"], v["cur_code"],
+     v["cur_u128"]) = carry[n:n + 5]
     for name in ("regs", "reg_ptr", "flags", "previous_code_word",
-                 "context_u128", "cs_scalars", "cs_this", "cs_sender",
-                 "cs_code", "cs_u128"):
+                 "context_u128"):
         v[name] = refs[name][:]
-    return v, None
+    return v
 
 
 def _vals_to_refs(v: dict, refs: dict) -> None:
+    """Store the carried rows back into the inout refs (ONCE per chunk)."""
     rows = []
     for name in _SCAL_ROWS:
         rows.append(v[name].astype(U32))
     rows += [jnp.zeros_like(rows[0])] * (24 - len(_SCAL_ROWS))
     refs["scal"][:] = jnp.stack(rows, axis=0)
+
+
+def _big_to_refs(v: dict, refs: dict) -> None:
     for name in ("regs", "reg_ptr", "flags", "previous_code_word",
-                 "context_u128", "cs_scalars", "cs_this", "cs_sender",
-                 "cs_code", "cs_u128"):
+                 "context_u128"):
         refs[name][:] = v[name]
 
 
@@ -2426,6 +2570,8 @@ def _block_specs(config: VmConfig, k_cycles: int):
                    ("pq_flags_blk", (k_cycles, ps)),
                    ("pq_emit_blk", (k_cycles,)),
                    ("pq_nslots_blk", (k_cycles,))]
+    if config.precompile_ecrecover:
+        blocks += [("ec_first_blk", ())]
     return blocks
 
 
@@ -2448,6 +2594,9 @@ def _build_kernel(config: VmConfig, k_cycles: int):
         blk = {name: r for (name, _), r in zip(blocks,
                                                out_list[len(inout):])}
         step0 = step0_ref[0]
+        k_stop = step0_ref[1]              # dynamic cycle bound (ecrecover
+        #                                    detour protocol; == k_cycles
+        #                                    for configs without it)
 
         # ALL state lives in the (aliased) output refs; the fori carry is
         # empty.  Carrying the ~25 state arrays as loop values blows the
@@ -2463,31 +2612,87 @@ def _build_kernel(config: VmConfig, k_cycles: int):
         if config.rolling_commitment:
             mem_names.append("wc_state")
         mem = {name: out_refs[name] for name in mem_names}
+        for name in ("cs_scalars", "cs_this", "cs_sender", "cs_code",
+                     "cs_u128"):
+            mem[name] = out_refs[name]
         for name, _ in inout:
             out_refs[name][...] = in_refs[name][...]
 
-        def body(k, _):
+        # initial fori carry: the scalar rows + the current-frame cache
+        # (one gather per CHUNK — see _cycle_tile's top-of-cycle comment)
+        s0 = out_refs["scal"][:]
+        v0 = {name: s0[_SROW[name]] for name in _SCAL_ROWS}
+        depth0 = s0[_SROW["depth"]].astype(I32)
+        doh0 = _onehot_l(depth0, config.max_depth)[:, None, :]
+        v0["cur_scal"] = _usum(
+            jnp.where(doh0, out_refs["cs_scalars"][...], 0), axis=0)
+        v0["cur_this"] = _usum(
+            jnp.where(doh0, out_refs["cs_this"][...], 0), axis=0)
+        v0["cur_sender"] = _usum(
+            jnp.where(doh0, out_refs["cs_sender"][...], 0), axis=0)
+        v0["cur_code"] = _usum(
+            jnp.where(doh0, out_refs["cs_code"][...], 0), axis=0)
+        v0["cur_u128"] = _usum(
+            jnp.where(doh0, out_refs["cs_u128"][...], 0), axis=0)
+        carry0 = _carry_from_vals(v0)
+
+        if config.precompile_ecrecover:
+            # blocks for cycles >= k_stop are never written by the body:
+            # pre-zero them (and the first-ecrecover-cycle detector)
+            for name, _sh in blocks:
+                if name != "ec_first_blk":
+                    blk[name][...] = jnp.zeros(blk[name].shape,
+                                               blk[name].dtype)
+            blk["ec_first_blk"][...] = jnp.full(
+                blk["ec_first_blk"].shape, k_cycles, dtype=jnp.uint32)
+
+        def body(k, carry):
+            if config.precompile_ecrecover:
+                # lax.cond (not pl.when): the carry threads through; the
+                # ref stores inside lower the same way pl.when does
+                return jax.lax.cond(k < k_stop,
+                                    lambda c: _exec_cycle(k, c),
+                                    lambda c: c, carry)
+            return _exec_cycle(k, carry)
+
+        def _exec_cycle(k, carry):
             ovf = (step0 + k) * SLOTS_PER_CYCLE > cap - SLOTS_PER_CYCLE \
                 if with_wq else jnp.bool_(False)
             ovf_l = (step0 + k) >= config.log_queue_capacity \
                 if with_lq else jnp.bool_(False)
             ovf_d = (step0 + k) >= config.decommit_queue_capacity \
                 if with_dq else jnp.bool_(False)
-            v, _unused = _vals_from_refs(out_refs)
-            nv, slots, lrow, drow, prow = _cycle_tile(
+            v = _vals_from_carry(carry, out_refs)
+            nv, slots, lrow, drow, prow, ecrow = _cycle_tile(
                 v, kconsts, mem, config, (ovf, ovf_l, ovf_d))
+            if ecrow is not None:
+                cur = blk["ec_first_blk"][...]
+                blk["ec_first_blk"][...] = jnp.where(
+                    (ecrow != 0) & (cur == U32(k_cycles)),
+                    k.astype(U32), cur)
             for name in DEBUG_PASSTHROUGH:
                 if name in nv:
                     nv[name] = v[name]
-            for s_i, (valid, mtype, mpage, midx, mval, mptr, rw, ts) \
-                    in enumerate(slots if with_wq else ()):
-                row = jnp.stack([ts, mtype, mpage, midx], axis=0)
-                blk["wq_meta_blk"][k * SLOTS_PER_CYCLE + s_i] = row
-                blk["wq_value_blk"][k * SLOTS_PER_CYCLE + s_i] = mval
-                vmf = valid.astype(U32)
-                blk["wq_flags_blk"][k * SLOTS_PER_CYCLE + s_i] = \
-                    ((U32(1) if rw else U32(0)) | (mptr.astype(U32) << 1)
-                     | (vmf << 2)) * vmf
+            if with_wq and slots:
+                # one aligned [8, ...] store per array instead of 24
+                # dynamic row stores (k*8 is 8-aligned by construction)
+                meta_rows, val_rows, flag_rows = [], [], []
+                for (valid, mtype, mpage, midx, mval, mptr, rw, ts) \
+                        in slots:
+                    meta_rows.append(
+                        jnp.stack([ts, mtype, mpage, midx], axis=0))
+                    val_rows.append(mval)
+                    vmf = valid.astype(U32)
+                    flag_rows.append(
+                        ((U32(1) if rw else U32(0))
+                         | (mptr.astype(U32) << 1) | (vmf << 2)) * vmf)
+                base = k * SLOTS_PER_CYCLE
+                blk["wq_meta_blk"][pl.ds(base, SLOTS_PER_CYCLE)] = \
+                    jnp.stack(meta_rows, axis=0)
+                blk["wq_value_blk"][pl.ds(base, SLOTS_PER_CYCLE)] = \
+                    jnp.stack(val_rows, axis=0)
+                blk["wq_flags_blk"][pl.ds(base, SLOTS_PER_CYCLE)] = \
+                    jnp.stack(flag_rows, axis=0)
             if lrow is not None:
                 meta_r, addr_r, key_r, read_r, written_r = lrow
                 blk["lq_meta_blk"][k] = meta_r
@@ -2505,10 +2710,28 @@ def _build_kernel(config: VmConfig, k_cycles: int):
                 blk["pq_emit_blk"][k] = prow[3]
                 blk["pq_nslots_blk"][k] = prow[4]
             nv["global_step"] = v["global_step"] + 1
-            _vals_to_refs(nv, out_refs)
-            return 0
+            _big_to_refs(nv, out_refs)
+            return _carry_from_vals(nv)
 
-        jax.lax.fori_loop(0, k_cycles, body, 0)
+        carry_n = jax.lax.fori_loop(0, k_cycles, body, carry0)
+        vn = _vals_from_carry(carry_n, out_refs)
+        _vals_to_refs(vn, out_refs)
+
+        # chunk-boundary writeback: the cached current frame becomes the
+        # cs entry at the final depth (all-lanes mask; frozen lanes write
+        # back what they loaded)
+        depth_f = vn["depth"]
+        tmask = jnp.ones(depth_f.shape, dtype=BOOL)
+        out_refs["cs_scalars"][...] = _scatter_l(
+            out_refs["cs_scalars"][...], depth_f, vn["cur_scal"], tmask)
+        out_refs["cs_this"][...] = _scatter_l(
+            out_refs["cs_this"][...], depth_f, vn["cur_this"], tmask)
+        out_refs["cs_sender"][...] = _scatter_l(
+            out_refs["cs_sender"][...], depth_f, vn["cur_sender"], tmask)
+        out_refs["cs_code"][...] = _scatter_l(
+            out_refs["cs_code"][...], depth_f, vn["cur_code"], tmask)
+        out_refs["cs_u128"][...] = _scatter_l(
+            out_refs["cs_u128"][...], depth_f, vn["cur_u128"], tmask)
 
     return kernel
 
@@ -2556,10 +2779,11 @@ def _build_call(config: VmConfig, k_cycles: int, tile: int,
             vmem_limit_bytes=100 * 2**20),
     )
 
-    def run(step0, bufs):
+    def run(step0, k_stop, bufs):
         ins = [bufs[name] for name, _ in const] \
             + [bufs[name] for name, _ in inout]
-        outs = call(jnp.asarray([step0], dtype=I32), *ins)
+        outs = call(jnp.stack([jnp.asarray(step0, dtype=I32),
+                               jnp.asarray(k_stop, dtype=I32)]), *ins)
         new_bufs = dict(bufs)
         for (name, _), arr in zip(inout, outs[:len(inout)]):
             new_bufs[name] = arr
@@ -2570,9 +2794,113 @@ def _build_call(config: VmConfig, k_cycles: int, tile: int,
     return run
 
 
-@partial(jax.jit, static_argnames=("config", "n_cycles", "tile", "k_inner",
-                                   "interpret"),
-         donate_argnames=("state",))
+def _splice_batch_first(arr, block, base):
+    # state queue arrays are [B, CAP, r]; blocks arrive [K, r, B]
+    blk = jnp.transpose(block, (2, 0, 1))
+    return jax.lax.dynamic_update_slice(
+        arr, blk, (0, base) + (0,) * (arr.ndim - 2))
+
+def _run_chunk(config, tile, interpret, k_cycles, k_stop,
+               bufs, wq, lq, dq, pq):
+    """One fused-kernel chunk + queue-block splices (shared by the
+    jitted multi-chunk wrapper and the ecrecover-detour driver).
+    Executes min(k_stop, k_cycles) cycles of a k_cycles-compiled
+    kernel; blocks for the unexecuted tail are zero."""
+    cap = max(config.queue_capacity, SLOTS_PER_CYCLE)
+    with_lq = config.storage_slots > 0 and config.log_queue_capacity > 0
+    with_dq = config.storage_slots > 0 \
+        and config.decommit_queue_capacity > 0
+    with_pq = config.precompile_queue_capacity > 0
+    call = _build_call(config, k_cycles, tile, interpret)
+    step0 = jnp.min(bufs["scal"][_SROW["global_step"]]).astype(I32)
+    bufs, blocks = call(step0, k_stop, bufs)
+    if config.queue_capacity:
+        base = jnp.maximum(
+            jnp.minimum(step0 * 8, cap - k_cycles * 8), 0)
+        wq = (
+            jax.lax.dynamic_update_slice(
+                wq[0], blocks["wq_meta_blk"], (base, 0, 0)),
+            jax.lax.dynamic_update_slice(
+                wq[1], blocks["wq_value_blk"], (base, 0, 0)),
+            jax.lax.dynamic_update_slice(
+                wq[2], blocks["wq_flags_blk"], (base, 0)),
+        )
+    if with_lq:
+        lbase = jnp.maximum(jnp.minimum(
+            step0, config.log_queue_capacity - k_cycles), 0)
+        lq = tuple(
+            _splice_batch_first(arr, blocks[name], lbase)
+            for arr, name in zip(lq, ("lq_meta_blk", "lq_addr_blk",
+                                      "lq_key_blk", "lq_read_blk",
+                                      "lq_written_blk")))
+    if with_dq:
+        dbase = jnp.maximum(jnp.minimum(
+            step0, config.decommit_queue_capacity - k_cycles), 0)
+        dq = (_splice_batch_first(dq[0], blocks["dq_hash_blk"], dbase),
+              _splice_batch_first(dq[1], blocks["dq_meta_blk"], dbase))
+    if with_pq:
+        # batch-global block clock: flagged cycles (any lane emitted)
+        # advance pq_blocks; their PS-slot blocks splice at the clock
+        # position; overflowed cycles drop their rows, flag lane_error,
+        # and skip the per-lane pq_count credit — matching the jnp
+        # clamp semantics at block granularity
+        from .state import precompile_queue_slots
+
+        PS = sum(precompile_queue_slots(config))
+        cap_p = config.precompile_queue_capacity
+        emit_rows = blocks["pq_emit_blk"]          # u32[K, B]
+        nslot_rows = blocks["pq_nslots_blk"]       # u32[K, B]
+        flags_k = jnp.any(emit_rows != 0, axis=1)  # [K]
+        blocks0 = jnp.min(bufs["scal"][_SROW["pq_blocks"]]).astype(I32)
+        pos_k = blocks0 + jnp.cumsum(flags_k.astype(I32)) \
+            - flags_k.astype(I32)
+        ovf_k = pos_k * PS > cap_p - PS
+        pq_meta, pq_value, pq_flags = pq
+
+        def body(k, carry):
+            pq_meta, pq_value, pq_flags, lerr, pcount = carry
+            base = jnp.minimum(pos_k[k] * PS, cap_p - PS)
+
+            def write(args):
+                pq_meta, pq_value, pq_flags = args
+                m = jnp.transpose(blocks["pq_meta_blk"][k], (2, 0, 1))
+                vv = jnp.transpose(blocks["pq_value_blk"][k], (2, 0, 1))
+                fl = jnp.transpose(blocks["pq_flags_blk"][k], (1, 0))
+                return (
+                    jax.lax.dynamic_update_slice(pq_meta, m,
+                                                 (0, base, 0)),
+                    jax.lax.dynamic_update_slice(pq_value, vv,
+                                                 (0, base, 0)),
+                    jax.lax.dynamic_update_slice(pq_flags, fl,
+                                                 (0, base)))
+
+            pq_meta, pq_value, pq_flags = jax.lax.cond(
+                flags_k[k] & ~ovf_k[k], write, lambda a: a,
+                (pq_meta, pq_value, pq_flags))
+            lerr = lerr | ((emit_rows[k] != 0) & ovf_k[k])
+            pcount = pcount + jnp.where(ovf_k[k], 0,
+                                        nslot_rows[k]).astype(I32)
+            return pq_meta, pq_value, pq_flags, lerr, pcount
+
+        lerr0 = jnp.zeros((config.batch,), dtype=jnp.bool_)
+        pc0 = jnp.zeros((config.batch,), dtype=I32)
+        pq_meta, pq_value, pq_flags, lerr, pcount = jax.lax.fori_loop(
+            0, k_cycles, body, (pq_meta, pq_value, pq_flags, lerr0,
+                                pc0))
+        pq = (pq_meta, pq_value, pq_flags)
+        scal = bufs["scal"]
+        scal = scal.at[_SROW["lane_error"]].set(
+            scal[_SROW["lane_error"]] | lerr.astype(jnp.uint32))
+        scal = scal.at[_SROW["pq_count"]].set(
+            scal[_SROW["pq_count"]] + pcount.astype(jnp.uint32))
+        scal = scal.at[_SROW["pq_blocks"]].set(
+            scal[_SROW["pq_blocks"]]
+            + jnp.sum(flags_k.astype(jnp.uint32)))
+        bufs = dict(bufs)
+        bufs["scal"] = scal
+    return bufs, wq, lq, dq, pq, blocks
+
+
 def run_cycles_fused(state: BatchedVmState, config: VmConfig, n_cycles: int,
                      tile: int = 128, k_inner: int = 64,
                      interpret: bool | None = None) -> BatchedVmState:
@@ -2582,8 +2910,26 @@ def run_cycles_fused(state: BatchedVmState, config: VmConfig, n_cycles: int,
     (asserted).  `tile` lanes per kernel instance stay VMEM-resident for
     `k_inner` cycles per kernel invocation; witness-queue blocks are spliced
     into the persistent queue between invocations.
+
+    Configs with `precompile_ecrecover` dispatch to the host-paced
+    detour driver (`_run_cycles_fused_ec`); everything else runs the
+    fully-jitted multi-chunk path.
     """
+    if config.precompile_ecrecover:
+        return _run_cycles_fused_ec(state, config, n_cycles, tile=tile,
+                                    k_inner=k_inner, interpret=interpret)
+    return _run_cycles_fused_jit(state, config, n_cycles, tile=tile,
+                                 k_inner=k_inner, interpret=interpret)
+
+
+@partial(jax.jit, static_argnames=("config", "n_cycles", "tile", "k_inner",
+                                   "interpret"),
+         donate_argnames=("state",))
+def _run_cycles_fused_jit(state: BatchedVmState, config: VmConfig,
+                          n_cycles: int, tile: int = 128, k_inner: int = 64,
+                          interpret: bool | None = None) -> BatchedVmState:
     assert supported(config), "config outside the fused-kernel subset"
+    assert not config.precompile_ecrecover, "ec configs use the detour path"
     assert not config.sweep_gating, "fused path requires sweep_gating=False"
     assert config.batch % tile == 0, (config.batch, tile)
     if config.queue_capacity:
@@ -2607,115 +2953,24 @@ def run_cycles_fused(state: BatchedVmState, config: VmConfig, n_cycles: int,
     with_pq = config.precompile_queue_capacity > 0
     pq = (state.pq_meta, state.pq_value, state.pq_flags)
 
-    def splice_batch_first(arr, block, base):
-        # state queue arrays are [B, CAP, r]; blocks arrive [K, r, B]
-        blk = jnp.transpose(block, (2, 0, 1))
-        return jax.lax.dynamic_update_slice(
-            arr, blk, (0, base) + (0,) * (arr.ndim - 2))
-
-    def run_chunk(k_cycles, bufs, wq, lq, dq, pq):
-        call = _build_call(config, k_cycles, tile, interpret)
-        step0 = jnp.min(bufs["scal"][_SROW["global_step"]]).astype(I32)
-        bufs, blocks = call(step0, bufs)
-        if config.queue_capacity:
-            base = jnp.maximum(
-                jnp.minimum(step0 * 8, cap - k_cycles * 8), 0)
-            wq = (
-                jax.lax.dynamic_update_slice(
-                    wq[0], blocks["wq_meta_blk"], (base, 0, 0)),
-                jax.lax.dynamic_update_slice(
-                    wq[1], blocks["wq_value_blk"], (base, 0, 0)),
-                jax.lax.dynamic_update_slice(
-                    wq[2], blocks["wq_flags_blk"], (base, 0)),
-            )
-        if with_lq:
-            lbase = jnp.maximum(jnp.minimum(
-                step0, config.log_queue_capacity - k_cycles), 0)
-            lq = tuple(
-                splice_batch_first(arr, blocks[name], lbase)
-                for arr, name in zip(lq, ("lq_meta_blk", "lq_addr_blk",
-                                          "lq_key_blk", "lq_read_blk",
-                                          "lq_written_blk")))
-        if with_dq:
-            dbase = jnp.maximum(jnp.minimum(
-                step0, config.decommit_queue_capacity - k_cycles), 0)
-            dq = (splice_batch_first(dq[0], blocks["dq_hash_blk"], dbase),
-                  splice_batch_first(dq[1], blocks["dq_meta_blk"], dbase))
-        if with_pq:
-            # batch-global block clock: flagged cycles (any lane emitted)
-            # advance pq_blocks; their PS-slot blocks splice at the clock
-            # position; overflowed cycles drop their rows, flag lane_error,
-            # and skip the per-lane pq_count credit — matching the jnp
-            # clamp semantics at block granularity
-            from .state import precompile_queue_slots
-
-            PS = sum(precompile_queue_slots(config))
-            cap_p = config.precompile_queue_capacity
-            emit_rows = blocks["pq_emit_blk"]          # u32[K, B]
-            nslot_rows = blocks["pq_nslots_blk"]       # u32[K, B]
-            flags_k = jnp.any(emit_rows != 0, axis=1)  # [K]
-            blocks0 = jnp.min(bufs["scal"][_SROW["pq_blocks"]]).astype(I32)
-            pos_k = blocks0 + jnp.cumsum(flags_k.astype(I32)) \
-                - flags_k.astype(I32)
-            ovf_k = pos_k * PS > cap_p - PS
-            pq_meta, pq_value, pq_flags = pq
-
-            def body(k, carry):
-                pq_meta, pq_value, pq_flags, lerr, pcount = carry
-                base = jnp.minimum(pos_k[k] * PS, cap_p - PS)
-
-                def write(args):
-                    pq_meta, pq_value, pq_flags = args
-                    m = jnp.transpose(blocks["pq_meta_blk"][k], (2, 0, 1))
-                    vv = jnp.transpose(blocks["pq_value_blk"][k], (2, 0, 1))
-                    fl = jnp.transpose(blocks["pq_flags_blk"][k], (1, 0))
-                    return (
-                        jax.lax.dynamic_update_slice(pq_meta, m,
-                                                     (0, base, 0)),
-                        jax.lax.dynamic_update_slice(pq_value, vv,
-                                                     (0, base, 0)),
-                        jax.lax.dynamic_update_slice(pq_flags, fl,
-                                                     (0, base)))
-
-                pq_meta, pq_value, pq_flags = jax.lax.cond(
-                    flags_k[k] & ~ovf_k[k], write, lambda a: a,
-                    (pq_meta, pq_value, pq_flags))
-                lerr = lerr | ((emit_rows[k] != 0) & ovf_k[k])
-                pcount = pcount + jnp.where(ovf_k[k], 0,
-                                            nslot_rows[k]).astype(I32)
-                return pq_meta, pq_value, pq_flags, lerr, pcount
-
-            lerr0 = jnp.zeros((config.batch,), dtype=jnp.bool_)
-            pc0 = jnp.zeros((config.batch,), dtype=I32)
-            pq_meta, pq_value, pq_flags, lerr, pcount = jax.lax.fori_loop(
-                0, k_cycles, body, (pq_meta, pq_value, pq_flags, lerr0,
-                                    pc0))
-            pq = (pq_meta, pq_value, pq_flags)
-            scal = bufs["scal"]
-            scal = scal.at[_SROW["lane_error"]].set(
-                scal[_SROW["lane_error"]] | lerr.astype(jnp.uint32))
-            scal = scal.at[_SROW["pq_count"]].set(
-                scal[_SROW["pq_count"]] + pcount.astype(jnp.uint32))
-            scal = scal.at[_SROW["pq_blocks"]].set(
-                scal[_SROW["pq_blocks"]]
-                + jnp.sum(flags_k.astype(jnp.uint32)))
-            bufs = dict(bufs)
-            bufs["scal"] = scal
-        return bufs, wq, lq, dq, pq
 
     n_full = n_cycles // k_inner
     rem = n_cycles % k_inner
 
     if n_full == 1 and rem == 0:
-        bufs, wq, lq, dq, pq = run_chunk(k_inner, bufs, wq, lq, dq, pq)
+        bufs, wq, lq, dq, pq, _ = _run_chunk(
+            config, tile, interpret, k_inner, k_inner,
+            bufs, wq, lq, dq, pq)
     elif n_full > 0:
         def chunk_body(_, carry):
-            return run_chunk(k_inner, *carry)
+            return _run_chunk(config, tile, interpret, k_inner, k_inner,
+                              *carry)[:5]
 
         bufs, wq, lq, dq, pq = jax.lax.fori_loop(
             0, n_full, chunk_body, (bufs, wq, lq, dq, pq))
     if rem:
-        bufs, wq, lq, dq, pq = run_chunk(rem, bufs, wq, lq, dq, pq)
+        bufs, wq, lq, dq, pq, _ = _run_chunk(
+            config, tile, interpret, rem, rem, bufs, wq, lq, dq, pq)
 
     state = _unpack(bufs, state, config)
     if config.queue_capacity:
@@ -2727,4 +2982,86 @@ def run_cycles_fused(state: BatchedVmState, config: VmConfig, n_cycles: int,
         state.dq_hash, state.dq_meta = dq
     if with_pq:
         state.pq_meta, state.pq_value, state.pq_flags = pq
+    return state
+
+# ===========================================================================
+# ecrecover detour: optimistic chunks + single-cycle jnp execution
+# ===========================================================================
+
+@partial(jax.jit, static_argnames=("config", "k_inner", "tile", "interpret"))
+def _ec_chunk(state: BatchedVmState, k_stop, config: VmConfig,
+              k_inner: int, tile: int, interpret: bool):
+    """One fused chunk (dynamic k_stop cycles of a k_inner-compiled kernel)
+    returning (new state, per-lane first-ecrecover-cycle index).  NOT
+    donating: the detour driver re-runs the same input state."""
+    bufs = _pack(state, config)
+    wq = (state.wq_meta, state.wq_value, state.wq_flags)
+    lq = (state.lq_meta, state.lq_addr, state.lq_key, state.lq_read,
+          state.lq_written)
+    dq = (state.dq_hash, state.dq_meta)
+    pq = (state.pq_meta, state.pq_value, state.pq_flags)
+    bufs, wq, lq, dq, pq, blocks = _run_chunk(
+        config, tile, interpret, k_inner, k_stop, bufs, wq, lq, dq, pq)
+    state = _unpack(bufs, state, config)
+    if config.queue_capacity:
+        state.wq_meta, state.wq_value, state.wq_flags = wq
+    if config.storage_slots > 0 and config.log_queue_capacity > 0:
+        (state.lq_meta, state.lq_addr, state.lq_key, state.lq_read,
+         state.lq_written) = lq
+    if config.storage_slots > 0 and config.decommit_queue_capacity > 0:
+        state.dq_hash, state.dq_meta = dq
+    if config.precompile_queue_capacity > 0:
+        state.pq_meta, state.pq_value, state.pq_flags = pq
+    return state, blocks["ec_first_blk"]
+
+
+def _run_cycles_fused_ec(state: BatchedVmState, config: VmConfig,
+                         n_cycles: int, tile: int, k_inner: int,
+                         interpret: bool | None) -> BatchedVmState:
+    """Host-paced ecrecover-detour driver (see supported() docstring).
+
+    Chunks run OPTIMISTICALLY with the kernel detecting (not executing)
+    ecrecover cycles; when a chunk contains one, its results are discarded,
+    the chunk re-runs up to that cycle (dynamic k_stop — same compiled
+    kernel), and the ecrecover cycle itself executes on the jnp engine
+    (batched_vm.run_cycles — bit-exact by definition, including the
+    two-word output protocol and the pq round-witness rows).  Ecrecover-
+    free chunks pay nothing beyond the per-cycle k<k_stop guard.
+
+    Host-paced (reads the detector between chunks): not callable under an
+    enclosing jit/shard_map — shard the batch outside and call per shard.
+    """
+    import numpy as np
+
+    from .batched_vm import run_cycles as _run_jnp
+
+    assert supported(config), "config outside the fused-kernel subset"
+    assert not config.sweep_gating, "fused path requires sweep_gating=False"
+    assert config.batch % tile == 0, (config.batch, tile)
+    K = min(k_inner, n_cycles)
+    if config.queue_capacity:
+        assert config.queue_capacity >= K * 8
+    if config.storage_slots > 0 and config.log_queue_capacity:
+        assert config.log_queue_capacity >= K
+    if config.storage_slots > 0 and config.decommit_queue_capacity:
+        assert config.decommit_queue_capacity >= K
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    done = 0
+    while done < n_cycles:
+        want = min(K, n_cycles - done)
+        trial, ecf = _ec_chunk(state, jnp.int32(want), config, K, tile,
+                               interpret)
+        first = int(np.asarray(ecf).min())
+        if first >= want:
+            state = trial
+            done += want
+            continue
+        del trial                      # discard the optimistic run
+        if first > 0:
+            state, _ = _ec_chunk(state, jnp.int32(first), config, K, tile,
+                                 interpret)
+        state = _run_jnp(state, config, 1)
+        done += first + 1
     return state
