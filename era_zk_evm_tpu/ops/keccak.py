@@ -99,10 +99,14 @@ def _round(lo, hi, rc_lo, rc_hi):
 
 
 def keccak_f1600_array(state: jax.Array) -> jax.Array:
-    """Permutation over packed state u32[B, 25, 2] ([..., 0]=lo, [..., 1]=hi)."""
+    """Permutation over packed state u32[B, 25, 2] ([..., 0]=lo, [..., 1]=hi).
+
+    fori round form: the 24-round unrolled chain now takes >100 s to
+    compile on XLA:CPU even at B=8 (regressed vs round 1 — measured),
+    and the TPU throughput difference is in the noise."""
     lo = [state[:, i, 0] for i in range(25)]
     hi = [state[:, i, 1] for i in range(25)]
-    lo, hi = keccak_f1600(lo, hi)
+    lo, hi = keccak_f1600(lo, hi, unroll=False)
     return jnp.stack([jnp.stack(lo, axis=1), jnp.stack(hi, axis=1)], axis=2)
 
 
@@ -116,11 +120,11 @@ def absorb_blocks(blocks: jax.Array) -> jax.Array:
     B, n_blocks, _ = blocks.shape
     lo = [jnp.zeros((B,), U32) for _ in range(25)]
     hi = [jnp.zeros((B,), U32) for _ in range(25)]
-    for blk in range(n_blocks):  # unrolled: block counts are small & static
+    for blk in range(n_blocks):  # block count is small & static
         for k in range(RATE_WORDS):
             lo[k] = lo[k] ^ blocks[:, blk, 2 * k]
             hi[k] = hi[k] ^ blocks[:, blk, 2 * k + 1]
-        lo, hi = keccak_f1600(lo, hi)
+        lo, hi = keccak_f1600(lo, hi, unroll=False)
     return jnp.stack([jnp.stack(lo, axis=1), jnp.stack(hi, axis=1)], axis=2)
 
 

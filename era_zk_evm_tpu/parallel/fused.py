@@ -74,6 +74,27 @@ def run_block_fused(state: BatchedVmState, config: VmConfig, n_cycles: int,
                 s.cs_scalars[:, 0, CS["ergs_remaining"]]
                 .astype(jnp.float32)),
         }
+        if config.rolling_commitment:
+            # ordered block fold on device: finalize per-shard lane
+            # digests, all-gather the 32-byte digests over the mesh axis
+            # (ICI/DCN), fold in GLOBAL lane order on every device —
+            # semantics of witness/commitment.block_commitment, traffic
+            # O(32 bytes/lane).  Bit-exact vs the host fold (tested).
+            from ..witness.device_fold import (
+                finalize_rolling_device, keccak256_device_stream,
+            )
+
+            def digest_shard(wcs, wcc):
+                d = finalize_rolling_device(wcs, wcc)
+                return jax.lax.all_gather(d, axis_name, axis=0, tiled=True)
+
+            gathered = shard_map(
+                digest_shard, mesh=mesh,
+                in_specs=(P(axis_name, None, None), P(axis_name)),
+                out_specs=P(None, None), check_rep=False,
+            )(s.wc_state, s.wc_count)
+            aggregates["memory_block_commitment"] = \
+                keccak256_device_stream(gathered)
         return s, aggregates
 
     return step(state)

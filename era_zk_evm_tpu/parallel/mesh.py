@@ -59,4 +59,14 @@ def run_block(state: BatchedVmState, config: VmConfig, n_cycles: int):
         "root_ergs": jnp.sum(
             state.cs_scalars[:, 0, CS["ergs_remaining"]].astype(jnp.float32)),
     }
+    if config.rolling_commitment:
+        # device block fold (see parallel/fused.py): under plain jit the
+        # SPMD partitioner inserts the all-gather the sequential fold needs
+        from ..witness.device_fold import (
+            finalize_rolling_device, keccak256_device_stream,
+        )
+
+        digests = finalize_rolling_device(state.wc_state, state.wc_count)
+        aggregates["memory_block_commitment"] = \
+            keccak256_device_stream(digests)
     return state, aggregates
