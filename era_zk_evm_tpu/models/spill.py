@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -150,6 +151,189 @@ def normalize_callstack(state: BatchedVmState, config: VmConfig,
         state, depth=jnp.asarray(depth),
         **{name: jnp.asarray(a) for name, a in arrs.items()})
     return state, spilled
+
+
+# ---------------------------------------------------------------------------
+# 3. Storage-KV spill (evict / verify / replay)
+# ---------------------------------------------------------------------------
+# The device KV table (st_key/st_val/st_used, compare-all, VmConfig.
+# storage_slots entries) is a CACHE of the block's storage map; the
+# reference's storage is unbounded (testing/storage.rs:8-76).  Protocol,
+# applied between run_cycles segments:
+#
+#   * spill_storage_kv — entries not referenced by a live journal entry
+#     move to a host dict; the table compacts and j_slot indices are
+#     remapped.  (Entries with live journal references must stay resident:
+#     a later panic replays prev-values into their slots.)
+#   * a segment that touches an evicted key cannot see the host value, so
+#     segments run on a SNAPSHOT: afterwards the drained log stream yields
+#     the touched keys; any overlap with the evicted set rehydrates those
+#     keys into the snapshot and re-runs the segment (iterating — wrong
+#     values can change which keys get touched) until no cold touch
+#     remains.  Miss-free segments (the common case) run once.
+#
+# run_segments_storage drives this; bit-exactness of the concatenated log
+# stream + final storage vs an unsegmented golden run is proven in
+# tests/test_spill.py.
+
+
+@dataclasses.dataclass
+class HostStorage:
+    """Host overflow map per lane: 14-limb key tuple -> 8-limb value."""
+
+    maps: list[dict[tuple, np.ndarray]]
+
+    @classmethod
+    def empty(cls, batch: int) -> "HostStorage":
+        return cls(maps=[{} for _ in range(batch)])
+
+
+def spill_storage_kv(state: BatchedVmState, config: VmConfig,
+                     host: HostStorage, keep: int):
+    """Evict evictable device KV entries beyond `keep` per lane to host.
+
+    Evictable = not referenced by any live journal entry (j_slot[:j_count]
+    after compaction).  Keeps the FIRST `keep` evictable entries resident
+    (insertion order — recent writes sit at high indices, so pass keep=0
+    to evict everything evictable).  Compacts the table in place and
+    remaps j_slot through the permutation.
+    """
+    S = config.storage_slots
+    st_key = np.asarray(state.st_key).copy()
+    st_val = np.asarray(state.st_val).copy()
+    st_used = np.asarray(state.st_used).copy()
+    st_count = np.asarray(state.st_count).copy()
+    j_slot = np.asarray(state.j_slot).copy()
+    j_count = np.asarray(state.j_count)
+    B = st_key.shape[0]
+    for b in range(B):
+        n = min(int(st_count[b]), S)
+        pinned = set(int(s) for s in j_slot[b, : int(j_count[b])])
+        resident: list[int] = []
+        kept_evictable = 0
+        for i in range(n):
+            if not st_used[b, i]:
+                continue
+            if i in pinned:
+                resident.append(i)
+            elif kept_evictable < keep:
+                resident.append(i)
+                kept_evictable += 1
+            else:
+                host.maps[b][tuple(int(x) for x in st_key[b, i])] = \
+                    st_val[b, i].copy()
+        remap = {old: new for new, old in enumerate(resident)}
+        nk = np.zeros_like(st_key[b])
+        nv = np.zeros_like(st_val[b])
+        nu = np.zeros_like(st_used[b])
+        for old, new in remap.items():
+            nk[new] = st_key[b, old]
+            nv[new] = st_val[b, old]
+            nu[new] = True
+        st_key[b], st_val[b], st_used[b] = nk, nv, nu
+        st_count[b] = len(resident)
+        for j in range(int(j_count[b])):
+            j_slot[b, j] = remap[int(j_slot[b, j])]
+    state = dataclasses.replace(
+        state, st_key=jnp.asarray(st_key), st_val=jnp.asarray(st_val),
+        st_used=jnp.asarray(st_used), st_count=jnp.asarray(st_count),
+        j_slot=jnp.asarray(j_slot))
+    return state, host
+
+
+def rehydrate_keys(state: BatchedVmState, config: VmConfig,
+                   host: HostStorage, needed: list[set]) -> BatchedVmState:
+    """Insert host values for the given per-lane key sets into free slots."""
+    S = config.storage_slots
+    st_key = np.asarray(state.st_key).copy()
+    st_val = np.asarray(state.st_val).copy()
+    st_used = np.asarray(state.st_used).copy()
+    st_count = np.asarray(state.st_count).copy()
+    for b, keys in enumerate(needed):
+        for key in keys:
+            val = host.maps[b].pop(key, None)
+            if val is None:
+                continue
+            slot = int(st_count[b])
+            assert slot < S, "KV table full during rehydration"
+            st_key[b, slot] = np.asarray(key, dtype=np.uint32)
+            st_val[b, slot] = val
+            st_used[b, slot] = True
+            st_count[b] += 1
+    return dataclasses.replace(
+        state, st_key=jnp.asarray(st_key), st_val=jnp.asarray(st_val),
+        st_used=jnp.asarray(st_used), st_count=jnp.asarray(st_count))
+
+
+def _touched_storage_keys(log_streams, shard_of=lambda q: q.shard_id):
+    """Per-lane sets of 14-limb key tuples touched by storage log queries."""
+    from ..isa import params
+    from .state import storage_key_limbs
+
+    out = []
+    for lane in log_streams:
+        keys = set()
+        for q in lane:
+            if q.aux_byte == params.STORAGE_AUX_BYTE:
+                keys.add(tuple(int(x) for x in storage_key_limbs(
+                    q.shard_id, q.address, q.key)))
+        out.append(keys)
+    return out
+
+
+def run_segments_storage(state: BatchedVmState, config: VmConfig,
+                         run_cycles, n_cycles: int, segment: int,
+                         host: HostStorage | None = None,
+                         keep: int = 0, max_replays: int = 8):
+    """Run in segments with KV spill between them (see protocol above).
+
+    Requires config.log_queue_capacity > 0 (the drained log stream is the
+    cold-touch detector) sized for one segment.  Returns
+    (state, host, streams) where streams concatenates every segment's
+    drained queue families (identical to an unsegmented drain).
+    """
+    from ..witness.commitment import device_log_streams
+
+    if host is None:
+        host = HostStorage.empty(config.batch)
+    assert config.log_queue_capacity >= segment > 0
+    acc: dict[str, list[list]] = {}
+    done = 0
+    while done < n_cycles:
+        n = min(segment, n_cycles - done)
+        snapshot = state
+        for attempt in range(max_replays + 1):
+            # run on a copy: both engines donate their state argument, and
+            # the replay path must be able to reuse the snapshot
+            out = run_cycles(
+                jax.tree.map(lambda x: x.copy(), snapshot), config, n)
+            touched = _touched_storage_keys(device_log_streams(out))
+            miss = [set(k for k in t if k in host.maps[b])
+                    for b, t in enumerate(touched)]
+            if not any(miss):
+                break
+            assert attempt < max_replays, "storage replay did not converge"
+            snapshot = rehydrate_keys(snapshot, config, host, miss)
+        state, streams = drain_witness_queues(out, config)
+        for name, lanes in streams.items():
+            if name not in acc:
+                acc[name] = [[] for _ in range(config.batch)]
+            for b in range(config.batch):
+                acc[name][b].extend(lanes[b])
+        state = compact_log_state_host(state, config)
+        state, host = spill_storage_kv(state, config, host, keep=keep)
+        done += n
+    return state, host, acc
+
+
+def compact_log_state_host(state: BatchedVmState,
+                           config: VmConfig) -> BatchedVmState:
+    """Journal/event compaction (models/compaction.py) as a host step."""
+    from .compaction import compact_log_state
+
+    if config.journal_slots == 0:
+        return state
+    return compact_log_state(state, config)
 
 
 def run_segments(state: BatchedVmState, config: VmConfig, run_cycles,

@@ -341,9 +341,19 @@ def make_entry_state(config: VmConfig, programs: list[list[int]],
                      entry_address: int = 0x8001,
                      heap_init: list[list[int]] | None = None,
                      is_static: bool = False,
-                     base_page: int = 8) -> BatchedVmState:
+                     base_page: int = 8,
+                     calldata: list[list[int]] | None = None) -> BatchedVmState:
     """Host-side constructor: load one bytecode (code-word list) per lane and
-    push a bootloader-style entry frame (mirrors testing/harness.build_vm)."""
+    push a bootloader-style entry frame (mirrors testing/harness.build_vm).
+
+    `calldata` (per-lane word lists) stages the bootloader calldata page
+    (reference: memory.rs:293-298 `polulate_bootloaders_calldata` + the
+    BOOTLOADER_CALLDATA_PAGE constant): the words land in heap-frame slot 1
+    registered under page BOOTLOADER_CALLDATA_PAGE, and the entry frame
+    receives a tagged r1 fat pointer over them (offset 0, start 0, length
+    32*len bytes) — the far-call r1 calldata protocol (far_call.rs:571-577).
+    """
+    from ..isa.abi import FatPointer
     from ..utils import to_limbs
 
     B = config.batch
@@ -368,11 +378,29 @@ def make_entry_state(config: VmConfig, programs: list[list[int]],
         for b, words in enumerate(heap_init):
             for i, w in enumerate(words):
                 heap[b, i] = to_limbs(w)  # heap slot 0 = entry frame heap
+    if calldata is not None:
+        assert config.heap_frames >= 2, "calldata needs heap-frame slot 1"
+        for b, words in enumerate(calldata):
+            assert len(words) <= config.heap_words, "calldata exceeds arena"
+            for i, w in enumerate(words):
+                heap[b, config.heap_words + i] = to_limbs(w)
     if config.limb_major_arenas:
         heap = heap.transpose(0, 2, 1)
     state.heap = jnp.asarray(heap)
     state.hp_page = state.hp_page.at[:, 0].set(base_page + 2)
     state.ap_page = state.ap_page.at[:, 0].set(base_page + 3)
+    if calldata is not None:
+        state.hp_page = state.hp_page.at[:, 1].set(
+            params.BOOTLOADER_CALLDATA_PAGE)
+        state.frame_count = jnp.full((B,), 2, dtype=I32)
+        r1 = np.zeros((B, 8), dtype=np.uint32)
+        for b, words in enumerate(calldata):
+            fp = FatPointer(offset=0,
+                            memory_page=params.BOOTLOADER_CALLDATA_PAGE,
+                            start=0, length=32 * len(words))
+            r1[b] = to_limbs(fp.to_u256())
+        state.regs = state.regs.at[:, 0].set(jnp.asarray(r1))
+        state.reg_ptr = state.reg_ptr.at[:, 0].set(True)
     state.page_counter = jnp.full(
         (B,), max(params.STARTING_BASE_PAGE,
                   base_page + params.NEW_MEMORY_PAGES_PER_FAR_CALL),

@@ -48,7 +48,8 @@ def diff_run(sources: list[str], config: VmConfig | None = None,
              contracts: list[tuple[int, str]] | None = None,
              default_aa_source: str | None = None,
              entry_address: int = harness.ENTRY_ADDRESS,
-             config_overrides: dict | None = None) -> None:
+             config_overrides: dict | None = None,
+             calldata: list[int] | None = None) -> None:
     """Run each program on both engines and compare exhaustively.
 
     `contracts` registers callable contracts (address, asm source) on both
@@ -98,6 +99,18 @@ def diff_run(sources: list[str], config: VmConfig | None = None,
         vm = harness.build_vm(assemble_to_code_words(src), tools=tools,
                               ergs=ergs, block_properties=block_properties,
                               entry_address=entry_address)
+        if calldata is not None:
+            # bootloader calldata page + tagged r1 fat pointer (the entry
+            # counterpart of memory.rs:293-298 + far_call.rs:571-577)
+            from ..golden.state import PrimitiveValue
+            from ..isa.abi import FatPointer
+
+            tools.memory.populate_bootloader_calldata(list(calldata))
+            fp = FatPointer(offset=0,
+                            memory_page=params.BOOTLOADER_CALLDATA_PAGE,
+                            start=0, length=32 * len(calldata))
+            vm.local_state.registers[0] = PrimitiveValue(
+                value=fp.to_u256(), is_pointer=True)
         cycles = harness.run(vm, max_cycles)
         return vm, tools, cycles
 
@@ -105,7 +118,9 @@ def diff_run(sources: list[str], config: VmConfig | None = None,
 
     programs = [assemble_to_code_words(src) for src in sources]
     state = make_entry_state(config, programs, ergs=ergs,
-                             entry_address=entry_address)
+                             entry_address=entry_address,
+                             calldata=[list(calldata)] * B
+                             if calldata is not None else None)
     if contract_entries:
         state = populate_storage(state, config, [contract_entries] * B)
     if bank:

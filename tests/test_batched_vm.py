@@ -326,6 +326,41 @@ class TestDifferential:
     def test_calls(self):
         diff_run(CALL_PROGRAMS)
 
+    def test_bootloader_calldata(self):
+        """Entry frame reads its bootloader calldata through the tagged r1
+        fat pointer (memory.rs:293-298 + far_call.rs:571-577): in-bounds
+        reads, ptr.add walking, and the zero tail beyond length — full
+        witness-stream diff."""
+        progs = [
+            # read word 0 and word 1 via ld.ptr + ptr.add
+            """
+            ld.ptr r1, r5
+            add 32, r0, r6
+            ptr.add r1, r6, r2
+            ld.ptr r2, r7
+            add r5, r7, r8
+            st.h 0, r8
+            ret r0
+            """,
+            # walk past length: tail bytes read as zero
+            """
+            add 64, r0, r6
+            ptr.add r1, r6, r2
+            ld.ptr r2, r7
+            st.h 0, r7
+            ret r0
+            """,
+            # shrink then read inside the shrunk window
+            """
+            add 32, r0, r6
+            ptr.shrink r1, r6, r2
+            ld.ptr r2, r7
+            st.h 0, r7
+            ret r0
+            """,
+        ]
+        diff_run(progs, calldata=[0xDEADBEEF << 128, 0x1234, (1 << 255) | 7])
+
     def test_context(self):
         diff_run(CONTEXT_PROGRAMS)
 

@@ -77,6 +77,79 @@ RECURSE = """
 """
 
 
+class TestStorageKvSpill:
+    def test_4x_distinct_keys_segmented(self):
+        """A program writing 4x storage_slots distinct keys (and re-reading
+        old, evicted ones — exercising the rehydrate/replay path) runs
+        segmented through the KV spill, and its concatenated log stream +
+        final storage equal an unsegmented big-table run.  Reference
+        counterpart: unbounded storage, testing/storage.rs:8-76."""
+        from era_zk_evm_tpu.models.spill import (
+            HostStorage, run_segments_storage,
+        )
+
+        prog = """
+            add 1, r0, r10
+            add code[@n], r0, r1
+            add 0, r0, r2
+            loop:
+            add r2, r10, r2
+            log.swrite r2, r2
+            and 7, r2, r4
+            add r4, r10, r4
+            log.sread r4, r5
+            sub! r1, r10, r1
+            jump.if_ne @loop
+            ret r0
+            n: .word 32
+        """
+        words = [assemble_to_code_words(prog)] * 2
+        # unsegmented reference: table big enough for all 32 keys
+        big = VmConfig(batch=2, queue_capacity=0, heap_words=16,
+                       stack_words=2048, code_words=64, max_depth=8,
+                       storage_slots=40, journal_slots=256, event_slots=8,
+                       log_queue_capacity=256)
+        n_cycles = 32 * 7 + 8
+        ref = run_cycles(make_entry_state(big, words, ergs=1 << 20),
+                         big, n_cycles)
+        assert not np.any(np.asarray(ref.lane_error))
+        _, want = drain_witness_queues(ref, big)
+
+        # segmented: 8-slot table, spill between 32-cycle segments
+        small = VmConfig(batch=2, queue_capacity=0, heap_words=16,
+                         stack_words=2048, code_words=64, max_depth=8,
+                         storage_slots=8, journal_slots=256, event_slots=8,
+                         log_queue_capacity=32)
+        state = make_entry_state(small, words, ergs=1 << 20)
+        state, host, got = run_segments_storage(
+            state, small, run_cycles, n_cycles, segment=16)
+        assert not np.any(np.asarray(state.lane_error))
+        for b in range(2):
+            assert [serialize_log_query(q) for q in got["log"][b]] == \
+                [serialize_log_query(q) for q in want["log"][b]]
+
+        # final storage: host map + device residual == the big table
+        from era_zk_evm_tpu.models.state import storage_key_limbs
+
+        st_key = np.asarray(ref.st_key)
+        st_val = np.asarray(ref.st_val)
+        st_used = np.asarray(ref.st_used)
+        sk = np.asarray(state.st_key)
+        sv = np.asarray(state.st_val)
+        su = np.asarray(state.st_used)
+        for b in range(2):
+            want_map = {tuple(int(x) for x in st_key[b, i]):
+                        tuple(int(x) for x in st_val[b, i])
+                        for i in range(st_key.shape[1]) if st_used[b, i]}
+            got_map = {k: tuple(int(x) for x in v)
+                       for k, v in host.maps[b].items()}
+            for i in range(sk.shape[1]):
+                if su[b, i]:
+                    got_map[tuple(int(x) for x in sk[b, i])] = \
+                        tuple(int(x) for x in sv[b, i])
+            assert got_map == want_map
+
+
 class TestCallstackSpill:
     def test_deep_recursion_through_shallow_device_stack(self):
         # architectural depth reaches 14; device holds only 8 frames
