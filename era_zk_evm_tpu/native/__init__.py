@@ -6,9 +6,10 @@ against the golden Python model / the TPU interpreter, and to measure a real
 single-core witness-traced cycles/sec baseline on the local machine
 (bench.py's vs_baseline anchor).
 
-Coverage: all 15 opcode families except Log.precompile (the hash precompiles
-live on the Python/TPU side); far calls take a staged contract bank +
-storage-init entries, mirroring the golden harness / device populate helpers.
+Coverage: all 15 opcode families, incl. Log.precompile for keccak256 and
+sha256 (ecrecover stays Python/TPU-side; it terminates with ST_UNSUPPORTED);
+far calls take a staged contract bank + storage-init entries, mirroring the
+golden harness / device populate helpers.
 
 Build happens on demand with g++ (no pybind11 in the image — plain ctypes).
 Decode tables are generated from the Python ISA layer, keeping a single

@@ -1,5 +1,6 @@
 """Device precompile unit vs golden: keccak256 / sha256 through log.precompile."""
 
+import pytest
 import hashlib
 
 from era_zk_evm_tpu.golden.precompiles import keccak256
@@ -184,6 +185,7 @@ class TestDevicePrecompiles:
                  entry_address=params.KECCAK256_ROUND_FUNCTION_PRECOMPILE_ADDRESS)
 
 
+@pytest.mark.slow
 class TestDeviceEcrecover:
     def test_ecrecover_via_vm(self):
         from era_zk_evm_tpu.golden.precompiles import (

@@ -443,6 +443,116 @@ class TestFusedPrecompiles:
             hashlib.sha256(msg).digest(), "big")
 
 
+@pytest.mark.slow
+class TestFusedEcrecover:
+    """The ecrecover detour protocol: the fused kernel detects ecrecover
+    cycles, the wrapper re-runs the chunk up to each one (dynamic k_stop)
+    and executes that cycle on the jnp engine — full state + all witness
+    queues bit-exact vs a pure jnp run.  Reference vectors construction:
+    /root/reference/src/testing/tests/precompiles/ecrecover.rs:127-144."""
+
+    def _ec_vector(self, seed_msg: bytes, d: int, k: int):
+        from era_zk_evm_tpu.golden.precompiles import (
+            SECP_GX, SECP_GY, SECP_N, _ec_mul, _inv_mod, keccak256,
+        )
+
+        digest = int.from_bytes(keccak256(seed_msg), "big")
+        R = _ec_mul(k, (SECP_GX, SECP_GY))
+        r = R[0] % SECP_N
+        s = _inv_mod(k, SECP_N) * (digest + r * d) % SECP_N
+        v = R[1] & 1
+        if s > SECP_N // 2:
+            s = SECP_N - s
+            v ^= 1
+        return digest, v, r, s
+
+    def test_ecrecover_detour_mid_chunk(self):
+        from era_zk_evm_tpu.isa import params
+        from era_zk_evm_tpu.isa.abi import PrecompileCallABI
+
+        d = 0xC0FFEE0DDF00DC0FFEE0DDF00DC0FFEE0DDF00DC0FFEE0DDF00DC0FFEE0DD01
+        k1 = 0x8BADF00D8BADF00D8BADF00D8BADF00D8BADF00D8BADF00D8BADF00D8BADF00D
+        dg1, v1, r1, s1 = self._ec_vector(b"fused detour 1", d, k1)
+        dg2, v2, r2, s2 = self._ec_vector(b"fused detour 2", d, k1 + 7)
+        ec_abi = PrecompileCallABI(
+            input_memory_offset=0, input_memory_length=4,
+            output_memory_offset=4, output_memory_length=2,
+            memory_page_to_read=0, memory_page_to_write=0,
+            precompile_interpreted_data=0).to_u256()
+        kc_abi = PrecompileCallABI(
+            input_memory_offset=0, input_memory_length=16,
+            output_memory_offset=7, output_memory_length=1,
+            memory_page_to_read=0, memory_page_to_write=0,
+            precompile_interpreted_data=0).to_u256()
+
+        def ec_call(dg, v, r, s, tag):
+            return f"""
+            add code[@dg{tag}], r0, r2
+            st.h 0, r2
+            add {v}, r0, r3
+            st.h 32, r3
+            add code[@sr{tag}], r0, r4
+            st.h 64, r4
+            add code[@ss{tag}], r0, r5
+            st.h 96, r5
+            add code[@ecabi], r0, r6
+            log.precompile r6, r0, r7
+            add 128, r0, r8
+            ld.h r8, r9
+            add 160, r0, r10
+            ld.h r10, r11
+            """
+
+        prog = f"""
+            add 1, r0, r14
+            {ec_call(dg1, v1, r1, s1, '1')}
+            add r9, r11, r12
+            add code[@kcabi], r0, r6
+            log.precompile r6, r0, r7
+            ld.h 224, r13
+            {ec_call(dg2, v2, r2, s2, '2')}
+            add r9, r12, r12
+            ret r0
+            ecabi: .word {ec_abi}
+            kcabi: .word {kc_abi}
+            dg1: .word {dg1}
+            sr1: .word {r1}
+            ss1: .word {s1}
+            dg2: .word {dg2}
+            sr2: .word {r2}
+            ss2: .word {s2}
+        """
+        n_cycles = 64
+        B = 2
+        config = dataclasses.replace(
+            VmConfig(batch=B, code_words=64, stack_words=256,
+                     sweep_gating=False, stack_abs_words=64,
+                     stack_sp_base=960, heap_words=32, aux_heap_words=16,
+                     max_depth=8, queue_capacity=n_cycles * 8,
+                     storage_slots=8, journal_slots=16, event_slots=16,
+                     log_queue_capacity=n_cycles, heap_frames=2,
+                     code_pages=2, decommit_queue_capacity=n_cycles,
+                     precompile_keccak_blocks=2, precompile_sha_rounds=2),
+            precompile_ecrecover=True)
+        assert supported(config)
+        ref_config = dataclasses.replace(config, sweep_gating=True)
+        words = [assemble_to_code_words(prog)] * B
+        entry = params.ECRECOVER_INNER_FUNCTION_PRECOMPILE_ADDRESS
+        ref = run_cycles(make_entry_state(ref_config, words, ergs=1 << 20,
+                                          entry_address=entry),
+                         ref_config, n_cycles)
+        # k_inner=8 puts the ecrecover cycles mid-chunk repeatedly
+        fus = run_cycles_fused(
+            make_entry_state(config, words, ergs=1 << 20,
+                             entry_address=entry),
+            config, n_cycles, tile=B, k_inner=8)
+        assert not np.asarray(ref.lane_error).any()
+        bad = [f.name for f in dataclasses.fields(ref)
+               if not (np.asarray(getattr(ref, f.name))
+                       == np.asarray(getattr(fus, f.name))).all()]
+        assert not bad, f"fused/jnp mismatch: {bad}"
+
+
 class TestFusedRollingCommitment:
     def test_rolling_sponge_equality(self):
         config = VmConfig(batch=2, code_words=32, stack_words=256,
@@ -493,6 +603,46 @@ class TestFusedSharded:
             a = np.asarray(getattr(single, f.name))
             b = np.asarray(getattr(sharded, f.name))
             assert (a == b).all(), f.name
+
+    def test_collective_block_commitment(self):
+        """The device/collective block fold (finalize per shard, all-gather
+        digests over the mesh, fold in global lane order) equals the host
+        fold of witness/commitment.py bit-exactly, on both engines."""
+        from era_zk_evm_tpu.parallel.fused import run_block_fused
+        from era_zk_evm_tpu.parallel.mesh import (
+            make_mesh, run_block, shard_state,
+        )
+        from era_zk_evm_tpu.witness.commitment import (
+            block_commitment, device_rolling_commitments,
+        )
+
+        B = 8
+        config = VmConfig(batch=B, code_words=32, stack_words=256,
+                          sweep_gating=False, stack_abs_words=64,
+                          stack_sp_base=960, heap_words=32, aux_heap_words=8,
+                          max_depth=8, queue_capacity=0,
+                          rolling_commitment=True)
+        assert supported(config)
+        words = [assemble_to_code_words(s)
+                 for s in (UMA_PROGRAMS[:4] + STACK_PROGRAMS)[:B]]
+        words += [words[0]] * (B - len(words))
+        mesh = make_mesh(8)
+        state = shard_state(make_entry_state(config, words, ergs=1 << 20),
+                            mesh)
+        out, agg = run_block_fused(state, config, N_CYCLES, mesh,
+                                   tile=1, k_inner=16)
+        got = b"".join(int(w).to_bytes(4, "little")
+                       for w in np.asarray(agg["memory_block_commitment"]))
+        want = block_commitment(device_rolling_commitments(out))
+        assert got == want
+
+        # jnp engine (auto-partitioned fold) agrees
+        state2 = shard_state(make_entry_state(config, words, ergs=1 << 20),
+                             mesh)
+        out2, agg2 = run_block(state2, config, N_CYCLES)
+        got2 = b"".join(int(w).to_bytes(4, "little")
+                        for w in np.asarray(agg2["memory_block_commitment"]))
+        assert got2 == want
 
 
 class TestFusedPrecompileRoundWitness:

@@ -70,6 +70,30 @@ class TestVariantTable:
         # out-of-range indices alias INVALID
         assert arrs["is_explicit_panic"][2047]
 
+    def test_price_table_matches_pinned_blob(self):
+        """The synthesized per-variant prices equal the checked-in pinned
+        table (isa/ergs_prices.py).  A price correction verified against
+        the public zkevm_opcode_defs v1.4.1 crate goes into
+        DOCUMENTED_DIVERGENCES (then propagate the atom into isa/params.py
+        so this diff stays empty).  Reference consumer:
+        /root/reference/src/vm_state/cycle.rs:147-148."""
+        import numpy as np
+
+        from era_zk_evm_tpu.isa.ergs_prices import (
+            DOCUMENTED_DIVERGENCES, expected_price_table,
+        )
+
+        expected = expected_price_table()
+        got = np.asarray([v.price for v in VARIANTS], dtype=np.uint64)
+        assert expected.shape[0] == len(VARIANTS)
+        mismatch = np.nonzero(got != expected)[0]
+        undocumented = [int(i) for i in mismatch
+                        if int(i) not in DOCUMENTED_DIVERGENCES]
+        assert not undocumented, (
+            f"synthesized prices diverge from the pinned table at variant "
+            f"indices {undocumented[:10]} — either the synthesis drifted "
+            f"or a new pin needs a DOCUMENTED_DIVERGENCES entry")
+
 
 class TestEncoding:
     def test_roundtrip(self):
