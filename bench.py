@@ -384,17 +384,23 @@ def bench_rolling(batch: int, n_cycles: int, engine: str = "fused",
     return batch * n_cycles / (time.time() - t0)
 
 
-def bench_keccak(batch: int = 65536, iters: int = 32) -> float:
-    """Chained batched Keccak-f[1600] permutations/sec (verified kernel)."""
+def bench_keccak(batch: int = 131072, iters: int = 128,
+                 tile: int = 2048) -> float:
+    """Chained batched Keccak-f[1600] permutations/sec.
+
+    Uses the VMEM-resident Pallas kernel (ops/keccak.keccak_f1600_pallas):
+    15M perms/s measured at tile=2048 — at the v5e VPU's one-vreg-op/cycle
+    speed-of-light for u32-pair keccak (~75 vreg-ops/perm; see PERF.md).
+    The jnp form (HBM-streamed rounds) measures ~5M perms/s."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from era_zk_evm_tpu.ops.keccak import keccak_f1600_array
+    from era_zk_evm_tpu.ops.keccak import keccak_f1600_pallas
 
     st = jnp.ones((batch, 25, 2), jnp.uint32)
-    f = jax.jit(lambda s: jax.lax.fori_loop(
-        0, iters, lambda i, c: keccak_f1600_array(c), s))
+    f = jax.jit(lambda s: keccak_f1600_pallas(s, iters=iters, tile=tile,
+                                              interpret=False))
     int(np.asarray(f(st))[0, 0, 0])
     t0 = time.time()
     int(np.asarray(f(st))[0, 0, 0])

@@ -175,3 +175,84 @@ def digest_from_state(state) -> list[bytes]:
 def keccak256_batched(blocks: jax.Array) -> jax.Array:
     """Full sponge over pre-padded blocks -> final states u32[B, 25, 2]."""
     return absorb_blocks(blocks)
+
+
+def keccak_f1600_pallas(state: jax.Array, iters: int = 1,
+                        tile: int = 1024,
+                        interpret: bool | None = None) -> jax.Array:
+    """Chained keccak-f[1600] permutations as a VMEM-resident Pallas kernel.
+
+    state u32[B, 25, 2] -> the state after `iters` permutations.  The jnp
+    form streams every round's 50 u32[B] lanes through HBM (measured ~5M
+    perms/s on one v5e chip); here a batch tile's whole state stays in
+    VMEM across all iterations, so HBM sees it twice total.
+    """
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = state.shape[0]
+    assert B % tile == 0, (B, tile)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bl = jnp.transpose(state, (1, 2, 0))        # [25, 2, B]
+
+    def kernel(s_ref, o_ref):
+        st = s_ref[...]
+        # the fori carry is ONE [50, TB] array (rank-1 carries crash
+        # Mosaic's layout inference; [1, TB] rows waste 7/8 of each
+        # vreg's sublanes); inside the round the rows ride as rank-1
+        # [TB] values, which pack vregs densely
+        st50 = jnp.concatenate([st[:, 0, :], st[:, 1, :]], axis=0)
+
+        def perm(i, st50):
+            lo = [st50[j] for j in range(25)]
+            hi = [st50[25 + j] for j in range(25)]
+            if not interpret:
+                # 24 rounds unrolled with np-scalar round constants (no
+                # array captures); Mosaic compiles the unrolled chain
+                # fine — only XLA:CPU's simplifier is super-linear on it
+                for r in range(24):
+                    lo, hi = _round(lo, hi,
+                                    U32(KECCAK_RC[r] & 0xFFFFFFFF),
+                                    U32(KECCAK_RC[r] >> 32))
+            else:
+                # interpret mode lowers through XLA:CPU (super-linear on
+                # the unrolled chain): fori the rounds, with constants
+                # selected by a scalar where-chain (array-valued rc
+                # tables would be rejected closure captures)
+                def rnd(r, carry):
+                    lo, hi = list(carry[0]), list(carry[1])
+                    rc_lo = U32(0)
+                    rc_hi = U32(0)
+                    for k in range(24):
+                        rc_lo = jnp.where(r == k,
+                                          U32(KECCAK_RC[k] & 0xFFFFFFFF),
+                                          rc_lo)
+                        rc_hi = jnp.where(r == k,
+                                          U32(KECCAK_RC[k] >> 32), rc_hi)
+                    lo, hi = _round(lo, hi, rc_lo, rc_hi)
+                    return tuple(lo), tuple(hi)
+
+                lo_t, hi_t = jax.lax.fori_loop(
+                    0, 24, rnd, (tuple(lo), tuple(hi)))
+                lo, hi = list(lo_t), list(hi_t)
+            return jnp.stack(lo + hi, axis=0)
+
+        st50 = jax.lax.fori_loop(0, iters, perm, st50)
+        o_ref[...] = jnp.stack([st50[:25], st50[25:]], axis=1)
+
+    spec = pl.BlockSpec((25, 2, tile), lambda i: (0, 0, i),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // tile,),
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((25, 2, B), jnp.uint32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2**20),
+    )(bl)
+    return jnp.transpose(out, (2, 0, 1))

@@ -17,10 +17,22 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+import hashlib
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the differential suite compiles one cycle-step
-# program per VmConfig (~30-120 s each on XLA:CPU); cached reruns are fast
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu_eravm")
+# program per VmConfig (~30-120 s each on XLA:CPU); cached reruns are fast.
+# The dir is keyed by the HOST CPU's feature set: XLA:CPU AOT cache entries
+# compiled on a different machine (the session hosts vary) load anyway and
+# SEGFAULT mid-run (observed; the loader only warns about e.g.
+# prefer-no-scatter mismatches before crashing).
+try:
+    _flags = [ln for ln in open("/proc/cpuinfo") if ln.startswith("flags")]
+    _hw = hashlib.sha1(_flags[0].encode()).hexdigest()[:8] if _flags else "na"
+except OSError:
+    _hw = "na"
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/jax_cache_tpu_eravm_{_hw}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)

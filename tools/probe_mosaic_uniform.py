@@ -41,9 +41,10 @@ def kernel(mode_ref, arena_ref, idx_ref, out_ref):
         return jnp.sum(acc.astype(I32), axis=1).astype(U32)
 
     def uniform_gather():
+        # dynamic REF indexing (lax.dynamic_slice on a value is not
+        # implemented in the Pallas TPU lowering — probed)
         i0 = jnp.min(idx.astype(I32))
-        row = jax.lax.dynamic_slice(arena, (0, i0, 0), (8, 1, TB))
-        return row[:, 0, :]
+        return arena_ref[:, pl.dslice(i0, 1), :][:, 0, :]
 
     def body(r, acc):
         uniform = jnp.min(idx.astype(I32)) == jnp.max(idx.astype(I32))
