@@ -6,8 +6,9 @@ against the golden Python model / the TPU interpreter, and to measure a real
 single-core witness-traced cycles/sec baseline on the local machine
 (bench.py's vs_baseline anchor).
 
-Coverage: all 15 opcode families, incl. Log.precompile for keccak256 and
-sha256 (ecrecover stays Python/TPU-side; it terminates with ST_UNSUPPORTED);
+Coverage: all 15 opcode families, incl. Log.precompile for keccak256,
+sha256 and ecrecover (secp256k1 recovery; correctness-grade shift-add
+field arithmetic — fine for differential testing, not a throughput path);
 far calls take a staged contract bank + storage-init entries, mirroring the
 golden harness / device populate helpers.
 

@@ -3,12 +3,13 @@
 // interpreter for high-volume differential fuzzing, and the machine's real
 // measured single-core witness-traced baseline for bench.py.
 //
-// Coverage: all 15 opcode families incl. Log.precompile for keccak256 and
-// sha256 (ecrecover stays Python/TPU-side): NOP ADD SUB MUL DIV JUMP CONTEXT(all 10
+// Coverage: all 15 opcode families incl. Log.precompile for keccak256,
+// sha256 AND ecrecover (secp256k1 recovery, correctness-grade arithmetic):
+// NOP ADD SUB MUL DIV JUMP CONTEXT(all 10
 // sub-ops) SHIFT BINOP PTR NEAR_CALL FAR_CALL(normal/delegate/mimic, decommit,
 // 63/64, register protocol) RET(ok/revert/panic with returndata forwarding)
 // UMA(heap/aux/fat-pointer) LOG(sread/swrite/event/to_l1 with journal
-// rollback).  Log.precompile(ecrecover) terminates with ST_UNSUPPORTED.
+// rollback).
 //
 // Decode tables are generated from the Python ISA layer (gen_tables.py) so
 // variant semantics have one source of truth; ISA constants are pinned
@@ -361,6 +362,178 @@ struct DecWitness {
         count++;
     }
 };
+
+// ---------------------------------------------------------------------------
+// secp256k1 ecrecover (mirrors golden/precompiles.ecrecover_inner).
+// Correctness-grade arithmetic: shift-add mulmod + Fermat inversions on the
+// U256 limbs — ~1 s per recovery, fine for the differential-test role (the
+// bench baseline workloads contain no ecrecover).
+// ---------------------------------------------------------------------------
+
+static bool u256_lt(const U256 &a, const U256 &b) {
+    for (int i = 3; i >= 0; i--) {
+        if (a.w[i] != b.w[i]) return a.w[i] < b.w[i];
+    }
+    return false;
+}
+static bool u256_is_zero(const U256 &a) {
+    return !(a.w[0] | a.w[1] | a.w[2] | a.w[3]);
+}
+static U256 u256_addc(const U256 &a, const U256 &b, bool &carry_out) {
+    U256 r; unsigned __int128 c = 0;
+    for (int i = 0; i < 4; i++) {
+        unsigned __int128 s = (unsigned __int128)a.w[i] + b.w[i] + c;
+        r.w[i] = (u64)s; c = s >> 64;
+    }
+    carry_out = c != 0;
+    return r;
+}
+static U256 u256_subb(const U256 &a, const U256 &b, bool &borrow_out) {
+    U256 r; unsigned __int128 brw = 0;
+    for (int i = 0; i < 4; i++) {
+        unsigned __int128 d = (unsigned __int128)a.w[i] - b.w[i] - brw;
+        r.w[i] = (u64)d; brw = (d >> 64) ? 1 : 0;
+    }
+    borrow_out = brw != 0;
+    return r;
+}
+static U256 addmod256(const U256 &a, const U256 &b, const U256 &m) {
+    bool c, br;
+    U256 s = u256_addc(a, b, c);
+    U256 t = u256_subb(s, m, br);
+    return (c || !br) ? t : s;
+}
+static U256 mulmod256(const U256 &a, const U256 &b, const U256 &m) {
+    // double-and-add over b's bits, MSB first
+    U256 acc = {};
+    bool any = false;
+    for (int i = 255; i >= 0; i--) {
+        if (any) acc = addmod256(acc, acc, m);
+        if ((b.w[i / 64] >> (i % 64)) & 1) {
+            acc = addmod256(acc, a, m);
+            any = true;
+        }
+    }
+    return acc;
+}
+static U256 powmod256(const U256 &a, const U256 &e, const U256 &m) {
+    U256 acc = {}; acc.w[0] = 1;
+    for (int i = 255; i >= 0; i--) {
+        acc = mulmod256(acc, acc, m);
+        if ((e.w[i / 64] >> (i % 64)) & 1) acc = mulmod256(acc, a, m);
+    }
+    return acc;
+}
+static U256 u256_from_words(u64 w0, u64 w1, u64 w2, u64 w3) {
+    U256 r; r.w[0] = w0; r.w[1] = w1; r.w[2] = w2; r.w[3] = w3;
+    return r;
+}
+static const U256 SECP_P = u256_from_words(
+    0xFFFFFFFEFFFFFC2FULL, 0xFFFFFFFFFFFFFFFFULL,
+    0xFFFFFFFFFFFFFFFFULL, 0xFFFFFFFFFFFFFFFFULL);
+static const U256 SECP_N = u256_from_words(
+    0xBFD25E8CD0364141ULL, 0xBAAEDCE6AF48A03BULL,
+    0xFFFFFFFFFFFFFFFEULL, 0xFFFFFFFFFFFFFFFFULL);
+static const U256 SECP_GX = u256_from_words(
+    0x59F2815B16F81798ULL, 0x029BFCDB2DCE28D9ULL,
+    0x55A06295CE870B07ULL, 0x79BE667EF9DCBBACULL);
+static const U256 SECP_GY = u256_from_words(
+    0x9C47D08FFB10D4B8ULL, 0xFD17B448A6855419ULL,
+    0x5DA4FBFC0E1108A8ULL, 0x483ADA7726A3C465ULL);
+
+static U256 submod_p(const U256 &a, const U256 &b) {
+    bool br;
+    U256 d = u256_subb(a, b, br);
+    if (br) { bool c; d = u256_addc(d, SECP_P, c); }
+    return d;
+}
+static U256 invmod(const U256 &a, const U256 &m) {
+    bool br;
+    U256 two = {}; two.w[0] = 2;
+    U256 e = u256_subb(m, two, br);
+    return powmod256(a, e, m);
+}
+
+struct ECPoint { U256 x, y; bool inf; };
+
+static ECPoint ec_add_pt(const ECPoint &p, const ECPoint &q) {
+    if (p.inf) return q;
+    if (q.inf) return p;
+    bool x_eq = !memcmp(p.x.w, q.x.w, 32);
+    U256 ysum = addmod256(p.y, q.y, SECP_P);
+    if (x_eq && u256_is_zero(ysum)) return ECPoint{{}, {}, true};
+    U256 lam;
+    if (x_eq) {
+        U256 three = {}; three.w[0] = 3;
+        U256 num = mulmod256(three, mulmod256(p.x, p.x, SECP_P), SECP_P);
+        U256 den = addmod256(p.y, p.y, SECP_P);
+        lam = mulmod256(num, invmod(den, SECP_P), SECP_P);
+    } else {
+        U256 num = submod_p(q.y, p.y);
+        U256 den = submod_p(q.x, p.x);
+        lam = mulmod256(num, invmod(den, SECP_P), SECP_P);
+    }
+    U256 x3 = submod_p(submod_p(mulmod256(lam, lam, SECP_P), p.x), q.x);
+    U256 y3 = submod_p(mulmod256(lam, submod_p(p.x, x3), SECP_P), p.y);
+    return ECPoint{x3, y3, false};
+}
+
+static ECPoint ec_mul_pt(const U256 &k, const ECPoint &p) {
+    ECPoint acc{{}, {}, true};
+    ECPoint base = p;
+    for (int i = 0; i < 256; i++) {
+        if ((k.w[i / 64] >> (i % 64)) & 1) acc = ec_add_pt(acc, base);
+        base = ec_add_pt(base, base);
+    }
+    return acc;
+}
+
+// returns true + writes the recovered address (low 160 bits) on success
+static bool ecrecover_native(const U256 &digest, u64 v, const U256 &r,
+                             const U256 &s, U256 &addr_out) {
+    U256 one = {}; one.w[0] = 1;
+    if (u256_is_zero(r) || u256_is_zero(s)) return false;
+    if (!u256_lt(r, SECP_N) || !u256_lt(s, SECP_N)) return false;
+    if (v > 1) return false;
+    if (!u256_lt(r, SECP_P)) return false;
+    U256 seven = {}; seven.w[0] = 7;
+    U256 y_sq = addmod256(
+        mulmod256(mulmod256(r, r, SECP_P), r, SECP_P), seven, SECP_P);
+    // sqrt: y = y_sq^((p+1)/4)
+    bool c;
+    U256 e = u256_addc(SECP_P, one, c);  // p+1 (no overflow: p < 2^256-1)
+    // shift right by 2
+    U256 e4;
+    for (int i = 0; i < 4; i++) {
+        u64 hi = (i < 3) ? e.w[i + 1] : 0;
+        e4.w[i] = (e.w[i] >> 2) | (hi << 62);
+    }
+    U256 y = powmod256(y_sq, e4, SECP_P);
+    if (memcmp(mulmod256(y, y, SECP_P).w, y_sq.w, 32)) return false;
+    if ((y.w[0] & 1) != v) y = submod_p(SECP_P, y);
+    ECPoint R{r, y, false};
+    ECPoint G{SECP_GX, SECP_GY, false};
+    U256 r_inv = invmod(r, SECP_N);
+    // e_red = digest mod n
+    U256 e_red = digest;
+    while (!u256_lt(e_red, SECP_N)) { bool br; e_red = u256_subb(e_red, SECP_N, br); }
+    U256 neg_e = u256_is_zero(e_red) ? e_red : [&] {
+        bool br; return u256_subb(SECP_N, e_red, br);
+    }();
+    ECPoint q = ec_mul_pt(r_inv, ec_add_pt(ec_mul_pt(s, R),
+                                           ec_mul_pt(neg_e, G)));
+    if (q.inf) return false;
+    u8 pub[64];
+    to_be_bytes(q.x, pub);
+    to_be_bytes(q.y, pub + 32);
+    u8 digest32[32];
+    keccak256(pub, 64, digest32);
+    u8 addr_be[32];
+    memset(addr_be, 0, 12);
+    memcpy(addr_be + 12, digest32 + 12, 20);
+    addr_out = from_be_bytes(addr_be);
+    return true;
+}
 
 struct BankEntry { U256 stored_hash; const U256 *words; int len; u32 page; };
 struct CodePage { const U256 *words; int len; };
@@ -1272,7 +1445,36 @@ extern "C" int eravm_oracle_run(
                     bool is_keccak = addr_low == 0x8010;
                     bool is_sha = addr_low == 0x02;
                     bool is_ec = addr_low == 0x01;  // ECRECOVER_INNER
-                    if (is_ec) { status = ST_UNSUPPORTED; break; }
+                    if (is_ec) {
+                        // golden/precompiles.py ecrecover path: 4 input
+                        // words (digest, v, r, s), 2 output words
+                        // (ok flag, address)
+                        auto itr = heap_pages.find(page_r);
+                        auto itw = heap_pages.find(page_w);
+                        if (itr == heap_pages.end()
+                            || itw == heap_pages.end()) {
+                            status = ST_OOB; break;
+                        }
+                        std::vector<U256> &rp = itr->second;
+                        std::vector<U256> &wp = itw->second;
+                        if ((u64)in_off + 3 >= rp.size()
+                            || (u64)out_off + 1 >= wp.size()) {
+                            status = ST_OOB; break;
+                        }
+                        U256 dg = rp[in_off];
+                        u64 vbit = rp[in_off + 1].w[0] & 1;
+                        U256 sig_r = rp[in_off + 2];
+                        U256 sig_s = rp[in_off + 3];
+                        U256 rec = z256();
+                        bool ok = ecrecover_native(dg, vbit, sig_r, sig_s,
+                                                   rec);
+                        U256 okw = z256(); okw.w[0] = ok ? 1 : 0;
+                        wp[out_off] = okw;
+                        wp[out_off + 1] = ok ? rec : z256();
+                        U256 one = z256(); one.w[0] = 1;
+                        dst0_write(one, false);
+                        break;
+                    }
                     if (is_keccak || is_sha) {
                         auto itr = heap_pages.find(page_r);
                         auto itw = heap_pages.find(page_w);

@@ -104,17 +104,75 @@ class TestNativeSha256:
 
 
 class TestNativeEcrecoverUnsupported:
-    def test_ecrecover_flags_unsupported(self):
+    def test_ecrecover_recovers_vs_golden(self):
+        """Native secp256k1 recovery == golden ecrecover_inner (plus the
+        invalid-signature zero path) — closes the C++ oracle's last
+        precompile gap."""
+        from era_zk_evm_tpu.golden.precompiles import (
+            SECP_GX, SECP_GY, SECP_N, _ec_mul, _inv_mod, ecrecover_inner,
+            keccak256,
+        )
+
+        d = 0xC0FFEE0DDF00DC0FFEE0DDF00DC0FFEE0DDF00DC0FFEE0DDF00DC0FFEE0DD01
+        k = 0x8BADF00D8BADF00D8BADF00D8BADF00D8BADF00D8BADF00D8BADF00D8BADF00D
+        digest = int.from_bytes(keccak256(b"native recovery"), "big")
+        R = _ec_mul(k, (SECP_GX, SECP_GY))
+        r = R[0] % SECP_N
+        s = _inv_mod(k, SECP_N) * (digest + r * d) % SECP_N
+        v = R[1] & 1
+        if s > SECP_N // 2:
+            s = SECP_N - s
+            v ^= 1
+        want = ecrecover_inner(digest, v, r, s)
+        assert want is not None
+
         prog = f"""
-        add code[@abi], r0, r4
-        log.precompile r4, r0, r5
+        add code[@dg], r0, r2
+        st.h 0, r2
+        add {v}, r0, r3
+        st.h 32, r3
+        add code[@sr], r0, r4
+        st.h 64, r4
+        add code[@ss], r0, r5
+        st.h 96, r5
+        add code[@abi], r0, r6
+        log.precompile r6, r0, r7
         ret r0
         abi: .word {_abi(0, 4, 4)}
+        dg: .word {digest}
+        sr: .word {r}
+        ss: .word {s}
         """
         out = run_oracle(
             assemble_to_code_words(prog),
             entry_address=params.ECRECOVER_INNER_FUNCTION_PRECOMPILE_ADDRESS)
-        assert out["status"] == ST_UNSUPPORTED
+        assert out["status"] == ST_DONE
+        assert _heap_word(out, 4) == 1
+        assert _heap_word(out, 5) == want
+
+        # invalid signature (r = 0): ok flag and address both zero
+        bad = f"""
+        add code[@dg], r0, r2
+        st.h 0, r2
+        add {v}, r0, r3
+        st.h 32, r3
+        add 0, r0, r4
+        st.h 64, r4
+        add code[@ss], r0, r5
+        st.h 96, r5
+        add code[@abi], r0, r6
+        log.precompile r6, r0, r7
+        ret r0
+        abi: .word {_abi(0, 4, 4)}
+        dg: .word {digest}
+        ss: .word {s}
+        """
+        out = run_oracle(
+            assemble_to_code_words(bad),
+            entry_address=params.ECRECOVER_INNER_FUNCTION_PRECOMPILE_ADDRESS)
+        assert out["status"] == ST_DONE
+        assert _heap_word(out, 4) == 0
+        assert _heap_word(out, 5) == 0
 
 
 class TestNativeVsGoldenPrecompileRecords:
