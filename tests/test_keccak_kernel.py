@@ -31,6 +31,18 @@ class TestPermutation:
         got = [int(out[0, k, 0]) | (int(out[0, k, 1]) << 32) for k in range(25)]
         assert got == want
 
+    def test_pallas_kernel_matches_array_form(self):
+        from era_zk_evm_tpu.ops.keccak import keccak_f1600_pallas
+
+        rng = np.random.default_rng(3)
+        st = jnp.asarray(rng.integers(0, 1 << 32, size=(16, 25, 2),
+                                      dtype=np.uint32))
+        want = st
+        for _ in range(3):
+            want = keccak_f1600_array(want)
+        got = keccak_f1600_pallas(st, iters=3, tile=8)
+        assert (np.asarray(got) == np.asarray(want)).all()
+
 
 class TestSponge:
     def test_known_vectors(self):
