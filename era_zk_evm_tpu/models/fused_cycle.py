@@ -2100,15 +2100,17 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     # one keccak-f absorb per valid query record, per-slot occupancy-gated)
     if config.rolling_commitment:
         wc_arr = mem["wc_state"][...]          # u32[25, 2, TB]
-        wlo = [wc_arr[k_, 0] for k_ in range(25)]
-        whi = [wc_arr[k_, 1] for k_ in range(25)]
-        wc_count = v["wc_count"]
 
         def _bswap(x):
             x = x.astype(U32)
             return ((x & 0xFF) << 24) | ((x & 0xFF00) << 8) \
                 | ((x >> 8) & 0xFF00) | (x >> 24)
 
+        # records precomputed for all 8 slots, absorbed by a fori over the
+        # slot axis: the previous 8 inlined keccak absorbs put the rolling
+        # kernel over the Mosaic resource ceiling (SIGABRT at tile>=128
+        # after the round-2 body growth); one fori body is ~1/8 the program
+        rec_lo_rows, rec_hi_rows, valid_rows = [], [], []
         for valid, mtype, mpage, midx, mval, mptr, rw, ts in slots:
             fl = (U32(1) if rw else U32(0)) | (mptr.astype(U32) << 1)
             rec_lo = [None] * 8
@@ -2124,32 +2126,59 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
             for k_ in range(4):
                 rec_lo[4 + k_] = _bswap(mval[7 - 2 * k_])
                 rec_hi[4 + k_] = _bswap(mval[6 - 2 * k_])
-            ab_lo = [jnp.where(valid, wlo[i] ^ rec_lo[i], wlo[i])
-                     if i < 8 else wlo[i] for i in range(25)]
-            ab_hi = [jnp.where(valid, whi[i] ^ rec_hi[i], whi[i])
-                     if i < 8 else whi[i] for i in range(25)]
+            rec_lo_rows.append(jnp.stack(rec_lo, axis=0))   # [8, TB]
+            rec_hi_rows.append(jnp.stack(rec_hi, axis=0))
+            valid_rows.append(valid.astype(U32))
+        recs_lo = jnp.stack(rec_lo_rows, axis=0)            # [8, 8, TB]
+        recs_hi = jnp.stack(rec_hi_rows, axis=0)
+        valids = jnp.stack(valid_rows, axis=0)              # [8, TB]
+
+        # sponge state + count as ONE [51, TB] carry (rank-1 carries crash
+        # Mosaic layout inference — see _carry_from_vals)
+        st51 = jnp.concatenate([
+            jnp.stack([wc_arr[k_, 0] for k_ in range(25)], axis=0),
+            jnp.stack([wc_arr[k_, 1] for k_ in range(25)], axis=0),
+            v["wc_count"].astype(U32)[None, :]], axis=0)
+
+        def _slot_body(s_, st51):
+            rl = jnp.zeros_like(recs_lo[0])
+            rh = jnp.zeros_like(recs_hi[0])
+            val = jnp.zeros_like(valids[0])
+            for k_ in range(SLOTS_PER_CYCLE):
+                take = s_ == k_
+                rl = jnp.where(take, recs_lo[k_], rl)
+                rh = jnp.where(take, recs_hi[k_], rh)
+                val = jnp.where(take, valids[k_], val)
+            vb = val != 0
+            lo = [st51[i] for i in range(25)]
+            hi = [st51[25 + i] for i in range(25)]
+            ab_lo = [jnp.where(vb, lo[i] ^ rl[i], lo[i])
+                     if i < 8 else lo[i] for i in range(25)]
+            ab_hi = [jnp.where(vb, hi[i] ^ rh[i], hi[i])
+                     if i < 8 else hi[i] for i in range(25)]
 
             def absorb(_lo=tuple(ab_lo), _hi=tuple(ab_hi)):
                 plo, phi = _keccak_f1600_kernel(list(_lo), list(_hi))
                 return tuple(plo), tuple(phi)
 
             plo, phi = jax.lax.cond(
-                jnp.any(valid), absorb,
+                jnp.any(vb), absorb,
                 lambda _lo=tuple(ab_lo), _hi=tuple(ab_hi): (_lo, _hi))
-            wlo = [jnp.where(valid, plo[i], wlo[i]) for i in range(25)]
-            whi = [jnp.where(valid, phi[i], whi[i]) for i in range(25)]
-            wc_count = wc_count + valid.astype(U32)
+            nlo = [jnp.where(vb, plo[i], lo[i]) for i in range(25)]
+            nhi = [jnp.where(vb, phi[i], hi[i]) for i in range(25)]
+            ncount = st51[50] + val
+            return jnp.concatenate(
+                [jnp.stack(nlo, axis=0), jnp.stack(nhi, axis=0),
+                 ncount[None, :]], axis=0)
 
-        any_absorb = jnp.any(slots[0][0])
-        for sl in slots[1:]:
-            any_absorb = any_absorb | jnp.any(sl[0])
+        st51 = jax.lax.fori_loop(0, SLOTS_PER_CYCLE, _slot_body, st51)
 
-        @pl.when(any_absorb)
+        @pl.when(jnp.any(valids != 0))
         def _store_wc():
-            rows = [jnp.stack([wlo[k_], whi[k_]], axis=0)
+            rows = [jnp.stack([st51[k_], st51[25 + k_]], axis=0)
                     for k_ in range(25)]
             mem["wc_state"][...] = jnp.stack(rows, axis=0)
-        nv_wc_count = wc_count
+        nv_wc_count = st51[50]
 
     # ---- log-witness queue row (1 slot per cycle; batched_vm.py:1747-1793)
     lrow = None
