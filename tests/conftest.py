@@ -36,3 +36,20 @@ except OSError:
 jax.config.update("jax_compilation_cache_dir",
                   f"/tmp/jax_cache_tpu_eravm_{_hw}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+import pytest  # noqa: E402
+
+_last_module = [None]
+
+
+@pytest.fixture(autouse=True)
+def _bound_executable_accumulation(request):
+    # XLA:CPU segfaults (in executable cache serialization) late in long
+    # full-suite runs — position-dependent, never in isolated modules;
+    # dropping the in-memory executables at module boundaries bounds the
+    # accumulation (the persistent cache makes re-loads cheap).
+    mod = request.module.__name__
+    if _last_module[0] not in (None, mod):
+        jax.clear_caches()
+    _last_module[0] = mod
+    yield
