@@ -336,6 +336,94 @@ def compact_log_state_host(state: BatchedVmState,
     return compact_log_state(state, config)
 
 
+# ---------------------------------------------------------------------------
+# 4. Heap-frame arena reclamation
+# ---------------------------------------------------------------------------
+# Far calls allocate heap/aux-heap frame slots from `frame_count` and never
+# free them (the reference never frees pages SEMANTICALLY either — its pools
+# are an invisible allocator detail, memory.rs:660-758).  Liveness here is
+# decidable from tags: a heap page is reachable only through (a) a live
+# callstack frame's heap_slot or (b) a TAGGED fat pointer in the register
+# file or stack arena (untagged words cannot be dereferenced: UMA
+# FatPointerRead panics without the tag, uma.rs:70-77).  Reclamation drops
+# every other slot and compacts, so a bounded `heap_frames` serves
+# unboundedly many far calls when called between run_cycles segments.
+#
+# Witness bit-exactness: memory queries record PAGE numbers, which never
+# change — only slot positions move — so the query streams of a reclaimed
+# run equal the unreclaimed run's exactly (tested).
+#
+# Caveat (documented contract): a program that stashes a page NUMBER as an
+# untagged integer and later passes it as a precompile ABI read/write page
+# defeats tag-based liveness; the standard protocol (ABI pages = 0 = own
+# heap) is unaffected.
+
+
+def reclaim_heap_frames(state: BatchedVmState, config: VmConfig):
+    """Compact live heap/aux frame slots; returns the new state."""
+    from .state import arena_word_major
+
+    F = config.heap_frames
+    HW, AW = config.heap_words, config.aux_heap_words
+    depth = np.asarray(state.depth)
+    cs = np.asarray(state.cs_scalars).copy()
+    hp = np.asarray(state.hp_page).copy()
+    ap = np.asarray(state.ap_page).copy()
+    fc = np.asarray(state.frame_count).copy()
+    regs = np.asarray(state.regs)
+    reg_ptr = np.asarray(state.reg_ptr)
+    stack = arena_word_major(np.asarray(state.stack), config)
+    stack_tag = np.asarray(state.stack_ptr_tag)
+    heap = arena_word_major(np.asarray(state.heap), config).copy()
+    aux = arena_word_major(np.asarray(state.aux_heap), config).copy()
+    B = depth.shape[0]
+    heap_slot_col = CS["heap_slot"]
+
+    for b in range(B):
+        n = min(int(fc[b]), F)
+        live = set()
+        for d in range(int(depth[b]) + 1):
+            live.add(int(cs[b, d, heap_slot_col]))
+        pages = set()
+        for r in range(regs.shape[1]):
+            if reg_ptr[b, r]:
+                pages.add(int(regs[b, r, 1]))
+        for i in np.nonzero(stack_tag[b])[0]:
+            pages.add(int(stack[b, i, 1]))
+        for s in range(n):
+            if int(hp[b, s]) in pages or int(ap[b, s]) in pages:
+                live.add(s)
+        order = sorted(s for s in live if s < n)
+        if len(order) == n:
+            continue
+        remap = {old: new for new, old in enumerate(order)}
+        nh = np.zeros_like(hp[b])
+        na = np.zeros_like(ap[b])
+        nheap = np.zeros_like(heap[b])
+        naux = np.zeros_like(aux[b])
+        for old, new in remap.items():
+            nh[new] = hp[b, old]
+            na[new] = ap[b, old]
+            nheap[new * HW:(new + 1) * HW] = heap[b, old * HW:(old + 1) * HW]
+            naux[new * AW:(new + 1) * AW] = aux[b, old * AW:(old + 1) * AW]
+        hp[b], ap[b] = nh, na
+        heap[b], aux[b] = nheap, naux
+        for d in range(int(depth[b]) + 1):
+            cs[b, d, heap_slot_col] = remap[int(cs[b, d, heap_slot_col])]
+        fc[b] = len(order)
+
+    def from_word_major(arr, like):
+        if config.limb_major_arenas:
+            return jnp.asarray(arr.transpose(0, 2, 1))
+        return jnp.asarray(arr)
+
+    return dataclasses.replace(
+        state, cs_scalars=jnp.asarray(cs), hp_page=jnp.asarray(hp),
+        ap_page=jnp.asarray(ap), frame_count=jnp.asarray(fc),
+        heap=from_word_major(heap, state.heap),
+        aux_heap=from_word_major(aux, state.aux_heap))
+
+
 def run_segments(state: BatchedVmState, config: VmConfig, run_cycles,
                  n_cycles: int, segment: int,
                  spilled: SpilledFrames | None = None):

@@ -150,6 +150,109 @@ class TestStorageKvSpill:
             assert got_map == want_map
 
 
+class TestHeapFrameReclaim:
+    def test_many_far_calls_through_small_frame_pool(self):
+        """4x more far calls than heap_frames: reclamation between
+        segments compacts dead frame slots (tag-based liveness keeps the
+        live returndata pointer's page), and the run's registers + full
+        witness stream equal an unreclaimed big-pool run.  Reference
+        counterpart: unbounded page allocation, memory.rs:660-758."""
+        import dataclasses
+
+        from era_zk_evm_tpu.isa import params as P
+        from era_zk_evm_tpu.isa.abi import (
+            FarCallABI, FatPointer, ForwardingMode, RetABI,
+            code_hash_for_bytecode,
+        )
+        from era_zk_evm_tpu.models.spill import reclaim_heap_frames
+        from era_zk_evm_tpu.models.state import (
+            populate_code_bank, populate_storage,
+        )
+
+        n_calls = 12
+        callee_addr = 0x20042
+        r_abi = RetABI(FatPointer(0, 0, 0, 32),
+                       ForwardingMode.USE_HEAP).to_u256()
+        f_abi = FarCallABI(FatPointer(0, 0, 0, 32), (1 << 30), 0,
+                           ForwardingMode.USE_HEAP, False, False).to_u256()
+        callee = assemble_to_code_words(f"""
+            ld.ptr r1, r5
+            add 7, r0, r6
+            add r5, r6, r5
+            st.h 0, r5
+            add code[@rabi], r0, r7
+            ret r7
+            rabi: .word {r_abi}
+        """)
+        h = code_hash_for_bytecode(callee)
+        caller = assemble_to_code_words(f"""
+            add 1, r0, r10
+            add code[@n], r0, r13
+            add 0, r0, r3
+            loop:
+            st.h 0, r3
+            add code[@abi], r0, r4
+            add code[@dest], r0, r2
+            far_call r4, r2, @fail
+            ld.ptr r1, r3
+            sub! r13, r10, r13
+            jump.if_ne @loop
+            ret r0
+            fail:
+            panic
+            abi: .word {f_abi}
+            dest: .word {callee_addr}
+            n: .word {n_calls}
+        """)
+        entries = [(0, P.DEPLOYER_SYSTEM_CONTRACT_ADDRESS, callee_addr, h)]
+        n_cycles = n_calls * 12
+
+        def build(frames):
+            cfg = VmConfig(batch=2, code_words=16, stack_words=2048,
+                           heap_words=16, aux_heap_words=8, max_depth=8,
+                           queue_capacity=n_cycles * 8,
+                           storage_slots=4, journal_slots=8, event_slots=8,
+                           log_queue_capacity=n_cycles, heap_frames=frames,
+                           code_pages=2,
+                           decommit_queue_capacity=n_cycles)
+            st = make_entry_state(cfg, [caller] * 2, ergs=1 << 24)
+            st = populate_storage(st, cfg, [entries] * 2)
+            return cfg, populate_code_bank(st, cfg, [[(h, callee)]] * 2)
+
+        big_cfg, big = build(n_calls + 2)
+        big = run_cycles(big, big_cfg, n_cycles)
+        assert not np.asarray(big.lane_error).any()
+        assert np.asarray(big.done).all()
+
+        small_cfg, small = build(4)
+        done = 0
+        while done < n_cycles:
+            small = run_cycles(small, small_cfg, 12)
+            small = reclaim_heap_frames(small, small_cfg)
+            assert int(np.asarray(small.frame_count).max()) <= 3
+            done += 12
+        assert not np.asarray(small.lane_error).any()
+        assert np.asarray(small.done).all()
+
+        # registers (the final r1 returndata protocol included) + ordered
+        # witness streams must match the big-pool run exactly
+        assert (np.asarray(small.regs) == np.asarray(big.regs)).all()
+        assert (np.asarray(small.reg_ptr) == np.asarray(big.reg_ptr)).all()
+        from era_zk_evm_tpu.witness.commitment import (
+            device_log_streams, device_queue_streams, serialize_log_query,
+            serialize_memory_query,
+        )
+
+        for wb, ws in zip(device_queue_streams(big),
+                          device_queue_streams(small)):
+            assert [serialize_memory_query(q) for q in wb] == \
+                [serialize_memory_query(q) for q in ws]
+        for lb, ls in zip(device_log_streams(big),
+                          device_log_streams(small)):
+            assert [serialize_log_query(q) for q in lb] == \
+                [serialize_log_query(q) for q in ls]
+
+
 class TestCallstackSpill:
     def test_deep_recursion_through_shallow_device_stack(self):
         # architectural depth reaches 14; device holds only 8 frames
