@@ -42,6 +42,50 @@ class TestDebugTracer:
         vm = build_vm(assemble_to_code_words("add 1, r0, r1\nret r0"))
         run(vm, 16, tracer=NoopTracer())  # gates off: no hook calls
 
+    def test_device_trace_matches_golden_hooks(self):
+        """Device-side debug tracing (testing/debug_trace.py): per-cycle
+        pc/depth snapshots of a batched lane line up 1:1 with the golden
+        CollectingDebugTracer's before_decoding events — the L5 debugging
+        surface on the batched engine."""
+        from era_zk_evm_tpu.testing.debug_trace import (
+            format_trace, trace_cycles,
+        )
+
+        src = """
+        add 7, r0, r1
+        add 3, r0, r9
+        near_call r9, @sub, @h
+        back:
+        sub! r1, r1, r2
+        add.if_ne 99, r0, r3
+        ret r0
+        sub:
+        add r1, r1, r4
+        ret r0
+        h:
+        jump @back
+        """
+        tracer = CollectingDebugTracer()
+        vm = build_vm(assemble_to_code_words(src), ergs=1 << 20)
+        cycles = run(vm, 32, tracer=tracer)
+        golden_pcs = [pc for k, pc in tracer.events
+                      if k == "before_decoding"]
+
+        config = VmConfig(batch=2, code_words=32, stack_words=2048,
+                          heap_words=16, aux_heap_words=8, max_depth=8,
+                          queue_capacity=0)
+        state = make_entry_state(config, [assemble_to_code_words(src)] * 2,
+                                 ergs=1 << 20)
+        state, traces = trace_cycles(state, config, cycles, lanes=[0],
+                                     with_registers=True)
+        assert np.asarray(state.done).all()
+        device_pcs = [s.pc for s in traces[0]]
+        assert device_pcs == golden_pcs
+        # the disassembly annotates the instruction about to execute
+        assert any("near_call" in s.asm for s in traces[0])
+        listing = format_trace(traces[0])
+        assert "pc=" in listing and "near_call" in listing
+
 
 class TestCheckpointResume:
     def test_roundtrip_bit_exact(self, tmp_path):
