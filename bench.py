@@ -349,11 +349,13 @@ def bench_farcall(batch: int = 16384, n_calls: int = 12,
 
 
 def bench_rolling(batch: int, n_cycles: int, engine: str = "fused",
-                  tile: int = 128) -> float:
+                  tile: int = 256) -> float:
     """Witness-committed mode: rolling sponge per query, no queue arrays.
 
-    tile=128 (not the headline 256): the in-kernel per-slot sponge absorbs
-    push the Mosaic resource ceiling at tile=256 (SIGABRT, observed)."""
+    The absorbs run in the COMPANION commitment kernel per chunk
+    (models/fused_cycle._rolling_fold_call) — the in-kernel form tripped
+    the Mosaic resource ceiling.  20.5M cycles/s measured at tile=256
+    (jnp path: 9.3M)."""
     import numpy as np
 
     from era_zk_evm_tpu.isa.assembler import assemble_to_code_words

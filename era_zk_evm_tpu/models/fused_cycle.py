@@ -2096,89 +2096,11 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
                           jnp.where(valid[None, :], mval, 0),
                           mptr & valid, rw, ts * vm))
 
-    # ---- rolling memory-queue commitment (port of batched_vm.py:1694-1745:
-    # one keccak-f absorb per valid query record, per-slot occupancy-gated)
-    if config.rolling_commitment:
-        wc_arr = mem["wc_state"][...]          # u32[25, 2, TB]
-
-        def _bswap(x):
-            x = x.astype(U32)
-            return ((x & 0xFF) << 24) | ((x & 0xFF00) << 8) \
-                | ((x >> 8) & 0xFF00) | (x >> 24)
-
-        # records precomputed for all 8 slots, absorbed by a fori over the
-        # slot axis: the previous 8 inlined keccak absorbs put the rolling
-        # kernel over the Mosaic resource ceiling (SIGABRT at tile>=128
-        # after the round-2 body growth); one fori body is ~1/8 the program
-        rec_lo_rows, rec_hi_rows, valid_rows = [], [], []
-        for valid, mtype, mpage, midx, mval, mptr, rw, ts in slots:
-            fl = (U32(1) if rw else U32(0)) | (mptr.astype(U32) << 1)
-            rec_lo = [None] * 8
-            rec_hi = [None] * 8
-            rec_lo[0] = _bswap(ts)
-            rec_hi[0] = (mtype & 0xFF) | (((mpage >> 24) & 0xFF) << 8) \
-                | (((mpage >> 16) & 0xFF) << 16) \
-                | (((mpage >> 8) & 0xFF) << 24)
-            rec_lo[1] = (mpage & 0xFF) | (((midx >> 24) & 0xFF) << 8) \
-                | (((midx >> 16) & 0xFF) << 16) | (((midx >> 8) & 0xFF) << 24)
-            rec_hi[1] = (midx & 0xFF) | (fl << 8)
-            rec_lo[2] = rec_hi[2] = rec_lo[3] = rec_hi[3] = ztb
-            for k_ in range(4):
-                rec_lo[4 + k_] = _bswap(mval[7 - 2 * k_])
-                rec_hi[4 + k_] = _bswap(mval[6 - 2 * k_])
-            rec_lo_rows.append(jnp.stack(rec_lo, axis=0))   # [8, TB]
-            rec_hi_rows.append(jnp.stack(rec_hi, axis=0))
-            valid_rows.append(valid.astype(U32))
-        recs_lo = jnp.stack(rec_lo_rows, axis=0)            # [8, 8, TB]
-        recs_hi = jnp.stack(rec_hi_rows, axis=0)
-        valids = jnp.stack(valid_rows, axis=0)              # [8, TB]
-
-        # sponge state + count as ONE [51, TB] carry (rank-1 carries crash
-        # Mosaic layout inference — see _carry_from_vals)
-        st51 = jnp.concatenate([
-            jnp.stack([wc_arr[k_, 0] for k_ in range(25)], axis=0),
-            jnp.stack([wc_arr[k_, 1] for k_ in range(25)], axis=0),
-            v["wc_count"].astype(U32)[None, :]], axis=0)
-
-        def _slot_body(s_, st51):
-            rl = jnp.zeros_like(recs_lo[0])
-            rh = jnp.zeros_like(recs_hi[0])
-            val = jnp.zeros_like(valids[0])
-            for k_ in range(SLOTS_PER_CYCLE):
-                take = s_ == k_
-                rl = jnp.where(take, recs_lo[k_], rl)
-                rh = jnp.where(take, recs_hi[k_], rh)
-                val = jnp.where(take, valids[k_], val)
-            vb = val != 0
-            lo = [st51[i] for i in range(25)]
-            hi = [st51[25 + i] for i in range(25)]
-            ab_lo = [jnp.where(vb, lo[i] ^ rl[i], lo[i])
-                     if i < 8 else lo[i] for i in range(25)]
-            ab_hi = [jnp.where(vb, hi[i] ^ rh[i], hi[i])
-                     if i < 8 else hi[i] for i in range(25)]
-
-            def absorb(_lo=tuple(ab_lo), _hi=tuple(ab_hi)):
-                plo, phi = _keccak_f1600_kernel(list(_lo), list(_hi))
-                return tuple(plo), tuple(phi)
-
-            plo, phi = jax.lax.cond(
-                jnp.any(vb), absorb,
-                lambda _lo=tuple(ab_lo), _hi=tuple(ab_hi): (_lo, _hi))
-            nlo = [jnp.where(vb, plo[i], lo[i]) for i in range(25)]
-            nhi = [jnp.where(vb, phi[i], hi[i]) for i in range(25)]
-            ncount = st51[50] + val
-            return jnp.concatenate(
-                [jnp.stack(nlo, axis=0), jnp.stack(nhi, axis=0),
-                 ncount[None, :]], axis=0)
-
-        st51 = jax.lax.fori_loop(0, SLOTS_PER_CYCLE, _slot_body, st51)
-
-        @pl.when(jnp.any(valids != 0))
-        def _store_wc():
-            rows = [jnp.stack([st51[k_], st51[25 + k_]], axis=0)
-                    for k_ in range(25)]
-            mem["wc_state"][...] = jnp.stack(rows, axis=0)
-        nv_wc_count = st51[50]
+    # ---- rolling memory-queue commitment: moved OUT of the cycle
+    # kernel into the per-chunk companion kernel (_rolling_fold_call) —
+    # the in-kernel absorbs put the combined program over the Mosaic
+    # resource ceiling (SIGABRT at tile>=128); the slot blocks emitted
+    # above carry the exact per-cycle records the sponge consumes
 
     # ---- log-witness queue row (1 slot per cycle; batched_vm.py:1747-1793)
     lrow = None
@@ -2264,8 +2186,6 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
                        new_done).astype(U32)
     nv["lane_error"] = lane_error.astype(U32)
     nv["wq_count"] = wq_count
-    if config.rolling_commitment:
-        nv["wc_count"] = jnp.where(fz, v["wc_count"], nv_wc_count)
     if log_enabled:
         @pl.when(jnp.any(is_log & active))
         def _store_log_state():
@@ -2577,7 +2497,10 @@ def _big_to_refs(v: dict, refs: dict) -> None:
 def _block_specs(config: VmConfig, k_cycles: int):
     """(name, shape-prefix) of the per-call queue output blocks."""
     blocks = []
-    if config.queue_capacity > 0:
+    if config.queue_capacity > 0 or config.rolling_commitment:
+        # rolling configs emit the slot blocks too: they feed the
+        # COMPANION commitment kernel (_rolling_fold_call), not the
+        # persistent queue
         kq = k_cycles * SLOTS_PER_CYCLE
         blocks += [("wq_meta_blk", (kq, 4)), ("wq_value_blk", (kq, 8)),
                    ("wq_flags_blk", (kq,))]
@@ -2638,8 +2561,6 @@ def _build_kernel(config: VmConfig, k_cycles: int):
         mem_names = [n for n in MEM_FIELDS]
         if config.storage_slots > 0:
             mem_names += list(LOG_MEM_FIELDS)
-        if config.rolling_commitment:
-            mem_names.append("wc_state")
         mem = {name: out_refs[name] for name in mem_names}
         for name in ("cs_scalars", "cs_this", "cs_sender", "cs_code",
                      "cs_u128"):
@@ -2702,7 +2623,7 @@ def _build_kernel(config: VmConfig, k_cycles: int):
             for name in DEBUG_PASSTHROUGH:
                 if name in nv:
                     nv[name] = v[name]
-            if with_wq and slots:
+            if (with_wq or config.rolling_commitment) and slots:
                 # one aligned [8, ...] store per array instead of 24
                 # dynamic row stores (k*8 is 8-aligned by construction)
                 meta_rows, val_rows, flag_rows = [], [], []
@@ -2829,6 +2750,111 @@ def _splice_batch_first(arr, block, base):
     return jax.lax.dynamic_update_slice(
         arr, blk, (0, base) + (0,) * (arr.ndim - 2))
 
+def _rolling_fold_call(config: VmConfig, k_cycles: int, tile: int,
+                       interpret: bool):
+    """Companion kernel: absorb one chunk's witness-slot blocks into the
+    per-lane rolling sponges (the commitment half of the old in-kernel
+    rolling unit, in its own small program — no Mosaic resource ceiling).
+
+    Bit-exact with the jnp engine's per-slot absorbs: the slot blocks
+    carry the same masked records in the same order, and absorbs gate on
+    the same validity bits."""
+    from ..golden.precompiles import KECCAK_RC  # noqa: F401 (via _round)
+
+    B = config.batch
+    n_tiles = B // tile
+    kq = k_cycles * SLOTS_PER_CYCLE
+
+    def kernel(meta_ref, val_ref, flg_ref, wc_ref, cnt_ref,
+               wc_out, cnt_out):
+        wc = wc_ref[...]                      # [25, 2, TB]
+        st51 = jnp.concatenate([
+            jnp.stack([wc[i, 0] for i in range(25)], axis=0),
+            jnp.stack([wc[i, 1] for i in range(25)], axis=0),
+            cnt_ref[...]], axis=0)            # [51, TB]
+
+        def _bswap(x):
+            x = x.astype(U32)
+            return ((x & 0xFF) << 24) | ((x & 0xFF00) << 8) \
+                | ((x >> 8) & 0xFF00) | (x >> 24)
+
+        def slot_body(s_, st51):
+            meta = meta_ref[pl.dslice(s_, 1)][0]     # [4, TB]
+            mval = val_ref[pl.dslice(s_, 1)][0]      # [8, TB]
+            flg = flg_ref[pl.dslice(s_, 1)][0]       # [TB]
+            valid = (flg & 4) != 0
+            fl = (flg & 1) | (flg & 2)
+            ts, mtype, mpage, midx = meta[0], meta[1], meta[2], meta[3]
+            ztb_ = jnp.zeros_like(ts)
+            rec_lo = [None] * 8
+            rec_hi = [None] * 8
+            rec_lo[0] = _bswap(ts)
+            rec_hi[0] = (mtype & 0xFF) | (((mpage >> 24) & 0xFF) << 8) \
+                | (((mpage >> 16) & 0xFF) << 16) \
+                | (((mpage >> 8) & 0xFF) << 24)
+            rec_lo[1] = (mpage & 0xFF) | (((midx >> 24) & 0xFF) << 8) \
+                | (((midx >> 16) & 0xFF) << 16) \
+                | (((midx >> 8) & 0xFF) << 24)
+            rec_hi[1] = (midx & 0xFF) | (fl << 8)
+            rec_lo[2] = rec_hi[2] = rec_lo[3] = rec_hi[3] = ztb_
+            for k_ in range(4):
+                rec_lo[4 + k_] = _bswap(mval[7 - 2 * k_])
+                rec_hi[4 + k_] = _bswap(mval[6 - 2 * k_])
+            # the cond carries ONE rank-2 [50, TB] operand: tuples of
+            # rank-1 rows through lax.cond crash Mosaic's layout
+            # inference (the same VectorLayout::join failure as rank-1
+            # fori carries — this was also why the former IN-KERNEL
+            # rolling unit SIGABRTed at tile>=128)
+            zrow = jnp.zeros_like(st51[:1])
+            rec50 = jnp.concatenate(
+                [jnp.stack(rec_lo, axis=0),
+                 jnp.broadcast_to(zrow, (17,) + zrow.shape[1:]),
+                 jnp.stack(rec_hi, axis=0),
+                 jnp.broadcast_to(zrow, (17,) + zrow.shape[1:])], axis=0)
+            ab50 = jnp.where(valid[None, :], st51[:50] ^ rec50, st51[:50])
+
+            def absorb(ab):
+                lo = [ab[i] for i in range(25)]
+                hi = [ab[25 + i] for i in range(25)]
+                plo, phi = _keccak_f1600_kernel(lo, hi)
+                return jnp.stack(plo + phi, axis=0)
+
+            out50 = jax.lax.cond(jnp.any(valid), absorb,
+                                 lambda ab: ab, ab50)
+            new50 = jnp.where(valid[None, :], out50, st51[:50])
+            ncount = st51[50] + valid.astype(U32)
+            return jnp.concatenate([new50, ncount[None, :]], axis=0)
+
+        st51 = jax.lax.fori_loop(0, kq, slot_body, st51)
+        rows = [jnp.stack([st51[k_], st51[25 + k_]], axis=0)
+                for k_ in range(25)]
+        wc_out[...] = jnp.stack(rows, axis=0)
+        cnt_out[...] = st51[50:51]
+
+    def spec(shape_prefix):
+        nd = len(shape_prefix)
+        return pl.BlockSpec(
+            tuple(shape_prefix) + (tile,),
+            (lambda i, _nd=nd: (0,) * _nd + (i,)),
+            memory_space=pltpu.VMEM)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[spec((kq, 4)), spec((kq, 8)), spec((kq,)),
+                  spec((25, 2)), spec((1,))],
+        out_specs=[spec((25, 2)), spec((1,))],
+        out_shape=[jax.ShapeDtypeStruct((25, 2, B), jnp.uint32),
+                   jax.ShapeDtypeStruct((1, B), jnp.uint32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2**20),
+    )
+    return call
+
+
+
 def _run_chunk(config, tile, interpret, k_cycles, k_stop,
                bufs, wq, lq, dq, pq):
     """One fused-kernel chunk + queue-block splices (shared by the
@@ -2843,6 +2869,15 @@ def _run_chunk(config, tile, interpret, k_cycles, k_stop,
     call = _build_call(config, k_cycles, tile, interpret)
     step0 = jnp.min(bufs["scal"][_SROW["global_step"]]).astype(I32)
     bufs, blocks = call(step0, k_stop, bufs)
+    if config.rolling_commitment:
+        fold = _rolling_fold_call(config, k_cycles, tile, interpret)
+        wc_new, cnt_new = fold(
+            blocks["wq_meta_blk"], blocks["wq_value_blk"],
+            blocks["wq_flags_blk"], bufs["wc_state"],
+            bufs["scal"][_SROW["wc_count"]][None, :])
+        bufs = dict(bufs)
+        bufs["wc_state"] = wc_new
+        bufs["scal"] = bufs["scal"].at[_SROW["wc_count"]].set(cnt_new[0])
     if config.queue_capacity:
         base = jnp.maximum(
             jnp.minimum(step0 * 8, cap - k_cycles * 8), 0)
