@@ -424,6 +424,234 @@ def reclaim_heap_frames(state: BatchedVmState, config: VmConfig):
         aux_heap=from_word_major(aux, state.aux_heap))
 
 
+# ---------------------------------------------------------------------------
+# 5. Code-bank eviction (evict / detect / replay)
+# ---------------------------------------------------------------------------
+# The device code bank (cb_hash/cb_len/cb_page/cb_valid + the code arena,
+# VmConfig.code_pages slots) is a CACHE of the block's known contracts; the
+# reference decommitter is unbounded (decommitter.rs:10-99, a HashMap).
+# Protocol, applied between run_cycles segments (same snapshot/replay shape
+# as the storage-KV spill above):
+#
+#   * spill_code_bank — bank slots whose bound page is NOT referenced by a
+#     live callstack frame (nor the fetch cache) move to a host dict keyed
+#     by the stored-form code hash, KEEPING their page binding: a repeat
+#     decommit must observe is_fresh=false and the original page
+#     (far_call.rs:450-453 refund semantics).  The bank compacts; slot
+#     positions carry no semantics (frames reference PAGE numbers, and the
+#     fetch resolves page -> slot by compare-all each cycle).
+#   * a segment that far-calls an evicted contract would mis-execute (the
+#     device treats an unknown hash as the hard-error path), so segments
+#     run on a SNAPSHOT: afterwards the drained log stream's storage reads
+#     at DEPLOYER_SYSTEM_CONTRACT_ADDRESS yield every REQUESTED code hash
+#     (the far-call hash read precedes the decommit, far_call.rs:124-146
+#     — so misses are visible too); any overlap with the evicted set
+#     rehydrates those contracts and re-runs the segment until no cold
+#     touch remains.  Miss-free segments (the common case) run once.
+#
+# run_segments_decommit drives this; bit-exactness of the concatenated
+# log + decommit streams and the final registers vs an unsegmented
+# big-bank run is proven in tests/test_spill.py.
+
+
+@dataclasses.dataclass
+class HostCodeBank:
+    """Host overflow of evicted contracts, per lane: stored-form 8-limb
+    hash tuple -> {"page": u32, "len": u32, "words": np.ndarray[CW, 8]}."""
+
+    maps: list[dict[tuple, dict]]
+
+    @classmethod
+    def empty(cls, batch: int) -> "HostCodeBank":
+        return cls(maps=[{} for _ in range(batch)])
+
+
+def spill_code_bank(state: BatchedVmState, config: VmConfig,
+                    host: HostCodeBank, keep: int = 0,
+                    pin_hashes: list[set] | None = None):
+    """Evict evictable code-bank slots beyond `keep` per lane to host.
+
+    Evictable = valid slot whose bound page is not referenced by any live
+    frame's code_page / the previous_code_page fetch cache, and whose hash
+    is not the block's default-AA hash (an empty-hash far call can demand
+    it at any time, far_call.rs:150-158).  Slot 0 (the entry program) is
+    always resident.  Unbound staged slots (cb_page == 0) are evictable.
+    `pin_hashes` (per-lane sets of 8-limb hash tuples) keeps named
+    contracts resident — the replay path uses it to avoid evicting what
+    the segment is known to touch.
+    """
+    from .state import CS, arena_word_major
+
+    P_ = config.code_pages
+    CW = config.code_words
+    cb_hash = np.asarray(state.cb_hash).copy()
+    cb_len = np.asarray(state.cb_len).copy()
+    cb_page = np.asarray(state.cb_page).copy()
+    cb_valid = np.asarray(state.cb_valid).copy()
+    code = arena_word_major(np.asarray(state.code), config).copy()
+    depth = np.asarray(state.depth)
+    cs = np.asarray(state.cs_scalars)
+    prev_page = np.asarray(state.previous_code_page)
+    aa_hash = np.asarray(state.default_aa_hash)
+    B = cb_hash.shape[0]
+    col = CS["code_page"]
+    changed = False
+    for b in range(B):
+        live = {int(cs[b, d, col]) for d in range(int(depth[b]) + 1)}
+        live.add(int(prev_page[b]))
+        named = pin_hashes[b] if pin_hashes is not None else set()
+        resident: list[int] = []
+        kept_evictable = 0
+        for s in range(P_):
+            if not cb_valid[b, s]:
+                continue
+            pinned = (s == 0
+                      or (cb_page[b, s] != 0 and int(cb_page[b, s]) in live)
+                      or (cb_hash[b, s] == aa_hash[b]).all()
+                      or tuple(int(x) for x in cb_hash[b, s]) in named)
+            if pinned:
+                resident.append(s)
+            elif kept_evictable < keep:
+                resident.append(s)
+                kept_evictable += 1
+            else:
+                host.maps[b][tuple(int(x) for x in cb_hash[b, s])] = {
+                    "page": int(cb_page[b, s]), "len": int(cb_len[b, s]),
+                    "words": code[b, s * CW:(s + 1) * CW].copy()}
+                changed = True
+        if len(resident) == P_:
+            continue
+        nh = np.zeros_like(cb_hash[b])
+        nl = np.zeros_like(cb_len[b])
+        npg = np.zeros_like(cb_page[b])
+        nv = np.zeros_like(cb_valid[b])
+        ncode = np.zeros_like(code[b])
+        for new, old in enumerate(resident):
+            nh[new] = cb_hash[b, old]
+            nl[new] = cb_len[b, old]
+            npg[new] = cb_page[b, old]
+            nv[new] = True
+            ncode[new * CW:(new + 1) * CW] = code[b, old * CW:(old + 1) * CW]
+        cb_hash[b], cb_len[b], cb_page[b], cb_valid[b] = nh, nl, npg, nv
+        code[b] = ncode
+        changed = True
+    if not changed:
+        return state, host
+    if config.limb_major_arenas:
+        code = code.transpose(0, 2, 1)
+    state = dataclasses.replace(
+        state, cb_hash=jnp.asarray(cb_hash), cb_len=jnp.asarray(cb_len),
+        cb_page=jnp.asarray(cb_page), cb_valid=jnp.asarray(cb_valid),
+        code=jnp.asarray(code))
+    return state, host
+
+
+def rehydrate_code(state: BatchedVmState, config: VmConfig,
+                   host: HostCodeBank, needed: list[set]) -> BatchedVmState:
+    """Re-insert evicted contracts for the given per-lane stored-hash sets
+    into free bank slots (restoring their page bindings)."""
+    from .state import arena_word_major
+
+    P_ = config.code_pages
+    CW = config.code_words
+    cb_hash = np.asarray(state.cb_hash).copy()
+    cb_len = np.asarray(state.cb_len).copy()
+    cb_page = np.asarray(state.cb_page).copy()
+    cb_valid = np.asarray(state.cb_valid).copy()
+    code = arena_word_major(np.asarray(state.code), config).copy()
+    for b, hashes in enumerate(needed):
+        for key in hashes:
+            ent = host.maps[b].pop(key, None)
+            if ent is None:
+                continue
+            free = [s for s in range(P_) if not cb_valid[b, s]]
+            # capacity contract: code_pages must cover the entry slot +
+            # pages live in frames at the segment boundary + every distinct
+            # contract one segment touches; shorten segments or grow
+            # code_pages if this trips
+            assert free, ("code bank full during rehydration — the segment "
+                          "touches more contracts than code_pages can hold")
+            s = free[0]
+            cb_hash[b, s] = np.asarray(key, dtype=np.uint32)
+            cb_len[b, s] = ent["len"]
+            cb_page[b, s] = ent["page"]
+            cb_valid[b, s] = True
+            code[b, s * CW:(s + 1) * CW] = ent["words"]
+    if config.limb_major_arenas:
+        code = code.transpose(0, 2, 1)
+    return dataclasses.replace(
+        state, cb_hash=jnp.asarray(cb_hash), cb_len=jnp.asarray(cb_len),
+        cb_page=jnp.asarray(cb_page), cb_valid=jnp.asarray(cb_valid),
+        code=jnp.asarray(code))
+
+
+def _touched_code_hashes(log_streams) -> list[set]:
+    """Per-lane sets of stored-form 8-limb hash tuples requested by far
+    calls, from the log stream's code-hash storage reads (reads at the
+    deployer system contract, far_call.rs:124-146).  Stored form = the
+    versioned hash with the marker byte cleared (CODE_AT_REST_MARKER = 0;
+    batched_vm stored_hash normalization)."""
+    from ..isa import params
+    from ..utils import to_limbs
+
+    mask = ~(0xFF << 240)
+    out = []
+    for lane in log_streams:
+        hashes = set()
+        for q in lane:
+            if (q.aux_byte == params.STORAGE_AUX_BYTE and not q.rw_flag
+                    and q.address == params.DEPLOYER_SYSTEM_CONTRACT_ADDRESS):
+                hashes.add(tuple(int(x)
+                                 for x in to_limbs(q.read_value & mask)))
+        out.append(hashes)
+    return out
+
+
+def run_segments_decommit(state: BatchedVmState, config: VmConfig,
+                          run_cycles, n_cycles: int, segment: int,
+                          host: HostCodeBank | None = None,
+                          keep: int = 0, max_replays: int = 8):
+    """Run in segments with code-bank eviction between them (see protocol
+    above).  Requires config.log_queue_capacity >= segment (the drained
+    log stream is the cold-touch detector).  Returns (state, host, streams)
+    where streams concatenates every segment's drained queue families
+    (identical to an unsegmented drain)."""
+    from ..witness.commitment import device_log_streams
+
+    if host is None:
+        host = HostCodeBank.empty(config.batch)
+    assert config.log_queue_capacity >= segment > 0
+    acc: dict[str, list[list]] = {}
+    done = 0
+    while done < n_cycles:
+        n = min(segment, n_cycles - done)
+        snapshot = state
+        for attempt in range(max_replays + 1):
+            out = run_cycles(
+                jax.tree.map(lambda x: x.copy(), snapshot), config, n)
+            touched = _touched_code_hashes(device_log_streams(out))
+            miss = [set(k for k in t if k in host.maps[b])
+                    for b, t in enumerate(touched)]
+            if not any(miss):
+                break
+            assert attempt < max_replays, "decommit replay did not converge"
+            # make room first: evict everything not pinned and not touched
+            # by this segment (a replay can need more contracts than the
+            # bank has free slots when the snapshot arrived full)
+            snapshot, host = spill_code_bank(snapshot, config, host,
+                                             keep=0, pin_hashes=touched)
+            snapshot = rehydrate_code(snapshot, config, host, miss)
+        state, streams = drain_witness_queues(out, config)
+        for name, lanes in streams.items():
+            if name not in acc:
+                acc[name] = [[] for _ in range(config.batch)]
+            for b in range(config.batch):
+                acc[name][b].extend(lanes[b])
+        state, host = spill_code_bank(state, config, host, keep=keep)
+        done += n
+    return state, host, acc
+
+
 def run_segments(state: BatchedVmState, config: VmConfig, run_cycles,
                  n_cycles: int, segment: int,
                  spilled: SpilledFrames | None = None):

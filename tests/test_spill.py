@@ -253,6 +253,111 @@ class TestHeapFrameReclaim:
                 [serialize_log_query(q) for q in ls]
 
 
+class TestCodeBankEviction:
+    def test_decommit_heavy_through_small_code_bank(self):
+        """A caller far-calling 3 distinct contracts round-robin runs
+        through a 3-slot code bank (entry + 2) via eviction between
+        8-cycle segments — including a contract that NEVER fit the device
+        bank (staged host-side from the start) — and the concatenated
+        log + decommit streams and final registers equal an unsegmented
+        big-bank run.  Reference counterpart: the unbounded decommitter
+        HashMap, decommitter.rs:10-99."""
+        from era_zk_evm_tpu.isa import params as P
+        from era_zk_evm_tpu.isa.abi import (
+            FarCallABI, FatPointer, ForwardingMode, RetABI,
+            code_hash_for_bytecode,
+        )
+        from era_zk_evm_tpu.models.spill import (
+            HostCodeBank, run_segments_decommit,
+        )
+        from era_zk_evm_tpu.models.state import (
+            populate_code_bank, populate_storage,
+        )
+        from era_zk_evm_tpu.utils import to_limbs
+        from era_zk_evm_tpu.witness.commitment import (
+            device_decommit_streams, device_log_streams,
+            serialize_decommittment,
+        )
+
+        r_abi = RetABI(FatPointer(0, 0, 0, 0),
+                       ForwardingMode.USE_HEAP).to_u256()
+        f_abi = FarCallABI(FatPointer(0, 0, 0, 0), 1 << 30, 0,
+                           ForwardingMode.USE_HEAP, False, False).to_u256()
+        callees = []
+        for k in range(3):
+            words = assemble_to_code_words(f"""
+                add {k + 5}, r0, r11
+                log.swrite r11, r11
+                add code[@rabi], r0, r7
+                ret r7
+                rabi: .word {r_abi}
+            """)
+            callees.append((0x20042 + k, code_hash_for_bytecode(words),
+                            words))
+        calls = "\n".join(
+            f"add code[@abi], r0, r4\n"
+            f"add code[@d{i % 3}], r0, r2\n"
+            f"far_call r4, r2, @fail"
+            for i in range(6))
+        caller = assemble_to_code_words(f"""
+            {calls}
+            ret r0
+            fail:
+            panic
+            abi: .word {f_abi}
+            d0: .word {callees[0][0]}
+            d1: .word {callees[1][0]}
+            d2: .word {callees[2][0]}
+        """)
+        entries = [(0, P.DEPLOYER_SYSTEM_CONTRACT_ADDRESS, addr, h)
+                   for addr, h, _ in callees]
+        n_cycles = 6 * 8 + 8
+        B = 2
+
+        def build(code_pages, staged):
+            cfg = VmConfig(batch=B, code_words=16, stack_words=2048,
+                           heap_words=16, aux_heap_words=8, max_depth=8,
+                           queue_capacity=0, storage_slots=8,
+                           journal_slots=16, event_slots=8,
+                           log_queue_capacity=n_cycles,
+                           heap_frames=8, code_pages=code_pages,
+                           decommit_queue_capacity=n_cycles)
+            st = make_entry_state(cfg, [caller] * B, ergs=1 << 24)
+            st = populate_storage(st, cfg, [entries] * B)
+            bank = [(h, w) for _, h, w in staged]
+            return cfg, populate_code_bank(st, cfg, [bank] * B)
+
+        big_cfg, big = build(5, callees)
+        big = run_cycles(big, big_cfg, n_cycles)
+        assert not np.asarray(big.lane_error).any()
+        assert np.asarray(big.done).all()
+        want_log = device_log_streams(big)
+        want_dq = device_decommit_streams(big)
+
+        # small bank: only 2 of 3 contracts fit; the 3rd starts host-side
+        small_cfg, small = build(3, callees[:2])
+        host = HostCodeBank.empty(B)
+        cw = small_cfg.code_words
+        words3 = np.zeros((cw, 8), dtype=np.uint32)
+        for i, w in enumerate(callees[2][2]):
+            words3[i] = to_limbs(w)
+        for b in range(B):
+            host.maps[b][tuple(int(x) for x in to_limbs(callees[2][1]))] = {
+                "page": 0, "len": len(callees[2][2]), "words": words3}
+        small, host, got = run_segments_decommit(
+            small, small_cfg, run_cycles, n_cycles, segment=8, host=host)
+        assert not np.asarray(small.lane_error).any()
+        assert np.asarray(small.done).all()
+        assert (np.asarray(small.regs) == np.asarray(big.regs)).all()
+        for b in range(B):
+            assert [serialize_log_query(q) for q in got["log"][b]] == \
+                [serialize_log_query(q) for q in want_log[b]]
+            assert [serialize_decommittment(q) for q in got["decommit"][b]] \
+                == [serialize_decommittment(q) for q in want_dq[b]]
+        # the bank really was too small: something got evicted to host
+        assert any(host.maps[b] for b in range(B))
+
+
 class TestCallstackSpill:
     def test_deep_recursion_through_shallow_device_stack(self):
         # architectural depth reaches 14; device holds only 8 frames
