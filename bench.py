@@ -247,8 +247,10 @@ def bench_storage(batch: int, n_cycles: int, engine: str = "fused",
     if engine == "fused":
         from era_zk_evm_tpu.models.fused_cycle import run_cycles_fused
 
+        # T=512 measured 31.5M vs 28.2M at T=256 (round-3 probe)
+        tile = 512 if batch % 512 == 0 else 256
         def step(st):
-            return run_cycles_fused(st, config, n_cycles, tile=256,
+            return run_cycles_fused(st, config, n_cycles, tile=tile,
                                     k_inner=min(128, n_cycles))
     else:
         def step(st):
@@ -325,8 +327,11 @@ def bench_farcall(batch: int = 16384, n_calls: int = 12,
     if engine == "fused":
         from era_zk_evm_tpu.models.fused_cycle import run_cycles_fused
 
+        # T=512/K=144 measured 29.7M vs 26.4M at T=256/K=72 (round-3 probe)
+        tile = 512 if batch % 512 == 0 else 256
         def _run(st, n):
-            return run_cycles_fused(st, config, n, tile=256, k_inner=72)
+            return run_cycles_fused(st, config, n, tile=tile,
+                                    k_inner=144 if tile == 512 else 72)
     else:
         def _run(st, n):
             return run_cycles(st, config, n)
@@ -349,13 +354,13 @@ def bench_farcall(batch: int = 16384, n_calls: int = 12,
 
 
 def bench_rolling(batch: int, n_cycles: int, engine: str = "fused",
-                  tile: int = 256) -> float:
+                  tile: int | None = None) -> float:
     """Witness-committed mode: rolling sponge per query, no queue arrays.
 
     The absorbs run in the COMPANION commitment kernel per chunk
     (models/fused_cycle._rolling_fold_call) — the in-kernel form tripped
-    the Mosaic resource ceiling.  20.5M cycles/s measured at tile=256
-    (jnp path: 9.3M)."""
+    the Mosaic resource ceiling.  27.9M cycles/s measured at tile=512
+    (21.1M at tile=256; jnp path: 9.3M)."""
     import numpy as np
 
     from era_zk_evm_tpu.isa.assembler import assemble_to_code_words
@@ -370,6 +375,8 @@ def bench_rolling(batch: int, n_cycles: int, engine: str = "fused",
     if engine == "fused":
         from era_zk_evm_tpu.models.fused_cycle import run_cycles_fused
 
+        if tile is None:
+            tile = 512 if batch % 512 == 0 else 256
         def step(st):
             return run_cycles_fused(st, config, n_cycles, tile=tile,
                                     k_inner=min(128, n_cycles))
