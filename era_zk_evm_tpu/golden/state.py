@@ -38,6 +38,12 @@ class Flags:
         self.equality = False
         self.greater_than = False
 
+    def __repr__(self) -> str:
+        # the reference's custom Debug: `lt± eq± gt±` (flags.rs:39-56)
+        return (f"lt{'+' if self.overflow_or_less_than else '-'} "
+                f"eq{'+' if self.equality else '-'} "
+                f"gt{'+' if self.greater_than else '-'}")
+
 
 @dataclasses.dataclass
 class CallStackEntry:

@@ -117,6 +117,74 @@ def trace_cycles(state: BatchedVmState, config: VmConfig, n_cycles: int,
     return state, traces
 
 
+def resolve_page(state: BatchedVmState, config: VmConfig, lane: int,
+                 page: int):
+    """Map a VM page number to its backing device arena for one lane.
+
+    Returns (kind, arena_word_major_view, word_offset, n_words) with kind
+    in {"code", "stack", "heap", "aux_heap"}, or None if the page is not
+    materialized on device.  Device counterpart of the reference's page
+    graph lookups (memory.rs:300-401 dump helpers work per page number).
+    """
+    cb_page = np.asarray(state.cb_page)[lane]
+    cb_valid = np.asarray(state.cb_valid)[lane]
+    for slot in range(config.code_pages):
+        if cb_valid[slot] and int(cb_page[slot]) == page:
+            return ("code", arena_word_major(np.asarray(state.code), config),
+                    slot * config.code_words, config.code_words)
+    hp = np.asarray(state.hp_page)[lane]
+    ap = np.asarray(state.ap_page)[lane]
+    nf = int(np.asarray(state.frame_count)[lane])
+    for slot in range(min(nf, config.heap_frames)):
+        if int(hp[slot]) == page:
+            return ("heap", arena_word_major(np.asarray(state.heap), config),
+                    slot * config.heap_words, config.heap_words)
+        if int(ap[slot]) == page:
+            return ("aux_heap",
+                    arena_word_major(np.asarray(state.aux_heap), config),
+                    slot * config.aux_heap_words, config.aux_heap_words)
+    # stack pages: frame base + 1 for any frame row (popped rows keep
+    # their metadata, so finished lanes still dump — debug-tool semantics)
+    cs = np.asarray(state.cs_scalars)[lane]
+    for d in range(config.max_depth):
+        if int(cs[d, CS["base_memory_page"]]) + 1 == page:
+            stack = arena_word_major(np.asarray(state.stack), config)
+            return ("stack", stack, 0, config.stack_words)
+    return None
+
+
+def dump_page_content(state: BatchedVmState, config: VmConfig, lane: int,
+                      page: int, start: int = 0,
+                      end: int | None = None) -> list[str]:
+    """Hex dump of word range [start, end) of a VM page for one lane.
+
+    Device counterpart of SimpleMemory::dump_page_content
+    (memory.rs:300-401): one 64-hex-digit string per 32-byte word.
+    Unmaterialized pages dump as implicit zeros (the reference's sparse
+    pages read as zero too).
+    """
+    hit = resolve_page(state, config, lane, page)
+    out = []
+    if hit is None:
+        n = (end if end is not None else start + 1) - start
+        return ["0" * 64] * max(n, 0)
+    kind, arena, off, n_words = hit
+    if end is None:
+        end = n_words
+    for w in range(start, end):
+        if 0 <= w < n_words:
+            out.append(f"{from_limbs(arena[lane, off + w]):064x}")
+        else:
+            out.append("0" * 64)
+    return out
+
+
+def dump_full_page(state: BatchedVmState, config: VmConfig, lane: int,
+                   page: int) -> list[str]:
+    """Whole-page hex dump (memory.rs dump_full_page counterpart)."""
+    return dump_page_content(state, config, lane, page)
+
+
 def format_trace(trace: list[CycleSnapshot]) -> str:
     """Render one lane's trace as a debugger-style listing."""
     lines = []

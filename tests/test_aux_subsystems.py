@@ -86,6 +86,47 @@ class TestDebugTracer:
         listing = format_trace(traces[0])
         assert "pc=" in listing and "near_call" in listing
 
+    def test_page_dumps_match_golden(self):
+        """Device dump_page_content (memory.rs:300-401 counterpart) agrees
+        with golden's dump_page on heap, stack, and code pages, and the
+        Flags repr matches the reference's `lt± eq± gt±` format."""
+        from era_zk_evm_tpu.golden.state import Flags
+        from era_zk_evm_tpu.models import run_cycles
+        from era_zk_evm_tpu.testing.debug_trace import dump_page_content
+
+        assert repr(Flags(True, False, True)) == "lt+ eq- gt+"
+
+        src = """
+        add 77, r0, r5
+        st.h 32, r5
+        add r5, r0, stack[3]
+        sub! r5, r5, r6
+        ret r0
+        """
+        words = assemble_to_code_words(src)
+        vm = build_vm(words, ergs=1 << 20)
+        run(vm, 16)
+        config = VmConfig(batch=2, code_words=32, stack_words=2048,
+                          heap_words=16, aux_heap_words=8, max_depth=8,
+                          queue_capacity=0)
+        state = make_entry_state(config, [words] * 2, ergs=1 << 20)
+        state = run_cycles(state, config, 16)
+        assert np.asarray(state.done).all()
+        base = 8  # make_entry_state default base_page
+        for page, lo, hi in ((base + 2, 0, 4),       # heap
+                             (base + 1, 0, 8),       # stack
+                             (base, 0, 4)):          # code
+            got = dump_page_content(state, config, 0, page, lo, hi)
+            want = [f"{w:064x}"
+                    for w in vm.memory.dump_page(page, lo, hi)]
+            assert got == want, page
+        # heap word 1 really holds the stored value
+        assert int(dump_page_content(state, config, 0, base + 2,
+                                     1, 2)[0], 16) == 77
+        # unmaterialized pages dump as zeros (sparse-page semantics)
+        assert dump_page_content(state, config, 0, 0x7FFF, 0, 2) == \
+            ["0" * 64] * 2
+
 
 class TestCheckpointResume:
     def test_roundtrip_bit_exact(self, tmp_path):
