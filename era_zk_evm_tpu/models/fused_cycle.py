@@ -38,6 +38,7 @@ unspecified, which the jnp path does too).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -395,13 +396,60 @@ def _onehot_l(idx, n):
     return iota == idx.astype(I32)[None, :]
 
 
-def _gather_l(arr, idx):
-    """arr[N, ..., TB] at per-lane idx[TB] -> [..., TB]."""
+# Tried-and-NEGATIVE (kept for re-measurement): gathers as bit-select
+# multiplexer trees — fold the indexed axis in half log2(N) times,
+# selecting upper/lower by one index bit per stage.  On paper ~half the
+# ops of the one-hot where+reduce form (one select per surviving element,
+# no compare plane), and bit-exact (OOB/negative -> 0, conformance-tested
+# with ERAVM_FUSED_TREE_GATHER=1); but MEASURED SLOWER on the v5e chip:
+# 34.3M vs 38.8M cycles/s on the headline workload at tile=512 — Mosaic
+# lowers the one-hot masked-sum into tighter code than the halving-shape
+# select chain (relayouts between stages).  Default stays one-hot.
+# Scatters are one-hot in both modes (a scatter needs the per-position
+# compare; there is no tree equivalent).
+_TREE_GATHER = os.environ.get("ERAVM_FUSED_TREE_GATHER", "0") == "1"
+_VMEM_LIMIT_BYTES = int(os.environ.get("ERAVM_FUSED_VMEM_MB", "112")) * 2**20
+
+
+def _pow2_pad(arr, axis, n):
+    npow = 1 if n <= 1 else 1 << (n - 1).bit_length()
+    if npow != n:
+        shape = list(arr.shape)
+        shape[axis] = npow - n
+        arr = jnp.concatenate(
+            [arr, jnp.zeros(shape, dtype=arr.dtype)], axis=axis)
+    return arr, npow
+
+
+def _gather_l_onehot(arr, idx):
     oh = _onehot_l(idx, arr.shape[0])
     oh = oh.reshape((arr.shape[0],) + (1,) * (arr.ndim - 2) + oh.shape[1:])
     if arr.dtype == jnp.bool_:
         return jnp.any(arr & oh, axis=0)
     return _usum(jnp.where(oh, arr, 0), axis=0)
+
+
+def _gather_l(arr, idx):
+    """arr[N, ..., TB] at per-lane idx[TB] -> [..., TB] (OOB -> 0)."""
+    if not _TREE_GATHER:
+        return _gather_l_onehot(arr, idx)
+    n = arr.shape[0]
+    iu = idx.astype(U32)
+    x, npow = _pow2_pad(arr, 0, n)
+    h = npow // 2
+    while h >= 1:
+        bit = ((iu >> (h.bit_length() - 1)) & 1) != 0
+        b = bit.reshape((1,) * (x.ndim - 1) + bit.shape)
+        if x.dtype == jnp.bool_:
+            x = _bsel(b, x[h:], x[:h])
+        else:
+            x = jnp.where(b, x[h:], x[:h])
+        h //= 2
+    out = x[0]
+    inr = (iu < n).reshape((1,) * (out.ndim - 1) + idx.shape)
+    if arr.dtype == jnp.bool_:
+        return out & inr
+    return jnp.where(inr, out, 0)
 
 
 def _scatter_l(arr, idx, values, mask):
@@ -414,9 +462,19 @@ def _scatter_l(arr, idx, values, mask):
 
 
 def _gather_arena_l(arena, idx):
-    """arena u32[8, W, TB] word gather -> u32[8, TB]."""
-    oh = _onehot_l(idx, arena.shape[1])          # [W, TB]
-    return _usum(jnp.where(oh[None, :, :], arena, 0), axis=1)
+    """arena u32[8, W, TB] word gather -> u32[8, TB] (OOB -> 0)."""
+    if not _TREE_GATHER:
+        oh = _onehot_l(idx, arena.shape[1])      # [W, TB]
+        return _usum(jnp.where(oh[None, :, :], arena, 0), axis=1)
+    w = arena.shape[1]
+    iu = idx.astype(U32)
+    x, npow = _pow2_pad(arena, 1, w)
+    h = npow // 2
+    while h >= 1:
+        bit = (((iu >> (h.bit_length() - 1)) & 1) != 0)[None, None, :]
+        x = jnp.where(bit, x[:, h:], x[:, :h])
+        h //= 2
+    return jnp.where((iu < w)[None, :], x[:, 0, :], 0)
 
 
 def _scatter_arena_l(arena, idx, values, mask):
@@ -604,9 +662,8 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     new_prev_code_page = code_page
 
     lo_idx = (6 - 2 * sub_pc).astype(I32)
-    insn_lo = _usum(jnp.where(_onehot_l(lo_idx, 8), code_word, 0), axis=0)
-    insn_hi = _usum(jnp.where(_onehot_l(lo_idx + 1, 8), code_word, 0),
-                     axis=0)
+    insn_lo = _gather_l(code_word, lo_idx)
+    insn_hi = _gather_l(code_word, lo_idx + 1)
     insn_lo = jnp.where(pending, U32(_PANIC_LO), insn_lo)
     insn_hi = jnp.where(pending, U32(_PANIC_HI), insn_hi)
     new_pending = jnp.zeros_like(pending)
@@ -729,15 +786,13 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
 
     def read_reg(idx):
         shifted = idx.astype(I32) - 1  # r0 selects nothing -> zero
-        oh = _onehot_l(shifted, p.REGISTERS_COUNT)
-        val = _usum(jnp.where(oh[:, None, :], v["regs"], 0), axis=0)
-        tag = jnp.any(oh & v["reg_ptr"].astype(BOOL), axis=0)
+        val = _gather_l(v["regs"], shifted)
+        tag = _gather_l(v["reg_ptr"], shifted) != 0
         return val, tag
 
     def read_reg_low(idx):
         """Limb 0 only (address generation) — 1/8 the sweep of read_reg."""
-        oh = _onehot_l(idx.astype(I32) - 1, p.REGISTERS_COUNT)
-        return _usum(jnp.where(oh, v["regs"][:, 0, :], 0), axis=0)
+        return _gather_l(v["regs"][:, 0, :], idx.astype(I32) - 1)
 
     cut = _stage_cut(v, 21, opcode ^ sub_variant ^ src0_mode ^ dst0_mode
                      ^ set_flags.astype(U32) ^ price)
@@ -1867,14 +1922,12 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     parent_idx = jnp.maximum(depth - 1, 0)
 
     def _pop_gather():
-        poh = _onehot_l(parent_idx, D)
-        pm = poh[:, None, :]
         return (
-            _usum(jnp.where(pm, mem["cs_scalars"][...], 0), axis=0),
-            _usum(jnp.where(pm, mem["cs_this"][...], 0), axis=0),
-            _usum(jnp.where(pm, mem["cs_sender"][...], 0), axis=0),
-            _usum(jnp.where(pm, mem["cs_code"][...], 0), axis=0),
-            _usum(jnp.where(pm, mem["cs_u128"][...], 0), axis=0),
+            _gather_l(mem["cs_scalars"][...], parent_idx),
+            _gather_l(mem["cs_this"][...], parent_idx),
+            _gather_l(mem["cs_sender"][...], parent_idx),
+            _gather_l(mem["cs_code"][...], parent_idx),
+            _gather_l(mem["cs_u128"][...], parent_idx),
         )
 
     (parent_scal, parent_this, parent_sender, parent_code,
@@ -2725,8 +2778,10 @@ def _build_call(config: VmConfig, k_cycles: int, tile: int,
             dimension_semantics=("arbitrary",),
             # v5e has ~128 MiB VMEM; the default Mosaic scoped-vmem limit
             # (~16 MiB) makes the compile helper crash outright (HTTP 500,
-            # no diagnostic) once blocks exceed it — bisected empirically
-            vmem_limit_bytes=100 * 2**20),
+            # no diagnostic) once blocks exceed it — bisected empirically.
+            # 112 MiB: the tree-gather fold intermediates put the headline
+            # geometry at ~107 MiB scoped (measured), still under hardware
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
     )
 
     def run(step0, k_stop, bufs):
@@ -2849,7 +2904,7 @@ def _rolling_fold_call(config: VmConfig, k_cycles: int, tile: int,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 2**20),
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
     )
     return call
 

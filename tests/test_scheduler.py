@@ -1,0 +1,93 @@
+"""Continuous lane-refill scheduler conformance (models/scheduler.py).
+
+Each transaction routed through the refilling batch must see exactly the
+VM it would have seen with a dedicated lane: same final registers, same
+cycle count, same ordered memory-witness stream.  The reference has no
+scheduler (single context, SURVEY §3.1); the per-tx semantics it pins are
+the entry-state protocol (testing/mod.rs:24-40 construction) and the
+witness stream of each isolated run.
+"""
+
+import numpy as np
+import pytest
+
+from era_zk_evm_tpu.isa.assembler import assemble_to_code_words
+from era_zk_evm_tpu.models import VmConfig, make_entry_state
+from era_zk_evm_tpu.models.batched_vm import run_cycles
+from era_zk_evm_tpu.models.scheduler import TxSpec, run_block_refill
+from era_zk_evm_tpu.models.spill import drain_witness_queues
+
+
+def _prog(n_iters: int) -> list[int]:
+    # ~6 cycles per iteration: alu + stack push/pop + heap store
+    return assemble_to_code_words(f"""
+        add 1, r0, r10
+        add code[@n], r0, r1
+        add 0, r0, r2
+        loop:
+        add r2, r1, r2
+        add r2, r0, stack+=[1]
+        add stack-=[1], r0, r3
+        st.h 0, r3
+        sub! r1, r10, r1
+        jump.if_ne @loop
+        ret r0
+        n: .word {n_iters}
+    """)
+
+
+def _config(batch: int) -> VmConfig:
+    return VmConfig(batch=batch, code_words=16, stack_words=96,
+                    stack_abs_words=16, stack_sp_base=1000,
+                    heap_words=8, aux_heap_words=4, max_depth=4,
+                    queue_capacity=16 * 8 * 4)
+
+
+# tx lengths deliberately skewed (the refill win case) and NOT multiples
+# of the chunk, so finishes land mid-chunk
+LENGTHS = [1, 7, 2, 11, 3, 1, 9, 4, 2, 6]
+
+
+def _isolated_reference(cfg, length, n_chunks, chunk):
+    """Run one tx alone (whole batch = copies of it) and return lane 0's
+    (registers, cycles, memory stream)."""
+    state = make_entry_state(cfg, [_prog(length)] * cfg.batch,
+                             ergs=(1 << 26))
+    streams = []
+    for _ in range(n_chunks):
+        state = run_cycles(state, cfg, chunk)
+        state, s = drain_witness_queues(state, cfg)
+        streams.extend(s["memory"][0])
+    assert bool(np.asarray(state.done)[0])
+    return (np.asarray(state.regs)[0],
+            int(np.asarray(state.monotonic_cycle_counter)[0]), streams)
+
+
+@pytest.mark.parametrize("refill", [True, False])
+def test_refill_matches_isolated_runs(refill):
+    chunk = 16
+    cfg = _config(batch=4)
+    txs = [TxSpec(program=_prog(n), ergs=(1 << 26)) for n in LENGTHS]
+    results, stats = run_block_refill(cfg, txs, run_cycles, chunk,
+                                      refill=refill)
+    assert len(results) == len(LENGTHS)
+    for n, r in zip(LENGTHS, results):
+        ref_regs, ref_cycles, ref_stream = _isolated_reference(
+            cfg, n, n_chunks=(6 * n + 16 + chunk - 1) // chunk, chunk=chunk)
+        assert r.status == "ok"
+        assert r.cycles == ref_cycles, (n, r.cycles, ref_cycles)
+        assert np.array_equal(r.registers, ref_regs)
+        assert r.streams.get("memory", []) == ref_stream
+    assert stats["useful_cycles"] == sum(r.cycles for r in results)
+
+
+def test_refill_beats_frozen_waves_on_rounds():
+    chunk = 16
+    cfg = _config(batch=2)
+    txs = [TxSpec(program=_prog(n), ergs=(1 << 26)) for n in LENGTHS]
+    _, s_refill = run_block_refill(cfg, txs, run_cycles, chunk, refill=True)
+    _, s_waves = run_block_refill(cfg, txs, run_cycles, chunk, refill=False)
+    # identical useful work, strictly fewer chunks with refill on this skew
+    assert s_refill["useful_cycles"] == s_waves["useful_cycles"]
+    assert s_refill["rounds"] < s_waves["rounds"]
+    assert s_refill["utilization"] > s_waves["utilization"]
