@@ -20,6 +20,16 @@ Architecture (NOT a port):
                    precompile) and their rolling commitments.
   * ``parallel`` — mesh construction + block-scale sharding over ICI/DCN.
   * ``testing``  — harness mirroring ``src/testing`` of the reference.
+  * ``block``    — the host-facing entry point: ``execute_block`` runs a
+                   whole block of transactions (continuous lane refill,
+                   witness streams, net states, commitment folds).
 """
 
 __version__ = "0.1.0"
+
+
+def execute_block(*args, **kwargs):
+    """Lazy re-export of block.execute_block (keeps bare import light)."""
+    from .block import execute_block as _impl
+
+    return _impl(*args, **kwargs)

@@ -38,6 +38,9 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
+from .net_states import (
+    event_entries_of, messages_from_entries, storage_map_of,
+)
 from .spill import drain_witness_queues
 from .state import (
     CS, BatchedVmState, VmConfig, make_entry_state, populate_code_bank,
@@ -72,6 +75,9 @@ class TxResult:
     cycles: int                             # cycles this tx executed
     registers: np.ndarray                   # u32[15, 8] final register file
     streams: dict                           # per-family witness query lists
+    #: net outcomes at tx finish (get_final_net_states shape; None when the
+    #: config has neither storage_slots nor event_slots)
+    net_states: dict | None = None
 
 
 def merge_lanes(state: BatchedVmState, fresh: BatchedVmState,
@@ -181,12 +187,31 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
         if finished.size:
             mono = np.asarray(state.monotonic_cycle_counter[finished])
             regs = np.asarray(state.regs[finished])
+            st_arr = ev_arr = None
+            if config.storage_slots > 0:
+                st_arr = (np.asarray(state.st_key), np.asarray(state.st_val),
+                          np.asarray(state.st_used))
+            if config.event_slots > 0:
+                ev_arr = (np.asarray(state.ev_meta), np.asarray(state.ev_key),
+                          np.asarray(state.ev_val),
+                          np.asarray(state.ev_cancelled),
+                          np.asarray(state.ev_count))
             for i, lane in enumerate(finished):
+                net = None
+                if st_arr is not None or ev_arr is not None:
+                    entries = (event_entries_of(*ev_arr, lane)
+                               if ev_arr is not None else [])
+                    ev, l1 = messages_from_entries(
+                        entries, streams_acc[lane].get("log", []))
+                    net = {"final_storage":
+                           (storage_map_of(*st_arr, lane)
+                            if st_arr is not None else {}),
+                           "events": ev, "l1_messages": l1}
                 results[lane_tx[lane]] = TxResult(
                     tx=int(lane_tx[lane]),
                     status="error" if err[lane] else "ok",
                     cycles=int(mono[i]), registers=regs[i],
-                    streams=streams_acc[lane])
+                    streams=streams_acc[lane], net_states=net)
                 streams_acc[lane] = {}
                 lane_tx[lane] = -1
         wave_done = not refill and not (((~done) & (~err))
