@@ -410,6 +410,15 @@ def _onehot_l(idx, n):
 _TREE_GATHER = os.environ.get("ERAVM_FUSED_TREE_GATHER", "0") == "1"
 _VMEM_LIMIT_BYTES = int(os.environ.get("ERAVM_FUSED_VMEM_MB", "112")) * 2**20
 
+# Per-lane write-back word caches over the stack and heap arenas (default
+# ON; env kill-switch for A/B measurement).  Rationale + coherence rules:
+# see _cycle_tile's "word cache" sections.  Upper bound measured via the
+# stack_rw/heap_rw DEBUG_SKIP probes: +31% headline with both sweeps off
+# (tools/ablate_fused.py `cache` group).
+_WORD_CACHE = os.environ.get("ERAVM_FUSED_WORD_CACHE", "1") == "1"
+#: cache-meta sentinel: idx field all-ones never equals a real arena index
+_WC_INVALID = 0xFFFFFFFF
+
 
 def _pow2_pad(arr, axis, n):
     npow = 1 if n <= 1 else 1 << (n - 1).bit_length()
@@ -598,6 +607,46 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     stack_tag_arena = mem["stack_tag"][...]
     heap_arena = mem["heap"][...]
     aux_arena = mem["aux_heap"][...]
+
+    # ---- word cache (stack + heap): per-lane 2-entry write-back caches
+    # keyed by PHYSICAL arena index, direct-mapped by index parity.  All
+    # in-kernel readers overlay hits (src0 stack read, UMA heap reads,
+    # the precompile input reads), so the cache is coherent by
+    # read-through; the arena sees only evictions (parity conflict),
+    # precompile-cycle flushes, and the chunk-end flush in _build_kernel.
+    # In lockstep push/pop + fixed-offset heap traffic this removes the
+    # arena sweeps entirely (+31% measured bound, ablate_fused `cache`).
+    cache_on = "stc_val" in mem
+    if cache_on:
+        stc_val = mem["stc_val"][...]        # u32[2, 8, TB]
+        stc_meta = mem["stc_meta"][...]      # u32[2, TB]: idx | tag<<31
+        hc_val = mem["hc_val"][...]
+        hc_meta = mem["hc_meta"][...]        # u32[2, TB]: idx
+
+        def _wc_lookup(meta, val, phys):
+            """(hit bool[TB], cached value u32[8,TB], cached meta u32[TB])
+            for a physical index, checking the entry at its parity slot."""
+            par = (phys.astype(U32) & 1) != 0
+            m = jnp.where(par, meta[1], meta[0])
+            v = _sel8(par, val[1], val[0])
+            return (m & 0x7FFFFFFF) == phys.astype(U32), v, m
+
+    def _gated(name, pred, fn):
+        """Occupancy-gate `fn` (→ u32[rows, TB]) behind a pl.when region.
+
+        Value-form lax.cond does NOT skip its branch at runtime on Mosaic
+        (measured: a runtime-false cond saves ~1%, compile-time removal
+        13% — tools/ablate_fused.py `rt` group); pl.when DOES (runtime-
+        false ≈ removed, `rtw` group).  So every occupancy gate routes its
+        result through a scratch ref written inside pl.when; the zero
+        store mirrors the old cond's zero branch."""
+        ref = mem[name]
+        ref[...] = jnp.zeros(ref.shape, dtype=U32)
+
+        @pl.when(pred)
+        def _run():
+            ref[...] = fn()
+        return ref[...]
     D = config.max_depth
     p = params
     M = OperandMode
@@ -647,11 +696,10 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     piota = jax.lax.broadcasted_iota(U32, cb_match.shape, 0)
     code_slot = _usum(jnp.where(cb_match, piota, 0), axis=0)
     code_page_found = jnp.any(cb_match, axis=0)
-    fetched = jax.lax.cond(
-        jnp.any(code_read_needed & ~frozen),
+    fetched = _gated(
+        "g_fetch", jnp.any(code_read_needed & ~frozen),
         lambda: _gather_arena_l(consts["code"],
-                                code_slot * config.code_words + super_pc),
-        lambda: jnp.zeros((8, TB), dtype=U32))
+                                code_slot * config.code_words + super_pc))
     lane_error = lane_error | (active & code_read_needed
                                & (~code_page_found
                                   | (super_pc >= config.code_words)))
@@ -840,17 +888,32 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     # reduce compute is the per-cycle floor — ~1us per 256-word sweep at
     # TB=256 — so the whole gather lives inside the cond; gating only the
     # ref load while sweeping a zeros array saved nothing, measured)
-    stack_val, stack_tag_u = jax.lax.cond(
-        jnp.any(do_src0_mem_read & src0_is_stack_mem),
-        lambda: (_gather_arena_l(stack_arena, src0_phys),
-                 _gather_l(stack_tag_arena, src0_phys)),
-        lambda: (jnp.zeros((8, TB), dtype=U32), jnp.zeros((TB,), dtype=U32)))
+    if cache_on:
+        st_hit, st_cval, st_cmeta = _wc_lookup(stc_meta, stc_val, src0_phys)
+        any_stack_read = jnp.any(do_src0_mem_read & src0_is_stack_mem
+                                 & ~st_hit)
+    else:
+        st_hit = jnp.zeros((TB,), dtype=BOOL)
+        any_stack_read = jnp.any(do_src0_mem_read & src0_is_stack_mem)
+    if "stack_rw" in DEBUG_SKIP:  # perf probe: perfect-stack-cache bound
+        any_stack_read = jnp.bool_(False)
+    if "stack_rw_rt" in DEBUG_SKIP:  # probe: does a RUNTIME-false cond
+        # actually skip the sweep on Mosaic, or lower to both-branches?
+        any_stack_read = jnp.any(v["done"] > U32(1))  # always false
+    sread = _gated(
+        "g_stack", any_stack_read,
+        lambda: jnp.concatenate(
+            [_gather_arena_l(stack_arena, src0_phys),
+             _gather_l(stack_tag_arena, src0_phys)[None, :]], axis=0))
+    stack_val, stack_tag_u = sread[:8], sread[8]
+    if cache_on:
+        stack_val = _sel8(st_hit, st_cval, stack_val)
+        stack_tag_u = jnp.where(st_hit, st_cmeta >> 31, stack_tag_u)
     stack_tag = stack_tag_u.astype(BOOL)
-    code_val = jax.lax.cond(
-        jnp.any(do_src0_mem_read & src0_code),
+    code_val = _gated(
+        "g_code", jnp.any(do_src0_mem_read & src0_code),
         lambda: _gather_arena_l(consts["code"],
-                                code_slot * config.code_words + src0_loc),
-        lambda: jnp.zeros((8, TB), dtype=U32))
+                                code_slot * config.code_words + src0_loc))
     lane_error = lane_error | (active & do_src0_mem_read & src0_is_stack_mem
                                & ~src0_in_window)
     lane_error = lane_error | (active & do_src0_mem_read & src0_code
@@ -932,15 +995,17 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     if "mul" in DEBUG_SKIP:
         mul_lo, mul_hi = z8, z8
     else:
-        mul_lo, mul_hi = jax.lax.cond(
-            jnp.any(is_mul), lambda: _u256_mul_full(src0, src1),
-            lambda: (z8, z8))
+        mul2 = _gated("g_mul", jnp.any(is_mul),
+                      lambda: jnp.concatenate(
+                          _u256_mul_full(src0, src1), axis=0))
+        mul_lo, mul_hi = mul2[:8], mul2[8:]
     if "div" in DEBUG_SKIP:
         div_q, div_r = z8, z8
     else:
-        div_q, div_r = jax.lax.cond(
-            jnp.any(is_div), lambda: _u256_div_mod(src0, src1),
-            lambda: (z8, z8))
+        div2 = _gated("g_div", jnp.any(is_div),
+                      lambda: jnp.concatenate(
+                          _u256_div_mod(src0, src1), axis=0))
+        div_q, div_r = div2[:8], div2[8:]
     div_by_zero = _u256_is_zero(src1)
 
     shift_amount = src1[0] & 0xFF
@@ -954,7 +1019,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
                      _u256_ror(src0, n))))
 
     shift_val = z8 if "shift" in DEBUG_SKIP else \
-        jax.lax.cond(jnp.any(is_shift), shift_unit, lambda: z8)
+        _gated("g_shift", jnp.any(is_shift), shift_unit)
 
     binop_val = _sel8(sub_variant == 0, src0 ^ src1,
                  _sel8(sub_variant == 1, src0 & src1, src0 | src1))
@@ -1125,19 +1190,30 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
 
     need_h = do_mem & use_heap_arena
     need_a = do_mem & use_aux_arena
-    zg = lambda: jnp.zeros((8, TB), dtype=U32)
-    w0_heap = jax.lax.cond(
-        jnp.any(need_h),
-        lambda: _gather_arena_l(heap_arena, h_base + word0), zg)
-    w1_heap = jax.lax.cond(
-        jnp.any(need_h & is_unaligned),
-        lambda: _gather_arena_l(heap_arena, h_base + word1), zg)
-    w0_aux = jax.lax.cond(
-        jnp.any(need_a),
-        lambda: _gather_arena_l(aux_arena, a_base + word0), zg)
-    w1_aux = jax.lax.cond(
-        jnp.any(need_a & is_unaligned),
-        lambda: _gather_arena_l(aux_arena, a_base + word1), zg)
+    if "heap_rw" in DEBUG_SKIP:  # perf probe: perfect-heap-cache bound
+        need_h = jnp.zeros_like(need_h)
+        need_a = jnp.zeros_like(need_a)
+    h_phys0 = h_base + word0
+    h_phys1 = h_base + word1
+    if cache_on:
+        h_hit0, h_cv0, _ = _wc_lookup(hc_meta, hc_val, h_phys0)
+        h_hit1, h_cv1, _ = _wc_lookup(hc_meta, hc_val, h_phys1)
+        miss_h0 = need_h & ~h_hit0
+        miss_h1 = need_h & is_unaligned & ~h_hit1
+    else:
+        miss_h0 = need_h
+        miss_h1 = need_h & is_unaligned
+    w0_heap = _gated("g_hw0", jnp.any(miss_h0),
+                     lambda: _gather_arena_l(heap_arena, h_phys0))
+    w1_heap = _gated("g_hw1", jnp.any(miss_h1),
+                     lambda: _gather_arena_l(heap_arena, h_phys1))
+    if cache_on:
+        w0_heap = _sel8(h_hit0, h_cv0, w0_heap)
+        w1_heap = _sel8(h_hit1, h_cv1, w1_heap)
+    w0_aux = _gated("g_aw0", jnp.any(need_a),
+                    lambda: _gather_arena_l(aux_arena, a_base + word0))
+    w1_aux = _gated("g_aw1", jnp.any(need_a & is_unaligned),
+                    lambda: _gather_arena_l(aux_arena, a_base + word1))
     w0 = _sel8(do_mem, _sel8(use_heap_arena, w0_heap, w0_aux), z8)
     w1 = _sel8(do_mem & is_unaligned,
                _sel8(use_heap_arena, w1_heap, w1_aux), z8)
@@ -1164,24 +1240,31 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
             | _u256_shl(sv, keep_hi_bits)
         return read_val, new_w0, new_w1
 
-    def splice_unit():
-        return jax.lax.cond(
-            jnp.any(do_mem & is_unaligned), splice_unaligned,
-            lambda: (w0, sv, w1))
-
     if "uma_shift" in DEBUG_SKIP:
         read_val, new_w0, new_w1 = w0, sv, sv
     else:
-        read_val, new_w0, new_w1 = jax.lax.cond(
-            any_uma_mem, splice_unit, lambda: (z8, z8, z8))
+        spl_ref = mem["g_splice"]
+        spl_ref[...] = jnp.zeros(spl_ref.shape, dtype=U32)
+        any_unal = jnp.any(do_mem & is_unaligned)
+
+        @pl.when(any_uma_mem & ~any_unal)
+        def _splice_aligned():  # the shl/shr identities fold to exactly this
+            spl_ref[...] = jnp.concatenate([w0, sv, w1], axis=0)
+
+        @pl.when(any_unal)
+        def _splice_full():  # formulas subsume aligned lanes (una == 0)
+            spl_ref[...] = jnp.concatenate(splice_unaligned(), axis=0)
+
+        spl = spl_ref[...]
+        read_val, new_w0, new_w1 = spl[:8], spl[8:16], spl[16:24]
 
     def ptr_mask_unit():
         masked = _u256_shl(_u256_shr(read_val, bb), bb)
         return _sel8(uma_is_ptr_read, masked, read_val)
 
-    read_val = jax.lax.cond(
-        jnp.any(uma_is_ptr_read & do_mem), ptr_mask_unit,
-        lambda: read_val)
+    pmask_on = uma_is_ptr_read & do_mem
+    pm = _gated("g_pmask", jnp.any(pmask_on), ptr_mask_unit)
+    read_val = _sel8(pmask_on, pm, read_val)
 
     uma_do_write = uma_is_write & ~uma_skip_mem
     uma_do_read_mem = is_uma & ~uma_skip_mem
@@ -1362,7 +1445,11 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
             | (pp_any & ~(w_on_h | w_on_a))
 
         def read_in_word(idx):
-            hv = _gather_arena_l(heap_arena, r_slot * HW + idx)
+            phys = r_slot * HW + idx
+            hv = _gather_arena_l(heap_arena, phys)
+            if cache_on:  # read-through: cached heap words overlay the arena
+                ph, pv, _ = _wc_lookup(hc_meta, hc_val, phys)
+                hv = _sel8(ph, pv, hv)
             av = _gather_arena_l(aux_arena, r_slot * AW + idx)
             return _sel8(r_on_h, hv, av)
 
@@ -1420,8 +1507,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
                              | dbytes[31 - 4 * j])
             return jnp.stack(limbs, axis=0)
 
-        keccak_out = jax.lax.cond(jnp.any(is_keccak_pc), keccak_unit,
-                                  lambda: z8)
+        keccak_out = _gated("g_keccak", jnp.any(is_keccak_pc), keccak_unit)
 
         # ---- sha256 rounds ----
         lane_error = lane_error | (is_sha_pc & (pp_rounds > MS))
@@ -1440,7 +1526,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
                 st8 = [jnp.where(r_on, ns[i], st8[i]) for i in range(8)]
             return jnp.stack(st8[::-1], axis=0)  # one BE u256 word
 
-        sha_out = jax.lax.cond(jnp.any(is_sha_pc), sha_unit, lambda: z8)
+        sha_out = _gated("g_sha", jnp.any(is_sha_pc), sha_unit)
 
         pp_out_val = _sel8(is_keccak_pc, keccak_out, sha_out)
         pp_out_idx = pp_out_off
@@ -1476,9 +1562,7 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
                     [read_in_word(first_word_q + i) for i in range(PS_IN)],
                     axis=0)                              # [PS_IN, 8, TB]
 
-            in_vals = jax.lax.cond(
-                jnp.any(emit), in_vals_unit,
-                lambda: jnp.zeros((PS_IN, 8, TB), dtype=U32))
+            in_vals = _gated("g_invals", jnp.any(emit), in_vals_unit)
 
             ts_pread = ts_log
             ts_pwrite = ts_log + 1
@@ -1706,10 +1790,9 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
         fc_left = jnp.where(fc_over, fc_leftover,
                             fc_leftover + fc_max_passable - fc_want)
 
-        mimic_sender5 = jax.lax.cond(
-            jnp.any(fc_mimic),
-            lambda: read_reg(jnp.full((TB,), 15, dtype=U32))[0][:5],
-            lambda: jnp.zeros((5, TB), dtype=U32))
+        mimic_sender5 = _gated(
+            "g_mimic", jnp.any(fc_mimic),
+            lambda: read_reg(jnp.full((TB,), 15, dtype=U32))[0][:5])
         fc_next_this = _sel8(fc_delegate, this_addr, fc_addr5)
         fc_next_sender = _sel8(fc_delegate, msg_sender,
                                _sel8(fc_mimic, mimic_sender5, this_addr))
@@ -1922,22 +2005,20 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     parent_idx = jnp.maximum(depth - 1, 0)
 
     def _pop_gather():
-        return (
+        return jnp.concatenate([
             _gather_l(mem["cs_scalars"][...], parent_idx),
             _gather_l(mem["cs_this"][...], parent_idx),
             _gather_l(mem["cs_sender"][...], parent_idx),
             _gather_l(mem["cs_code"][...], parent_idx),
             _gather_l(mem["cs_u128"][...], parent_idx),
-        )
+        ], axis=0)
 
-    (parent_scal, parent_this, parent_sender, parent_code,
-     parent_u128) = jax.lax.cond(
-        jnp.any(pop_mask), _pop_gather,
-        lambda: (jnp.zeros((NF, TB), dtype=U32),
-                 jnp.zeros((5, TB), dtype=U32),
-                 jnp.zeros((5, TB), dtype=U32),
-                 jnp.zeros((5, TB), dtype=U32),
-                 jnp.zeros((4, TB), dtype=U32)))
+    pg = _gated("g_pop", jnp.any(pop_mask), _pop_gather)
+    parent_scal = pg[:NF]
+    parent_this = pg[NF:NF + 5]
+    parent_sender = pg[NF + 5:NF + 10]
+    parent_code = pg[NF + 10:NF + 15]
+    parent_u128 = pg[NF + 15:NF + 19]
     p_ergs = parent_scal[CS["ergs_remaining"]] + ergs3
     parent_scal = _set_row(parent_scal, CS["ergs_remaining"], p_ergs)
     label_jump = is_to_label & is_local_frame
@@ -1990,9 +2071,9 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
 
             return jax.lax.fori_loop(0, J, replay_body, new_st_val)
 
-        new_st_val = jax.lax.cond(
-            jnp.any(panic_pop & (new_j_count > j_snap)), do_rollback,
-            lambda: new_st_val)
+        roll_lane = panic_pop & (new_j_count > j_snap)
+        rolled = _gated("g_stroll", jnp.any(roll_lane), do_rollback)
+        new_st_val = jnp.where(roll_lane[None, None, :], rolled, new_st_val)
         new_j_count = jnp.where(panic_pop, j_snap, new_j_count)
         ev_pos = jax.lax.broadcasted_iota(I32, (E, TB), 0)
         cancel = panic_pop[None, :] & (ev_pos >= ev_snap[None, :]) \
@@ -2074,26 +2155,133 @@ def _cycle_tile(v: dict, consts: dict, mem: dict, config: VmConfig,
     # scatter sweeps (the where over the whole arena) live INSIDE the
     # occupancy conds — see the gather conds above for why
     if "mem" not in DEBUG_PASSTHROUGH:
-        @pl.when(jnp.any(dst0_to_stack))
-        def _store_stack():
-            mem["stack"][...] = _scatter_arena_l(
-                stack_arena, dst0_phys, dst0_val, dst0_to_stack)
-            mem["stack_tag"][...] = _scatter_l(
-                stack_tag_arena, dst0_phys, dst0_is_ptr.astype(U32),
-                dst0_to_stack)
+        if cache_on:
+            # stack writes land in the cache; the arena sees only parity-
+            # conflict evictions (and the chunk-end flush in _build_kernel)
+            st_in = dst0_to_stack & dst0_in_window
+            st_par = (dst0_phys.astype(U32) & 1) != 0
+            st_in0 = st_in & ~st_par
+            st_in1 = st_in & st_par
+            st_idx0 = stc_meta[0] & 0x7FFFFFFF
+            st_idx1 = stc_meta[1] & 0x7FFFFFFF
+            st_ev0 = st_in0 & (stc_meta[0] != U32(_WC_INVALID)) \
+                & (st_idx0 != dst0_phys.astype(U32))
+            st_ev1 = st_in1 & (stc_meta[1] != U32(_WC_INVALID)) \
+                & (st_idx1 != dst0_phys.astype(U32))
+            any_stack_store = jnp.any(st_ev0 | st_ev1)
+        else:
+            any_stack_store = jnp.any(dst0_to_stack)
+        if "stack_rw" in DEBUG_SKIP:  # perf probe (see the gather twin)
+            any_stack_store = jnp.bool_(False)
+        if "stack_st_rt" in DEBUG_SKIP:  # probe: does a RUNTIME-false
+            # pl.when skip its body, unlike value-form lax.cond?
+            any_stack_store = jnp.any(v["done"] > U32(1))  # always false
 
-        @pl.when(jnp.any(w_heap0 | pp_write_h))
+        if "stack_st_off" not in DEBUG_SKIP:  # probe twin: static removal
+            @pl.when(any_stack_store)
+            def _store_stack():
+                if cache_on:
+                    sa = _scatter_arena_l(stack_arena, st_idx0.astype(I32),
+                                          stc_val[0], st_ev0)
+                    sa = _scatter_arena_l(sa, st_idx1.astype(I32),
+                                          stc_val[1], st_ev1)
+                    mem["stack"][...] = sa
+                    tg = _scatter_l(stack_tag_arena, st_idx0.astype(I32),
+                                    stc_meta[0] >> 31, st_ev0)
+                    tg = _scatter_l(tg, st_idx1.astype(I32),
+                                    stc_meta[1] >> 31, st_ev1)
+                    mem["stack_tag"][...] = tg
+                else:
+                    mem["stack"][...] = _scatter_arena_l(
+                        stack_arena, dst0_phys, dst0_val, dst0_to_stack)
+                    mem["stack_tag"][...] = _scatter_l(
+                        stack_tag_arena, dst0_phys, dst0_is_ptr.astype(U32),
+                        dst0_to_stack)
+
+        if cache_on:
+            new_meta_w = dst0_phys.astype(U32) \
+                | (dst0_is_ptr.astype(U32) << 31)
+            mem["stc_val"][...] = jnp.stack(
+                [_sel8(st_in0, dst0_val, stc_val[0]),
+                 _sel8(st_in1, dst0_val, stc_val[1])], axis=0)
+            mem["stc_meta"][...] = jnp.stack(
+                [jnp.where(st_in0, new_meta_w, stc_meta[0]),
+                 jnp.where(st_in1, new_meta_w, stc_meta[1])], axis=0)
+
+        if cache_on:
+            # heap writes land in the cache too — except on precompile-
+            # write cycles, where the whole cache flushes to the arena
+            # first and this cycle's UMA writes go direct (the pp output
+            # scatter must land LAST so pp wins any same-index overlap)
+            pp_cyc = jnp.any(pp_write_h) if pp_enabled else jnp.bool_(False)
+            hc_wc0 = w_heap0 & ~pp_cyc
+            hc_wc1 = w_heap1 & ~pp_cyc
+            # read-allocate: pure reads fill the cache with the words they
+            # read (post-overlay, so hits just re-store the same entry) —
+            # without this, read-mostly heap words miss forever
+            hc_rf0 = need_h & ~uma_do_write & ~pp_cyc
+            hc_rf1 = need_h & is_unaligned & ~uma_do_write & ~pp_cyc
+            hc_par0 = (h_phys0 & 1) != 0
+            hc_par1 = (h_phys1 & 1) != 0
+            hv0 = hc_meta[0] != U32(_WC_INVALID)
+            hv1 = hc_meta[1] != U32(_WC_INVALID)
+            hc_from0 = [(hc_wc0 | hc_rf0) & ~hc_par0,
+                        (hc_wc0 | hc_rf0) & hc_par0]
+            hc_from1 = [(hc_wc1 | hc_rf1) & ~hc_par1,
+                        (hc_wc1 | hc_rf1) & hc_par1]
+            hc_in = [hc_from0[0] | hc_from1[0], hc_from0[1] | hc_from1[1]]
+            hc_iidx = [jnp.where(hc_from0[s], h_phys0, h_phys1)
+                       for s in (0, 1)]
+            hc_ival = [_sel8(hc_from0[s],
+                             _sel8(hc_wc0, new_w0, w0_heap),
+                             _sel8(hc_wc1, new_w1, w1_heap))
+                       for s in (0, 1)]
+            hc_ev = [hc_in[0] & hv0 & (hc_meta[0] != hc_iidx[0]),
+                     hc_in[1] & hv1 & (hc_meta[1] != hc_iidx[1])]
+            hc_fl = [hv0 & pp_cyc, hv1 & pp_cyc]
+            hc_direct0 = w_heap0 & pp_cyc
+            hc_direct1 = w_heap1 & pp_cyc
+            any_heap_store = jnp.any(hc_ev[0] | hc_ev[1] | hc_fl[0]
+                                     | hc_fl[1] | hc_direct0 | pp_write_h)
+        else:
+            any_heap_store = jnp.any(w_heap0 | pp_write_h)
+        any_aux_store = jnp.any(w_aux0 | pp_write_a)
+        if "heap_rw" in DEBUG_SKIP:  # perf probe (see the gather twin)
+            any_heap_store = jnp.bool_(False)
+            any_aux_store = jnp.bool_(False)
+
+        @pl.when(any_heap_store)
         def _store_heap():
-            nh = _scatter_arena_l(heap_arena, h_base + word0, new_w0,
-                                  w_heap0)
-            nh = _scatter_arena_l(nh, h_base + word1, new_w1, w_heap1)
+            if cache_on:
+                nh = _scatter_arena_l(
+                    heap_arena, hc_meta[0].astype(I32), hc_val[0],
+                    hc_ev[0] | hc_fl[0])
+                nh = _scatter_arena_l(
+                    nh, hc_meta[1].astype(I32), hc_val[1],
+                    hc_ev[1] | hc_fl[1])
+                nh = _scatter_arena_l(nh, h_phys0, new_w0, hc_direct0)
+                nh = _scatter_arena_l(nh, h_phys1, new_w1, hc_direct1)
+            else:
+                nh = _scatter_arena_l(heap_arena, h_phys0, new_w0, w_heap0)
+                nh = _scatter_arena_l(nh, h_phys1, new_w1, w_heap1)
             if pp_enabled:
                 nh = _scatter_arena_l(
                     nh, pp_w_slot * config.heap_words + pp_out_idx,
                     pp_out_val, pp_write_h)
             mem["heap"][...] = nh
 
-        @pl.when(jnp.any(w_aux0 | pp_write_a))
+        if cache_on:
+            mem["hc_val"][...] = jnp.stack(
+                [_sel8(hc_in[0], hc_ival[0], hc_val[0]),
+                 _sel8(hc_in[1], hc_ival[1], hc_val[1])], axis=0)
+            inv = U32(_WC_INVALID)
+            mem["hc_meta"][...] = jnp.stack(
+                [jnp.where(hc_in[0], hc_iidx[0],
+                           jnp.where(pp_cyc, inv, hc_meta[0])),
+                 jnp.where(hc_in[1], hc_iidx[1],
+                           jnp.where(pp_cyc, inv, hc_meta[1]))], axis=0)
+
+        @pl.when(any_aux_store)
         def _store_aux():
             na = _scatter_arena_l(aux_arena, a_base + word0, new_w0, w_aux0)
             na = _scatter_arena_l(na, a_base + word1, new_w1, w_aux1)
@@ -2580,6 +2768,29 @@ def _block_specs(config: VmConfig, k_cycles: int):
     return blocks
 
 
+def _scratch_specs(config: VmConfig):
+    """(name, shape-prefix) of every kernel scratch ref, in arg order."""
+    specs = []
+    if _WORD_CACHE:
+        specs += [("stc_val", (2, 8)), ("stc_meta", (2,)),
+                  ("hc_val", (2, 8)), ("hc_meta", (2,))]
+    specs += [("g_fetch", (8,)), ("g_stack", (9,)), ("g_code", (8,)),
+              ("g_hw0", (8,)), ("g_hw1", (8,)), ("g_aw0", (8,)),
+              ("g_aw1", (8,)), ("g_mul", (16,)), ("g_div", (16,)),
+              ("g_shift", (8,)), ("g_splice", (24,)), ("g_pmask", (8,))]
+    specs += [("g_mimic", (5,)), ("g_pop", (NF + 19,))]
+    if config.storage_slots > 0:
+        specs += [("g_stroll", (config.storage_slots, 8))]
+    if config.storage_slots > 0 and config.precompile_keccak_blocks > 0:
+        specs += [("g_keccak", (8,)), ("g_sha", (8,))]
+    if config.precompile_queue_capacity > 0:
+        from .state import precompile_queue_slots
+
+        ps_in, _ = precompile_queue_slots(config)
+        specs += [("g_invals", (ps_in, 8))]
+    return specs
+
+
 def _build_kernel(config: VmConfig, k_cycles: int):
     inout = _inout_specs(config)
     const = _const_specs(config)
@@ -2598,6 +2809,15 @@ def _build_kernel(config: VmConfig, k_cycles: int):
         out_refs = {name: r for (name, _), r in zip(inout, out_list)}
         blk = {name: r for (name, _), r in zip(blocks,
                                                out_list[len(inout):])}
+        scr = out_list[len(inout) + len(blocks):]
+        cache_refs = {name: r
+                      for (name, _), r in zip(_scratch_specs(config), scr)}
+        if _WORD_CACHE:
+            # caches start cold per tile (scratch persists across grid
+            # iterations on TPU — the sentinel init is load-bearing)
+            for m in ("stc_meta", "hc_meta"):
+                cache_refs[m][...] = jnp.full(
+                    cache_refs[m].shape, _WC_INVALID, dtype=jnp.uint32)
         step0 = step0_ref[0]
         k_stop = step0_ref[1]              # dynamic cycle bound (ecrecover
         #                                    detour protocol; == k_cycles
@@ -2615,6 +2835,7 @@ def _build_kernel(config: VmConfig, k_cycles: int):
         if config.storage_slots > 0:
             mem_names += list(LOG_MEM_FIELDS)
         mem = {name: out_refs[name] for name in mem_names}
+        mem.update(cache_refs)
         for name in ("cs_scalars", "cs_this", "cs_sender", "cs_code",
                      "cs_u128"):
             mem[name] = out_refs[name]
@@ -2720,6 +2941,42 @@ def _build_kernel(config: VmConfig, k_cycles: int):
         vn = _vals_from_carry(carry_n, out_refs)
         _vals_to_refs(vn, out_refs)
 
+        # chunk-boundary word-cache flush: the arenas leave the kernel
+        # exactly as the cache-less kernel would have written them (the
+        # host-side drain/spill/checkpoint/differential paths all read
+        # the arenas directly)
+        if _WORD_CACHE:
+            s_meta = cache_refs["stc_meta"][...]
+            s_val = cache_refs["stc_val"][...]
+            sv0 = s_meta[0] != U32(_WC_INVALID)
+            sv1 = s_meta[1] != U32(_WC_INVALID)
+
+            @pl.when(jnp.any(sv0 | sv1))
+            def _flush_stack():
+                si0 = (s_meta[0] & 0x7FFFFFFF).astype(I32)
+                si1 = (s_meta[1] & 0x7FFFFFFF).astype(I32)
+                a = _scatter_arena_l(out_refs["stack"][...], si0,
+                                     s_val[0], sv0)
+                a = _scatter_arena_l(a, si1, s_val[1], sv1)
+                out_refs["stack"][...] = a
+                t = _scatter_l(out_refs["stack_tag"][...], si0,
+                               s_meta[0] >> 31, sv0)
+                t = _scatter_l(t, si1, s_meta[1] >> 31, sv1)
+                out_refs["stack_tag"][...] = t
+
+            h_meta = cache_refs["hc_meta"][...]
+            h_val = cache_refs["hc_val"][...]
+            hv0 = h_meta[0] != U32(_WC_INVALID)
+            hv1 = h_meta[1] != U32(_WC_INVALID)
+
+            @pl.when(jnp.any(hv0 | hv1))
+            def _flush_heap():
+                a = _scatter_arena_l(out_refs["heap"][...],
+                                     h_meta[0].astype(I32), h_val[0], hv0)
+                a = _scatter_arena_l(a, h_meta[1].astype(I32), h_val[1],
+                                     hv1)
+                out_refs["heap"][...] = a
+
         # chunk-boundary writeback: the cached current frame becomes the
         # cs entry at the final depth (all-lanes mask; frozen lanes write
         # back what they loaded)
@@ -2762,11 +3019,18 @@ def _build_call(config: VmConfig, k_cycles: int, tile: int,
     out_shapes = [jax.ShapeDtypeStruct(tuple(sh) + (B,), jnp.uint32)
                   for _, sh in inout + blocks]
 
+    # kernel-lifetime scratch: (a) the per-lane write-back word caches
+    # (val u32[2, 8, T] + meta u32[2, T] per arena; meta = idx | tag<<31,
+    # sentinel _WC_INVALID), (b) one landing ref per pl.when-gated unit
+    # (_gated in _cycle_tile).  ~130 KB VMEM at tile=512.
+    scratch_shapes = [pltpu.VMEM(tuple(sh) + (tile,), jnp.uint32)
+                      for _, sh in _scratch_specs(config)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
     )
     kernel = _build_kernel(config, k_cycles)
     call = pl.pallas_call(
@@ -2821,9 +3085,9 @@ def _rolling_fold_call(config: VmConfig, k_cycles: int, tile: int,
     kq = k_cycles * SLOTS_PER_CYCLE
 
     def kernel(meta_ref, val_ref, flg_ref, wc_ref, cnt_ref,
-               wc_out, cnt_out):
+               wc_out, cnt_out, st_scr):
         wc = wc_ref[...]                      # [25, 2, TB]
-        st51 = jnp.concatenate([
+        st_scr[...] = jnp.concatenate([
             jnp.stack([wc[i, 0] for i in range(25)], axis=0),
             jnp.stack([wc[i, 1] for i in range(25)], axis=0),
             cnt_ref[...]], axis=0)            # [51, TB]
@@ -2833,7 +3097,8 @@ def _rolling_fold_call(config: VmConfig, k_cycles: int, tile: int,
             return ((x & 0xFF) << 24) | ((x & 0xFF00) << 8) \
                 | ((x >> 8) & 0xFF00) | (x >> 24)
 
-        def slot_body(s_, st51):
+        def slot_body(s_, carry):
+            st51 = st_scr[...]
             meta = meta_ref[pl.dslice(s_, 1)][0]     # [4, TB]
             mval = val_ref[pl.dslice(s_, 1)][0]      # [8, TB]
             flg = flg_ref[pl.dslice(s_, 1)][0]       # [TB]
@@ -2868,19 +3133,24 @@ def _rolling_fold_call(config: VmConfig, k_cycles: int, tile: int,
                  jnp.broadcast_to(zrow, (17,) + zrow.shape[1:])], axis=0)
             ab50 = jnp.where(valid[None, :], st51[:50] ^ rec50, st51[:50])
 
-            def absorb(ab):
-                lo = [ab[i] for i in range(25)]
-                hi = [ab[25 + i] for i in range(25)]
+            # pl.when, not value-form lax.cond: a runtime-false cond does
+            # NOT skip its branch on Mosaic (measured, ablate_fused `rt`
+            # group) — with ~8 slots/cycle and most invalid, the gated
+            # form drops the dead permutations that dominated this kernel
+            @pl.when(jnp.any(valid))
+            def _absorb():
+                lo = [ab50[i] for i in range(25)]
+                hi = [ab50[25 + i] for i in range(25)]
                 plo, phi = _keccak_f1600_kernel(lo, hi)
-                return jnp.stack(plo + phi, axis=0)
+                out50 = jnp.stack(plo + phi, axis=0)
+                new50 = jnp.where(valid[None, :], out50, st51[:50])
+                ncount = st51[50] + valid.astype(U32)
+                st_scr[...] = jnp.concatenate(
+                    [new50, ncount[None, :]], axis=0)
+            return carry
 
-            out50 = jax.lax.cond(jnp.any(valid), absorb,
-                                 lambda ab: ab, ab50)
-            new50 = jnp.where(valid[None, :], out50, st51[:50])
-            ncount = st51[50] + valid.astype(U32)
-            return jnp.concatenate([new50, ncount[None, :]], axis=0)
-
-        st51 = jax.lax.fori_loop(0, kq, slot_body, st51)
+        jax.lax.fori_loop(0, kq, slot_body, 0)
+        st51 = st_scr[...]
         rows = [jnp.stack([st51[k_], st51[25 + k_]], axis=0)
                 for k_ in range(25)]
         wc_out[...] = jnp.stack(rows, axis=0)
@@ -2901,6 +3171,7 @@ def _rolling_fold_call(config: VmConfig, k_cycles: int, tile: int,
         out_specs=[spec((25, 2)), spec((1,))],
         out_shape=[jax.ShapeDtypeStruct((25, 2, B), jnp.uint32),
                    jax.ShapeDtypeStruct((1, B), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((51, tile), jnp.uint32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

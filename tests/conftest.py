@@ -40,16 +40,22 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 import pytest  # noqa: E402
 
 _last_module = [None]
+_tests_since_clear = [0]
 
 
 @pytest.fixture(autouse=True)
 def _bound_executable_accumulation(request):
     # XLA:CPU segfaults (in executable cache serialization) late in long
     # full-suite runs — position-dependent, never in isolated modules;
-    # dropping the in-memory executables at module boundaries bounds the
+    # dropping the in-memory executables at module boundaries (and every
+    # 10 tests inside big-kernel modules — observed again within
+    # test_fused_cycle once the fused kernel grew) bounds the
     # accumulation (the persistent cache makes re-loads cheap).
     mod = request.module.__name__
-    if _last_module[0] not in (None, mod):
+    _tests_since_clear[0] += 1
+    if (_last_module[0] not in (None, mod)
+            or _tests_since_clear[0] >= 10):
         jax.clear_caches()
+        _tests_since_clear[0] = 0
     _last_module[0] = mod
     yield

@@ -175,6 +175,52 @@ def main():
             timed(cfg(), PROG_BENCH, f"bench mix, cut at stage {st}",
                   stage=st)
 
+    if "rt" in groups:
+        # does a runtime-false lax.cond skip its branch on Mosaic?
+        # (cache OFF for all three so only the cond mechanism varies)
+        fused_cycle._WORD_CACHE = False
+        timed(cfg(), PROG_STACK, "stack mix, baseline (cache off)",
+              tile=512)
+        timed(cfg(), PROG_STACK, "stack mix, cond rt-false", tile=512,
+              skip={"stack_rw_rt"})
+        timed(cfg(), PROG_STACK, "stack mix, compile-false", tile=512,
+              skip={"stack_rw"})
+        fused_cycle._WORD_CACHE = True
+
+    if "rtw" in groups:
+        # pl.when statement-form: runtime-false vs compile-time removal
+        fused_cycle._WORD_CACHE = False
+        timed(cfg(), PROG_STACK, "stack mix, baseline (cache off)",
+              tile=512)
+        timed(cfg(), PROG_STACK, "stack mix, store when rt-false",
+              tile=512, skip={"stack_st_rt"})
+        timed(cfg(), PROG_STACK, "stack mix, store removed", tile=512,
+              skip={"stack_st_off"})
+        fused_cycle._WORD_CACHE = True
+
+    if "wc" in groups:
+        # the landed word cache, on vs off (module flag, traced at build)
+        for prog, label in ((PROG_BENCH, "bench mix"),
+                            (PROG_STACK, "stack 4/10"),
+                            (PROG_HEAP, "heap 4/10")):
+            timed(cfg(), prog, f"T=512 {label}, word cache ON", tile=512)
+            fused_cycle._WORD_CACHE = False
+            fused_cycle._run_cycles_fused_jit.clear_cache()
+            timed(cfg(), prog, f"T=512 {label}, word cache OFF", tile=512)
+            fused_cycle._WORD_CACHE = True
+            fused_cycle._run_cycles_fused_jit.clear_cache()
+
+    if "cache" in groups:
+        # upper bound for a perfect top-of-stack / hot-heap-word cache:
+        # the sweeps' occupancy conds forced off (WRONG results, perf only)
+        timed(cfg(), PROG_BENCH, "T=512 baseline", tile=512)
+        timed(cfg(), PROG_BENCH, "T=512 skip stack_rw", tile=512,
+              skip={"stack_rw"})
+        timed(cfg(), PROG_BENCH, "T=512 skip heap_rw", tile=512,
+              skip={"heap_rw"})
+        timed(cfg(), PROG_BENCH, "T=512 skip both", tile=512,
+              skip={"stack_rw", "heap_rw"})
+
     if "tile" in groups:
         timed(cfg(), PROG_BENCH, "bench mix, tile=128", tile=128)
         timed(cfg(), PROG_BENCH, "bench mix, tile=512", tile=512)
