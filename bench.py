@@ -454,10 +454,10 @@ def bench_refill(batch: int = 8192, engine: str = "fused",
             [s.program[n_word] if s else 0 for s in specs], dtype=np.uint32)
         # word-major [B, W, 8] arena (limb_major_arenas is off here)
         code = template.code.at[:, n_word, 0].set(jnp.asarray(counts))
-        # device copies: the engines donate their input buffers, so the
-        # cached template must never be handed out directly
-        fresh = jax.tree.map(lambda x: x.copy(), template)
-        return dataclasses.replace(fresh, code=code)
+        # the scheduler's jitted merge consumes fresh read-only (no
+        # donation), so the cached template is handed out directly — no
+        # per-round device copies
+        return dataclasses.replace(template, code=code)
 
     out = {}
     for mode in ("refill", "waves"):

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -95,6 +96,21 @@ def merge_lanes(state: BatchedVmState, fresh: BatchedVmState,
     return BatchedVmState(**out)
 
 
+# eager merge_lanes is ~2 dispatches per state field — on axon each rides
+# the tunnel, so the per-round refill cost was dominated by dispatch
+# latency, not compute.  One jitted call; the outgoing state is donated
+# (never referenced after the merge), `fresh` is NOT (so a cached
+# template can be passed without defensive copies).
+_merge_lanes_jit = jax.jit(merge_lanes, donate_argnums=(0,))
+
+# the INITIAL state flows straight into the engine, whose driver donates
+# its input buffers — a fresh_builder backed by a cached template must
+# not lose its template to that donation, so the initial build is
+# deep-copied once (the copy_p primitive defeats jit's passthrough
+# aliasing; merge results are always fresh buffers and need no copy)
+_copy_state_jit = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
+
+
 def _noop_program() -> list[int]:
     from ..isa.assembler import assemble_to_code_words
 
@@ -140,7 +156,8 @@ def _build_entries(config: VmConfig, specs: list[TxSpec | None]):
 
 def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
                      chunk: int, max_rounds: int = 100_000,
-                     refill: bool = True, fresh_builder=None
+                     refill: bool = True, fresh_builder=None,
+                     refill_frac: float = 0.125
                      ) -> tuple[list[TxResult], dict]:
     """Run a block of transactions over `config.batch` lanes with
     continuous refill.  `run_cycles_fn(state, config, n)` is either
@@ -153,6 +170,13 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
     of TxSpec|None to a full fresh entry state; callers whose txs share a
     template can supply a cached-template patcher to avoid the host-side
     rebuild per refill round (see bench.py's block-refill workload).
+    `fresh_builder` results are consumed read-only (the merge never
+    donates them), so a patched cached template may be returned directly.
+
+    `refill_frac`: a refill round (build + merge) only triggers once at
+    least this fraction of lanes is free (or every running lane has
+    finished) — a trickle of early finishers isn't worth the per-round
+    merge + readback cost; waves mode is the refill_frac=1.0 endpoint.
 
     Returns (results, stats): stats["rounds"] counts chunks launched,
     so utilization = useful tx cycles / (rounds * chunk * batch)."""
@@ -170,7 +194,7 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
             lane_tx[lane] = next_tx
             specs[lane] = txs[next_tx]
             next_tx += 1
-    state = fresh_builder(specs)
+    state = _copy_state_jit(fresh_builder(specs))
     streams_acc: list[dict] = [dict() for _ in range(B)]
 
     for _ in range(max_rounds):
@@ -181,8 +205,10 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
             for b in range(B):
                 if lane_tx[b] >= 0 and lanes[b]:
                     streams_acc[b].setdefault(name, []).extend(lanes[b])
-        done = np.asarray(state.done)
-        err = np.asarray(state.lane_error)
+        # one readback for both masks (each np.asarray is a tunnel
+        # round-trip on axon)
+        flags = np.asarray(jnp.stack([state.done, state.lane_error]))
+        done, err = flags[0], flags[1]
         finished = np.nonzero((done | err) & (lane_tx >= 0))[0]
         if finished.size:
             mono = np.asarray(state.monotonic_cycle_counter[finished])
@@ -216,7 +242,11 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
                 lane_tx[lane] = -1
         wave_done = not refill and not (((~done) & (~err))
                                         & (lane_tx >= 0)).any()
-        if (refill or wave_done) and next_tx < len(txs):
+        free = int((lane_tx < 0).sum())
+        no_active = not (lane_tx >= 0).any()
+        want_refill = refill and (free >= max(1, int(refill_frac * B))
+                                  or no_active)
+        if (want_refill or wave_done) and next_tx < len(txs):
             rspecs: list[TxSpec | None] = [None] * B
             rmask = np.zeros((B,), dtype=bool)
             lanes = (np.nonzero(lane_tx < 0)[0] if refill
@@ -230,7 +260,8 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
                 next_tx += 1
             if rmask.any():
                 fresh = fresh_builder(rspecs)
-                state = merge_lanes(state, fresh, jnp.asarray(rmask))
+                state = _merge_lanes_jit(state, fresh,
+                                         jnp.asarray(rmask))
         if next_tx >= len(txs) and not (lane_tx >= 0).any():
             break
     else:

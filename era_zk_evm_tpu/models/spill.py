@@ -68,8 +68,16 @@ def drain_witness_queues(state: BatchedVmState, config: VmConfig):
     if config.precompile_queue_capacity > 0:
         streams["precompile"] = device_precompile_streams(state)
 
+    return _rewind_queues_jit(state), streams
+
+
+@jax.jit
+def _rewind_queues_jit(state: BatchedVmState) -> BatchedVmState:
+    # one jitted call, not ~18 eager zeros_like dispatches — the refill
+    # scheduler drains at every chunk boundary and each eager op is a
+    # tunnel round-trip on axon
     z = jnp.zeros_like
-    state = dataclasses.replace(
+    return dataclasses.replace(
         state,
         global_step=z(state.global_step),          # memory/log/decommit clock
         wq_count=z(state.wq_count), wq_meta=z(state.wq_meta),
@@ -83,7 +91,6 @@ def drain_witness_queues(state: BatchedVmState, config: VmConfig):
         pq_meta=z(state.pq_meta), pq_value=z(state.pq_value),
         pq_flags=z(state.pq_flags),
     )
-    return state, streams
 
 
 # ---------------------------------------------------------------------------
