@@ -72,7 +72,15 @@ def _engine_fn(engine: str, tile: int | None, k_inner: int):
         t = tile
         if t is None:
             t = next((c for c in (512, 256, 128, 64)
-                      if config.batch % c == 0), config.batch)
+                      if config.batch % c == 0), None)
+            if t is None:
+                # a fallback of tile=batch for an odd batch (e.g. 96) would
+                # violate the fused kernel's tile geometry and fail deep in
+                # the Mosaic compile — reject it here with the cause
+                raise ValueError(
+                    f"batch {config.batch} has no standard fused tile "
+                    "divisor (512/256/128/64); pass an explicit tile= that "
+                    "divides the batch")
         return run_cycles_fused(state, config, n, tile=t,
                                 k_inner=min(k_inner, n))
     return run_fn

@@ -81,16 +81,27 @@ def device_event_entries(state) -> list[list[tuple]]:
 
 def messages_from_entries(entries, log_stream) -> tuple[list, list]:
     """Join journal entries with the lane's log stream by timestamp to
-    recover address/shard; split events vs L1 messages by aux byte."""
+    recover address/shard; split events vs L1 messages by aux byte.
+
+    Every journal entry MUST join (the log queue records the same emission
+    the journal did): a miss means the caller ran with event_slots > 0 but
+    no log queue (log_queue_capacity == 0) or dropped the drained stream —
+    silently defaulting address/shard to 0 would fabricate wrong
+    EventMessages, so this raises instead."""
     by_ts = {q.timestamp: q for q in log_stream}
     events: list[EventMessage] = []
     l1: list[EventMessage] = []
     for ts, aux, key, value, is_first, tx in entries:
         q = by_ts.get(ts)
+        if q is None:
+            raise ValueError(
+                f"event-journal entry at timestamp {ts} has no matching "
+                "log-stream query — net states with events need "
+                "log_queue_capacity > 0 and the full drained log stream")
         msg = EventMessage(
-            shard_id=q.shard_id if q else 0, is_first=is_first,
+            shard_id=q.shard_id, is_first=is_first,
             tx_number_in_block=tx,
-            address=q.address if q else 0, key=key, value=value)
+            address=q.address, key=key, value=value)
         (events if aux == params.EVENT_AUX_BYTE else l1).append(msg)
     return events, l1
 

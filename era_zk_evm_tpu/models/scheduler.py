@@ -17,15 +17,26 @@ must preserve are per-transaction: each tx runs in a fresh VM context
 lane from the start — proven by tests/test_scheduler.py against
 single-tx-per-lane runs.
 
-Round protocol:
+Round protocol (host-overhead-minimized — the round-3 shape left the chip
+>95% idle on per-round host work):
   1. run one chunk (either engine's run_cycles driver);
-  2. drain the witness queues; each drained per-lane stream is appended to
-     the record of the tx OCCUPYING that lane this chunk (a lane runs one
-     tx at a time and drains happen at every boundary, so attribution is
-     exact; the drain's block-clock rewind also re-synchronizes the
-     batch-uniform queue positions for the incoming fresh lanes);
-  3. read the done/error masks; finalize finished lanes' TxResults;
-  4. where() a fresh entry state into the refilled lanes (merge_lanes).
+  2. ONE fixed-shape packed readback (done|error bits + cycle counters) —
+     fixed shapes so nothing recompiles as the finished-lane count varies
+     (a varying-length `state.regs[finished]` gather forced a fresh XLA
+     compile nearly every round — the dominant cost of the old loop);
+  3. rounds where no refill is wanted and no queue family is near capacity
+     end here — no drain, no finalization, no further host work.  This is
+     sound: a finished lane is FROZEN (no new cycles, no new queries), so
+     its registers/counters/queue contents wait unchanged until the next
+     action round, and attribution stays exact because the lane's occupant
+     doesn't change between drains;
+  4. action rounds drain the witness queues (attributing each per-lane
+     stream to the tx occupying that lane — exact, see 3), finalize
+     finished lanes' TxResults via a bucketed fixed-shape gather, and
+     where() fresh entry states into the refilled lanes (merge_lanes).
+  5. queue-capacity pressure forces a drain even without refill: the drain
+     clock is tracked on host (cycles since last rewind vs. each enabled
+     family's capacity), costing no readback.
 
 Throughput: bench.py's `block-refill` workload measures txs/s with refill
 vs. the frozen-lane baseline on a skewed length mix.
@@ -34,6 +45,7 @@ vs. the frozen-lane baseline on a skewed length mix.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -44,13 +56,9 @@ from .net_states import (
 )
 from .spill import drain_witness_queues
 from .state import (
-    CS, BatchedVmState, VmConfig, make_entry_state, populate_code_bank,
-    populate_storage,
+    BATCH_LAST_FIELDS, CS, BatchedVmState, VmConfig, make_entry_state,
+    populate_code_bank, populate_storage, precompile_queue_slots,
 )
-
-#: queue arrays stored batch-LAST (state.py docstring); everything else is
-#: batch-first
-_BATCH_LAST_FIELDS = ("wq_meta", "wq_value", "wq_flags")
 
 #: a transaction whose program is this sentinel finishes on its first cycle
 #: (entry-frame ret with no returndata); used to pad lanes past the block
@@ -67,6 +75,7 @@ class TxSpec:
     calldata: list[int] | None = None
     storage: tuple = ()                     # [(shard, address, key, value)]
     contracts: tuple = ()                   # [(stored_hash, code_words)]
+    context_u128: int = 0                   # entry frame's context_u128_value
 
 
 @dataclasses.dataclass
@@ -88,7 +97,7 @@ def merge_lanes(state: BatchedVmState, fresh: BatchedVmState,
     for f in dataclasses.fields(BatchedVmState):
         o = getattr(state, f.name)
         n = getattr(fresh, f.name)
-        if f.name in _BATCH_LAST_FIELDS:
+        if f.name in BATCH_LAST_FIELDS:
             m = mask.reshape((1,) * (o.ndim - 1) + mask.shape)
         else:
             m = mask.reshape(mask.shape + (1,) * (o.ndim - 1))
@@ -111,6 +120,65 @@ _merge_lanes_jit = jax.jit(merge_lanes, donate_argnums=(0,))
 _copy_state_jit = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
 
 
+@jax.jit
+def _round_status(state: BatchedVmState):
+    """The whole per-round readback as ONE fixed-shape device array:
+    row 0 = done | lane_error << 1, row 1 = monotonic_cycle_counter."""
+    return jnp.stack([
+        state.done.astype(jnp.uint32)
+        | (state.lane_error.astype(jnp.uint32) << 1),
+        state.monotonic_cycle_counter.astype(jnp.uint32),
+    ])
+
+
+#: pad sizes for the finished-lane gather: a handful of compiled variants
+#: instead of one per distinct finished-count
+_FINALIZE_BUCKETS = (64, 256, 1024, 4096, 16384)
+
+
+def _bucket(n: int, batch: int) -> int:
+    for p in _FINALIZE_BUCKETS:
+        if n <= p < batch:
+            return p
+    return batch
+
+
+@partial(jax.jit, static_argnames=("want_st", "want_ev"))
+def _finalize_gather(state: BatchedVmState, idx, want_st: bool,
+                     want_ev: bool):
+    """Fixed-shape row gather of everything finalization needs for the
+    `idx` lanes (padded to a bucket size; extra rows are ignored)."""
+    def take(a):
+        return jnp.take(a, idx, axis=0)
+
+    out = {"regs": take(state.regs)}
+    if want_st:
+        out.update(st_key=take(state.st_key), st_val=take(state.st_val),
+                   st_used=take(state.st_used))
+    if want_ev:
+        out.update(ev_meta=take(state.ev_meta), ev_key=take(state.ev_key),
+                   ev_val=take(state.ev_val),
+                   ev_cancelled=take(state.ev_cancelled),
+                   ev_count=take(state.ev_count))
+    return out
+
+
+def _drain_budget_cycles(config: VmConfig) -> int | None:
+    """Cycles the enabled queue families can absorb between drains (None =
+    no family enabled, never force a drain)."""
+    budgets = []
+    if config.queue_capacity:
+        budgets.append(config.queue_capacity // 8)
+    if config.log_queue_capacity:
+        budgets.append(config.log_queue_capacity)
+    if config.decommit_queue_capacity:
+        budgets.append(config.decommit_queue_capacity)
+    if config.precompile_queue_capacity:
+        ps_in, ps_out = precompile_queue_slots(config)
+        budgets.append(config.precompile_queue_capacity // (ps_in + ps_out))
+    return min(budgets) if budgets else None
+
+
 def _noop_program() -> list[int]:
     from ..isa.assembler import assemble_to_code_words
 
@@ -126,16 +194,21 @@ def _build_entries(config: VmConfig, specs: list[TxSpec | None]):
     """
     from ..isa import params
 
+    for s in specs:
+        if s is not None and not 0 <= s.ergs <= params.VM_INITIAL_FRAME_ERGS:
+            raise ValueError(
+                f"TxSpec.ergs {s.ergs} outside [0, VM_INITIAL_FRAME_ERGS="
+                f"{params.VM_INITIAL_FRAME_ERGS}] — the root-frame carve "
+                "would wrap")
     noop = _noop_program()
     progs = [s.program if s else noop for s in specs]
     any_calldata = any(s and s.calldata is not None for s in specs)
-    calldata = ([(s.calldata or []) if s else [] for s in specs]
+    calldata = ([(s.calldata if s else None) for s in specs]
                 if any_calldata else None)
-    entry0 = specs[0].entry_address if specs[0] else 0x8001
-    assert all(s is None or s.entry_address == entry0 for s in specs), \
-        "per-lane entry addresses not supported yet (shared entry only)"
-    fresh = make_entry_state(config, progs, ergs=0, entry_address=entry0,
-                             calldata=calldata)
+    entries = [s.entry_address if s else 0x8001 for s in specs]
+    contexts = [s.context_u128 if s else 0 for s in specs]
+    fresh = make_entry_state(config, progs, ergs=0, entry_address=entries,
+                             calldata=calldata, context_u128=contexts)
     ergs_np = np.array([s.ergs if s else 1 for s in specs], dtype=np.uint64)
     root_np = (np.uint64(params.VM_INITIAL_FRAME_ERGS)
                - ergs_np).astype(np.uint32)
@@ -173,10 +246,12 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
     `fresh_builder` results are consumed read-only (the merge never
     donates them), so a patched cached template may be returned directly.
 
-    `refill_frac`: a refill round (build + merge) only triggers once at
-    least this fraction of lanes is free (or every running lane has
-    finished) — a trickle of early finishers isn't worth the per-round
-    merge + readback cost; waves mode is the refill_frac=1.0 endpoint.
+    `refill_frac`: a refill round (drain + finalize + build + merge) only
+    triggers once at least this fraction of lanes is free (or every
+    running lane has finished) — a trickle of early finishers isn't worth
+    the per-round host cost; waves mode is the refill_frac=1.0 endpoint.
+    Rounds in between do NO host work beyond one packed flags readback
+    (see the module docstring's round protocol).
 
     Returns (results, stats): stats["rounds"] counts chunks launched,
     so utilization = useful tx cycles / (rounds * chunk * batch)."""
@@ -196,57 +271,75 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
             next_tx += 1
     state = _copy_state_jit(fresh_builder(specs))
     streams_acc: list[dict] = [dict() for _ in range(B)]
+    drain_budget = _drain_budget_cycles(config)
+    if drain_budget is not None:
+        assert drain_budget >= chunk, (
+            f"chunk {chunk} exceeds the smallest queue family's capacity "
+            f"({drain_budget} cycles)")
+    cycles_since_drain = 0
+    want_st = config.storage_slots > 0
+    want_ev = config.event_slots > 0
+    refill_threshold = max(1, int(refill_frac * B))
 
     for _ in range(max_rounds):
         rounds += 1
         state = run_cycles_fn(state, config, chunk)
+        cycles_since_drain += chunk
+        status_mono = np.asarray(_round_status(state))
+        status, mono = status_mono[0], status_mono[1]
+        occupied = lane_tx >= 0
+        fin_mask = (status != 0) & occupied
+        any_running = bool((occupied & (status == 0)).any())
+        if refill:
+            free_after = B - int(occupied.sum()) + int(fin_mask.sum())
+            act = ((next_tx < len(txs) and free_after >= refill_threshold)
+                   or not any_running)
+        else:
+            act = not any_running
+        forced = (drain_budget is not None
+                  and cycles_since_drain + chunk > drain_budget)
+        if not (act or forced):
+            continue
+
         state, streams = drain_witness_queues(state, config)
+        cycles_since_drain = 0
         for name, lanes in streams.items():
-            for b in range(B):
-                if lane_tx[b] >= 0 and lanes[b]:
-                    streams_acc[b].setdefault(name, []).extend(lanes[b])
-        # one readback for both masks (each np.asarray is a tunnel
-        # round-trip on axon)
-        flags = np.asarray(jnp.stack([state.done, state.lane_error]))
-        done, err = flags[0], flags[1]
-        finished = np.nonzero((done | err) & (lane_tx >= 0))[0]
+            for b, lane_stream in enumerate(lanes):
+                if lane_stream and lane_tx[b] >= 0:
+                    streams_acc[b].setdefault(name, []).extend(lane_stream)
+        if not act:
+            continue
+
+        finished = np.nonzero(fin_mask)[0]
         if finished.size:
-            mono = np.asarray(state.monotonic_cycle_counter[finished])
-            regs = np.asarray(state.regs[finished])
-            st_arr = ev_arr = None
-            if config.storage_slots > 0:
-                st_arr = (np.asarray(state.st_key), np.asarray(state.st_val),
-                          np.asarray(state.st_used))
-            if config.event_slots > 0:
-                ev_arr = (np.asarray(state.ev_meta), np.asarray(state.ev_key),
-                          np.asarray(state.ev_val),
-                          np.asarray(state.ev_cancelled),
-                          np.asarray(state.ev_count))
+            pad = _bucket(finished.size, B)
+            idx = np.zeros((pad,), dtype=np.int32)
+            idx[:finished.size] = finished
+            g = jax.device_get(_finalize_gather(
+                state, jnp.asarray(idx), want_st, want_ev))
             for i, lane in enumerate(finished):
                 net = None
-                if st_arr is not None or ev_arr is not None:
-                    entries = (event_entries_of(*ev_arr, lane)
-                               if ev_arr is not None else [])
+                if want_st or want_ev:
+                    entries = (event_entries_of(
+                        g["ev_meta"], g["ev_key"], g["ev_val"],
+                        g["ev_cancelled"], g["ev_count"], i)
+                        if want_ev else [])
                     ev, l1 = messages_from_entries(
                         entries, streams_acc[lane].get("log", []))
                     net = {"final_storage":
-                           (storage_map_of(*st_arr, lane)
-                            if st_arr is not None else {}),
+                           (storage_map_of(g["st_key"], g["st_val"],
+                                           g["st_used"], i)
+                            if want_st else {}),
                            "events": ev, "l1_messages": l1}
                 results[lane_tx[lane]] = TxResult(
                     tx=int(lane_tx[lane]),
-                    status="error" if err[lane] else "ok",
-                    cycles=int(mono[i]), registers=regs[i],
+                    status="error" if (status[lane] & 2) else "ok",
+                    cycles=int(mono[lane]), registers=g["regs"][i],
                     streams=streams_acc[lane], net_states=net)
                 streams_acc[lane] = {}
                 lane_tx[lane] = -1
-        wave_done = not refill and not (((~done) & (~err))
-                                        & (lane_tx >= 0)).any()
-        free = int((lane_tx < 0).sum())
-        no_active = not (lane_tx >= 0).any()
-        want_refill = refill and (free >= max(1, int(refill_frac * B))
-                                  or no_active)
-        if (want_refill or wave_done) and next_tx < len(txs):
+
+        if next_tx < len(txs):
             rspecs: list[TxSpec | None] = [None] * B
             rmask = np.zeros((B,), dtype=bool)
             lanes = (np.nonzero(lane_tx < 0)[0] if refill

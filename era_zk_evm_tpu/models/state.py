@@ -232,6 +232,11 @@ class BatchedVmState:
 
 CS = {name: i for i, name in enumerate(CS_SCALAR_FIELDS)}
 
+#: the state fields stored batch-LAST ([..., B]; see the wq_* comment above).
+#: Single source of truth for batch-axis mergers (models/scheduler.merge_lanes):
+#: any new batch-last array MUST be added here or lane merges corrupt it.
+BATCH_LAST_FIELDS = ("wq_meta", "wq_value", "wq_flags")
+
 
 def arena_shape(config: VmConfig, words: int) -> tuple[int, ...]:
     """Physical shape of a `words`-word u256 arena under the config's layout
@@ -338,20 +343,27 @@ def empty_state(config: VmConfig) -> BatchedVmState:
 
 def make_entry_state(config: VmConfig, programs: list[list[int]],
                      ergs: int = 1 << 27,
-                     entry_address: int = 0x8001,
+                     entry_address: int | list[int] = 0x8001,
                      heap_init: list[list[int]] | None = None,
                      is_static: bool = False,
                      base_page: int = 8,
-                     calldata: list[list[int]] | None = None) -> BatchedVmState:
+                     calldata: list[list[int] | None] | None = None,
+                     context_u128: int | list[int] = 0) -> BatchedVmState:
     """Host-side constructor: load one bytecode (code-word list) per lane and
     push a bootloader-style entry frame (mirrors testing/harness.build_vm).
 
-    `calldata` (per-lane word lists) stages the bootloader calldata page
-    (reference: memory.rs:293-298 `polulate_bootloaders_calldata` + the
-    BOOTLOADER_CALLDATA_PAGE constant): the words land in heap-frame slot 1
-    registered under page BOOTLOADER_CALLDATA_PAGE, and the entry frame
-    receives a tagged r1 fat pointer over them (offset 0, start 0, length
-    32*len bytes) — the far-call r1 calldata protocol (far_call.rs:571-577).
+    `calldata` (per-lane word lists; individual lanes may be None) stages the
+    bootloader calldata page (reference: memory.rs:293-298
+    `polulate_bootloaders_calldata` + the BOOTLOADER_CALLDATA_PAGE constant):
+    the words land in heap-frame slot 1 registered under page
+    BOOTLOADER_CALLDATA_PAGE, and the entry frame receives a tagged r1 fat
+    pointer over them (offset 0, start 0, length 32*len bytes) — the
+    far-call r1 calldata protocol (far_call.rs:571-577).  Lanes whose entry
+    is None keep r1 = 0 / frame_count = 1, exactly as a calldata-free build.
+
+    `entry_address` and `context_u128` accept one scalar for all lanes or a
+    per-lane list (the entry frame's context_u128_value; reference:
+    CallStackEntry.context_u128_value, vm_state/execution_stack.rs).
     """
     from ..isa.abi import FatPointer
     from ..utils import to_limbs
@@ -378,9 +390,13 @@ def make_entry_state(config: VmConfig, programs: list[list[int]],
         for b, words in enumerate(heap_init):
             for i, w in enumerate(words):
                 heap[b, i] = to_limbs(w)  # heap slot 0 = entry frame heap
+    has_calldata = np.zeros((B,), dtype=bool)
     if calldata is not None:
         assert config.heap_frames >= 2, "calldata needs heap-frame slot 1"
         for b, words in enumerate(calldata):
+            if words is None:
+                continue
+            has_calldata[b] = True
             assert len(words) <= config.heap_words, "calldata exceeds arena"
             for i, w in enumerate(words):
                 heap[b, config.heap_words + i] = to_limbs(w)
@@ -389,28 +405,50 @@ def make_entry_state(config: VmConfig, programs: list[list[int]],
     state.heap = jnp.asarray(heap)
     state.hp_page = state.hp_page.at[:, 0].set(base_page + 2)
     state.ap_page = state.ap_page.at[:, 0].set(base_page + 3)
-    if calldata is not None:
-        state.hp_page = state.hp_page.at[:, 1].set(
-            params.BOOTLOADER_CALLDATA_PAGE)
-        state.frame_count = jnp.full((B,), 2, dtype=I32)
+    if has_calldata.any():
+        # per-lane staging: ONLY lanes with calldata get the page binding,
+        # the second frame slot, and the tagged r1 pointer — a calldata-free
+        # lane in a mixed batch must be bit-identical to a calldata-free
+        # build (r1 = 0, frame_count = 1)
+        state.hp_page = state.hp_page.at[:, 1].set(jnp.where(
+            jnp.asarray(has_calldata),
+            jnp.uint32(params.BOOTLOADER_CALLDATA_PAGE), state.hp_page[:, 1]))
+        state.frame_count = jnp.where(jnp.asarray(has_calldata), 2,
+                                      state.frame_count).astype(I32)
         r1 = np.zeros((B, 8), dtype=np.uint32)
         for b, words in enumerate(calldata):
+            if words is None:
+                continue
             fp = FatPointer(offset=0,
                             memory_page=params.BOOTLOADER_CALLDATA_PAGE,
                             start=0, length=32 * len(words))
             r1[b] = to_limbs(fp.to_u256())
-        state.regs = state.regs.at[:, 0].set(jnp.asarray(r1))
-        state.reg_ptr = state.reg_ptr.at[:, 0].set(True)
+        state.regs = state.regs.at[:, 0].set(jnp.where(
+            jnp.asarray(has_calldata)[:, None], jnp.asarray(r1),
+            state.regs[:, 0]))
+        state.reg_ptr = state.reg_ptr.at[:, 0].set(jnp.asarray(has_calldata))
     state.page_counter = jnp.full(
         (B,), max(params.STARTING_BASE_PAGE,
                   base_page + params.NEW_MEMORY_PAGES_PER_FAR_CALL),
         dtype=U32)
 
     # entry frame at depth 1
-    addr = np.array([(entry_address >> (32 * i)) & 0xFFFFFFFF for i in range(5)],
-                    dtype=np.uint32)
+    entry_list = ([entry_address] * B if isinstance(entry_address, int)
+                  else list(entry_address))
+    assert len(entry_list) == B
+    addr = np.array([[(e >> (32 * i)) & 0xFFFFFFFF for i in range(5)]
+                     for e in entry_list], dtype=np.uint32)
     state.cs_this_address = state.cs_this_address.at[:, 1].set(jnp.asarray(addr))
     state.cs_code_address = state.cs_code_address.at[:, 1].set(jnp.asarray(addr))
+    ctx_list = ([context_u128] * B if isinstance(context_u128, int)
+                else list(context_u128))
+    assert len(ctx_list) == B
+    if any(ctx_list):
+        assert all(0 <= c < (1 << 128) for c in ctx_list)
+        ctx = np.array([[(c >> (32 * i)) & 0xFFFFFFFF for i in range(4)]
+                        for c in ctx_list], dtype=np.uint32)
+        state.cs_context_u128 = state.cs_context_u128.at[:, 1].set(
+            jnp.asarray(ctx))
     sc = state.cs_scalars
     sc = sc.at[:, 1, CS["base_memory_page"]].set(base_page)
     sc = sc.at[:, 1, CS["code_page"]].set(base_page)

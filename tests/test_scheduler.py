@@ -81,6 +81,69 @@ def test_refill_matches_isolated_runs(refill):
     assert stats["useful_cycles"] == sum(r.cycles for r in results)
 
 
+def test_heterogeneous_block_matches_isolated_runs():
+    """Mixed entry addresses, mixed calldata-vs-none, mixed context_u128:
+    every tx in one refilled block must match its dedicated single-tx run
+    (the ADVICE r3 finding: a calldata-free tx in a mixed block used to get
+    a tagged zero-length r1 pointer and frame_count=2)."""
+    chunk = 16
+    cfg = VmConfig(batch=4, code_words=16, stack_words=96,
+                   stack_abs_words=16, stack_sp_base=1000,
+                   heap_words=8, aux_heap_words=4, max_depth=4,
+                   heap_frames=2, queue_capacity=16 * 8 * 4)
+    # reads its own entry address, the context, and (when present) calldata
+    prog_cd = assemble_to_code_words("""
+        ctx.this r5
+        ctx.get_u128 r6
+        ld.ptr r1, r7
+        add r1, r0, r8
+        ret r0
+    """)
+    prog_plain = assemble_to_code_words("""
+        ctx.this r5
+        ctx.get_u128 r6
+        add r1, r0, r8
+        add 7, r0, r7
+        ret r0
+    """)
+    txs = [
+        TxSpec(program=prog_cd, ergs=1 << 26, entry_address=0x8001,
+               calldata=[0xAA11, 0xBB22], context_u128=(5 << 64) | 9),
+        TxSpec(program=prog_plain, ergs=1 << 26, entry_address=0x9999),
+        TxSpec(program=prog_cd, ergs=1 << 26, entry_address=0x17001,
+               calldata=[0xC0FFEE], context_u128=1 << 127),
+        TxSpec(program=prog_plain, ergs=1 << 26, entry_address=0x8001,
+               context_u128=42),
+        TxSpec(program=prog_plain, ergs=1 << 26, entry_address=0x8002),
+    ]
+    results, _ = run_block_refill(cfg, txs, run_cycles, chunk)
+    assert len(results) == len(txs)
+    for i, tx in enumerate(txs):
+        iso = make_entry_state(
+            cfg, [tx.program] * cfg.batch, ergs=tx.ergs,
+            entry_address=tx.entry_address,
+            calldata=([tx.calldata] * cfg.batch
+                      if tx.calldata is not None else None),
+            context_u128=tx.context_u128)
+        iso = run_cycles(iso, cfg, chunk * 2)
+        assert bool(np.asarray(iso.done)[0])
+        iso, s = drain_witness_queues(iso, cfg)
+        r = results[i]
+        assert r.status == "ok", i
+        assert r.cycles == int(np.asarray(iso.monotonic_cycle_counter)[0]), i
+        assert np.array_equal(r.registers, np.asarray(iso.regs)[0]), i
+        assert r.streams.get("memory", []) == s["memory"][0], i
+
+
+def test_txspec_ergs_out_of_range_rejected():
+    from era_zk_evm_tpu.isa import params
+
+    cfg = _config(batch=2)
+    bad = TxSpec(program=_prog(1), ergs=params.VM_INITIAL_FRAME_ERGS + 1)
+    with pytest.raises(ValueError, match="TxSpec.ergs"):
+        run_block_refill(cfg, [bad], run_cycles, chunk=16)
+
+
 def test_refill_beats_frozen_waves_on_rounds():
     chunk = 16
     cfg = _config(batch=2)
