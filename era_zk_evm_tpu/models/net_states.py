@@ -79,8 +79,8 @@ def device_event_entries(state) -> list[list[tuple]]:
             for b in range(ev_meta.shape[0])]
 
 
-def messages_from_entries(entries, log_stream) -> tuple[list, list]:
-    """Join journal entries with the lane's log stream by timestamp to
+def messages_from_join(entries, by_ts: dict) -> tuple[list, list]:
+    """Join journal entries with a {timestamp: (address, shard)} map to
     recover address/shard; split events vs L1 messages by aux byte.
 
     Every journal entry MUST join (the log queue records the same emission
@@ -88,22 +88,62 @@ def messages_from_entries(entries, log_stream) -> tuple[list, list]:
     no log queue (log_queue_capacity == 0) or dropped the drained stream —
     silently defaulting address/shard to 0 would fabricate wrong
     EventMessages, so this raises instead."""
-    by_ts = {q.timestamp: q for q in log_stream}
     events: list[EventMessage] = []
     l1: list[EventMessage] = []
     for ts, aux, key, value, is_first, tx in entries:
-        q = by_ts.get(ts)
-        if q is None:
+        hit = by_ts.get(ts)
+        if hit is None:
             raise ValueError(
                 f"event-journal entry at timestamp {ts} has no matching "
                 "log-stream query — net states with events need "
                 "log_queue_capacity > 0 and the full drained log stream")
+        address, shard = hit
         msg = EventMessage(
-            shard_id=q.shard_id, is_first=is_first,
+            shard_id=shard, is_first=is_first,
             tx_number_in_block=tx,
-            address=q.address, key=key, value=value)
+            address=address, key=key, value=value)
         (events if aux == params.EVENT_AUX_BYTE else l1).append(msg)
     return events, l1
+
+
+def messages_from_entries(entries, log_stream) -> tuple[list, list]:
+    """messages_from_join over a LogQuery object stream."""
+    return messages_from_join(
+        entries, {q.timestamp: (q.address, q.shard_id) for q in log_stream})
+
+
+def net_states_by_tx(state, config, log_streams) -> list[dict]:
+    """Per-lane net outcomes grouped by `tx_number_in_block` — the
+    bootloader block shape's extraction (one VM runs a bootloader that
+    far-calls every transaction and advances the tx counter via
+    Context.IncrementTxNumber between them; reference:
+    /root/reference/src/opcodes/execution/context.rs:36-50, counter
+    stamped onto every LogQuery/event at emission).
+
+    Returns per lane {tx_number: {"events", "l1_messages", "storage_writes"}}
+    where storage_writes lists that tx's NET storage log queries (rw_flag
+    write entries from the drained stream) — the per-tx attribution a
+    block explorer / prover needs from a single-VM multi-tx run."""
+    entries = device_event_entries(state)
+    out = []
+    for b in range(config.batch):
+        stream = log_streams[b] if b < len(log_streams) else []
+        ev, l1 = messages_from_entries(entries[b], stream)
+        lane: dict[int, dict] = {}
+
+        def bucket(tx):
+            return lane.setdefault(
+                tx, {"events": [], "l1_messages": [], "storage_writes": []})
+
+        for m in ev:
+            bucket(m.tx_number_in_block)["events"].append(m)
+        for m in l1:
+            bucket(m.tx_number_in_block)["l1_messages"].append(m)
+        for q in stream:
+            if q.aux_byte == params.STORAGE_AUX_BYTE and q.rw_flag:
+                bucket(q.tx_number_in_block)["storage_writes"].append(q)
+        out.append(lane)
+    return out
 
 
 def device_net_states(state, config, log_streams) -> list[dict]:

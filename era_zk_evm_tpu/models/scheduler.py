@@ -52,7 +52,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .net_states import (
-    event_entries_of, messages_from_entries, storage_map_of,
+    event_entries_of, messages_from_entries, messages_from_join,
+    storage_map_of,
 )
 from .spill import drain_witness_queues
 from .state import (
@@ -230,7 +231,8 @@ def _build_entries(config: VmConfig, specs: list[TxSpec | None]):
 def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
                      chunk: int, max_rounds: int = 100_000,
                      refill: bool = True, fresh_builder=None,
-                     refill_frac: float = 0.125
+                     refill_frac: float = 0.125,
+                     collect: str = "objects"
                      ) -> tuple[list[TxResult], dict]:
     """Run a block of transactions over `config.batch` lanes with
     continuous refill.  `run_cycles_fn(state, config, n)` is either
@@ -252,6 +254,12 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
     the per-round host cost; waves mode is the refill_frac=1.0 endpoint.
     Rounds in between do NO host work beyond one packed flags readback
     (see the module docstring's round protocol).
+
+    `collect` picks the witness-stream representation in TxResult.streams:
+    "objects" (reference-shaped query structs, the conformance form) or
+    "packed" (u32 record arrays in the pinned serialization layouts,
+    witness/packed.py — zero per-query host work; the block pipeline's
+    device-commitment form).
 
     Returns (results, stats): stats["rounds"] counts chunks launched,
     so utilization = useful tx cycles / (rounds * chunk * batch)."""
@@ -281,11 +289,61 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
     want_ev = config.event_slots > 0
     refill_threshold = max(1, int(refill_frac * B))
 
-    for _ in range(max_rounds):
+    def _launch(st):
+        """Enqueue one chunk + its status computation; nothing blocks."""
+        st = run_cycles_fn(st, config, chunk)
+        return st, _round_status(st)
+
+    # Speculative pipeline: the chunk AFTER the one whose status we are
+    # about to read is already launched, so the ~20 ms status round-trip
+    # (tunnel latency) overlaps device compute instead of serializing
+    # with it.  Sound because a finished lane is frozen: running one more
+    # chunk leaves its registers/counters/queue contents bit-identical,
+    # so acting on a one-chunk-old status produces the same TxResults.
+    def _drain_and_attribute(st):
+        """Drain the queues (either representation) and append each lane's
+        records to its occupying tx's accumulator."""
+        if collect == "packed":
+            from ..witness.packed import (
+                drain_witness_queues_packed, split_records_by_lane,
+            )
+
+            st, packed = drain_witness_queues_packed(st, config)
+            for name, (words, valid) in packed.items():
+                if not valid.any():
+                    continue
+                per_lane = split_records_by_lane(words, valid)
+                for b, recs in enumerate(per_lane):
+                    if recs.shape[0] and lane_tx[b] >= 0:
+                        streams_acc[b].setdefault(name, []).append(recs)
+        else:
+            st, streams = drain_witness_queues(st, config)
+            for name, lanes in streams.items():
+                for b, lane_stream in enumerate(lanes):
+                    if lane_stream and lane_tx[b] >= 0:
+                        streams_acc[b].setdefault(name, []).extend(lane_stream)
+        return st
+
+    state, sdev = _launch(state)
+    cycles_since_drain = chunk
+    rounds = 1
+    while rounds <= max_rounds:
+        # capacity pressure: the speculative chunk about to launch must fit
+        # the smallest enabled queue family, so the forced drain runs
+        # BEFORE the launch (this is the one case that serializes on the
+        # in-flight chunk; lane occupancy is unchanged, so attribution is
+        # unaffected)
+        if (drain_budget is not None
+                and cycles_since_drain + chunk > drain_budget):
+            state = _drain_and_attribute(state)
+            # the drain rewound the uniform queue clocks; the pending
+            # status predates it only in queue fields it does not read
+            cycles_since_drain = 0
+        sready = sdev
+        state, sdev = _launch(state)
         rounds += 1
-        state = run_cycles_fn(state, config, chunk)
         cycles_since_drain += chunk
-        status_mono = np.asarray(_round_status(state))
+        status_mono = np.asarray(sready)     # overlaps the in-flight chunk
         status, mono = status_mono[0], status_mono[1]
         occupied = lane_tx >= 0
         fin_mask = (status != 0) & occupied
@@ -296,47 +354,26 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
                    or not any_running)
         else:
             act = not any_running
-        forced = (drain_budget is not None
-                  and cycles_since_drain + chunk > drain_budget)
-        if not (act or forced):
-            continue
-
-        state, streams = drain_witness_queues(state, config)
-        cycles_since_drain = 0
-        for name, lanes in streams.items():
-            for b, lane_stream in enumerate(lanes):
-                if lane_stream and lane_tx[b] >= 0:
-                    streams_acc[b].setdefault(name, []).extend(lane_stream)
         if not act:
             continue
 
+        state = _drain_and_attribute(state)
+        cycles_since_drain = 0
+
+        # order of operations hides latency: the finalize gather is
+        # ENQUEUED first, the refill build/merge/status-refresh are
+        # enqueued behind it, and only then does the host block on the
+        # gather — one device round-trip per action round instead of three
         finished = np.nonzero(fin_mask)[0]
+        gather_fut = None
         if finished.size:
             pad = _bucket(finished.size, B)
             idx = np.zeros((pad,), dtype=np.int32)
             idx[:finished.size] = finished
-            g = jax.device_get(_finalize_gather(
-                state, jnp.asarray(idx), want_st, want_ev))
-            for i, lane in enumerate(finished):
-                net = None
-                if want_st or want_ev:
-                    entries = (event_entries_of(
-                        g["ev_meta"], g["ev_key"], g["ev_val"],
-                        g["ev_cancelled"], g["ev_count"], i)
-                        if want_ev else [])
-                    ev, l1 = messages_from_entries(
-                        entries, streams_acc[lane].get("log", []))
-                    net = {"final_storage":
-                           (storage_map_of(g["st_key"], g["st_val"],
-                                           g["st_used"], i)
-                            if want_st else {}),
-                           "events": ev, "l1_messages": l1}
-                results[lane_tx[lane]] = TxResult(
-                    tx=int(lane_tx[lane]),
-                    status="error" if (status[lane] & 2) else "ok",
-                    cycles=int(mono[lane]), registers=g["regs"][i],
-                    streams=streams_acc[lane], net_states=net)
-                streams_acc[lane] = {}
+            gather_fut = _finalize_gather(state, jnp.asarray(idx),
+                                          want_st, want_ev)
+            fin_tx = lane_tx[finished].copy()   # before refill rewrites it
+            for lane in finished:
                 lane_tx[lane] = -1
 
         if next_tx < len(txs):
@@ -355,6 +392,55 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
                 fresh = fresh_builder(rspecs)
                 state = _merge_lanes_jit(state, fresh,
                                          jnp.asarray(rmask))
+                # the pending speculative status predates the merge; the
+                # refilled lanes' flags in it describe the FORMER occupant
+                sdev = _round_status(state)
+
+        if gather_fut is not None:
+            g = jax.device_get(gather_fut)
+            for i, lane in enumerate(finished):
+                if collect == "packed":
+                    tx_streams = {
+                        name: (np.concatenate(chunks, axis=0)
+                               if len(chunks) > 1 else chunks[0])
+                        for name, chunks in streams_acc[lane].items()}
+                else:
+                    tx_streams = streams_acc[lane]
+                net = None
+                if want_st or want_ev:
+                    entries = (event_entries_of(
+                        g["ev_meta"], g["ev_key"], g["ev_val"],
+                        g["ev_cancelled"], g["ev_count"], i)
+                        if want_ev else [])
+                    if collect == "packed":
+                        from ..witness.packed import (
+                            RECORD_WORDS, log_join_columns,
+                        )
+
+                        lw = tx_streams.get(
+                            "log", np.zeros((0, RECORD_WORDS["log"]),
+                                            np.uint32))
+                        ts_c, addr_c, shard_c = log_join_columns(lw)
+                        ev, l1 = messages_from_join(
+                            entries,
+                            dict(zip(ts_c.tolist(),
+                                     zip(addr_c.tolist(),
+                                         shard_c.tolist()))))
+                    else:
+                        ev, l1 = messages_from_entries(
+                            entries, tx_streams.get("log", []))
+                    net = {"final_storage":
+                           (storage_map_of(g["st_key"], g["st_val"],
+                                           g["st_used"], i)
+                            if want_st else {}),
+                           "events": ev, "l1_messages": l1}
+                results[fin_tx[i]] = TxResult(
+                    tx=int(fin_tx[i]),
+                    status="error" if (status[lane] & 2) else "ok",
+                    cycles=int(mono[lane]), registers=g["regs"][i],
+                    streams=tx_streams, net_states=net)
+                streams_acc[lane] = {}
+
         if next_tx >= len(txs) and not (lane_tx >= 0).any():
             break
     else:
