@@ -18,9 +18,16 @@ Structure (VERDICT round-1 item 5):
     `DOCUMENTED_DIVERGENCES` — a one-line data change — without touching
     the synthesis.
   * `DOCUMENTED_DIVERGENCES` — variant_index -> (price, provenance note)
-    overrides applied on top of the RLE blob.  Empty as of round 2: the
-    environment has zero egress, so none of the [E] atoms could be checked
-    against the public crate; every entry added later MUST cite its source.
+    overrides applied BOTH to the pinned expected table here and to the
+    executed `opcodes.VARIANTS` prices (opcodes._synthesize applies them),
+    so one data edit swaps the price in every engine — golden, jnp, fused,
+    native (tests/test_ergs_sensitivity.py proves the mechanism and that
+    prices are behavior-bearing end to end).  Empty as of round 4: the
+    environment has zero egress, and an exhaustive grep of the retrieved
+    public content (PAPERS.md, SNIPPETS.md — searched for price/ergs/cost
+    constants, round 4) surfaced NO v1.4.1 `OPCODES_PRICES` values, so
+    none of the [E] atoms could be checked against the public crate; every
+    entry added later MUST cite its source.
 
 Provenance grades per price class (see isa/params.py header for grades):
 

@@ -320,6 +320,15 @@ def _synthesize() -> list[OpcodeVariant]:
                             is_explicit_panic=op is Opcode.INVALID,
                         ))
     assert len(variants) < (1 << 11), len(variants)
+    # verified price corrections flow into the EXECUTED table here (and
+    # into the pinned expected table via ergs_prices.expected_price_table),
+    # so a documented divergence changes every engine — golden, jnp, fused,
+    # and the native oracle (gen_tables.py reads these variants) — in one
+    # data edit.  tests/test_isa.py asserts the two tables stay equal.
+    from .ergs_prices import DOCUMENTED_DIVERGENCES
+
+    for idx, (price, _why) in DOCUMENTED_DIVERGENCES.items():
+        variants[idx] = dataclasses.replace(variants[idx], price=price)
     return variants
 
 
