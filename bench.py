@@ -498,14 +498,38 @@ def bench_refill(batch: int = 8192, engine: str = "fused",
     return out
 
 
-def bench_keccak(batch: int = 131072, iters: int = 128,
-                 tile: int = 2048) -> float:
-    """Chained batched Keccak-f[1600] permutations/sec.
+def bench_keccak(g8: int = 256, iters: int = 2048) -> float:
+    """Chained batched Keccak-f[1600] permutations/sec (bit-sliced kernel).
 
-    Uses the VMEM-resident Pallas kernel (ops/keccak.keccak_f1600_pallas):
-    15M perms/s measured at tile=2048 — at the v5e VPU's one-vreg-op/cycle
-    speed-of-light for u32-pair keccak (~75 vreg-ops/perm; see PERF.md).
-    The jnp form (HBM-streamed rounds) measures ~5M perms/s."""
+    ops/keccak.keccak_f1600_bitsliced: 32 states per u32 bit-plane, rho/pi
+    as free plane renamings — 136M perms/s measured at G8=256 (65536
+    states in flight, 13 MB VMEM/buffer), vs 12-22M for the u32-pair
+    Pallas kernel (register-file/spill bound) and ~5M for the jnp form.
+    The round-3 claim that 15M was "VPU speed-of-light" was wrong — see
+    the PERF.md round-4 keccak audit.  min-of-3 timing."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from era_zk_evm_tpu.ops.keccak import keccak_f1600_bitsliced
+
+    n_states = 32 * 8 * g8
+    planes = jnp.ones((1600, 8, g8), jnp.uint32)
+    f = jax.jit(lambda s: keccak_f1600_bitsliced(s, iters=iters,
+                                                 interpret=False))
+    int(np.asarray(f(planes))[0, 0, 0])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        int(np.asarray(f(planes))[0, 0, 0])
+        best = min(best, time.time() - t0)
+    return n_states * iters / best
+
+
+def bench_keccak_u32pair(batch: int = 131072, iters: int = 128,
+                         tile: int = 4096) -> float:
+    """The u32-pair VMEM-resident kernel (secondary): 18.7M perms/s at
+    tile=4096 with dense 2D (8, tile/8) rows (rank-1 rows: 12-15M)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -516,9 +540,12 @@ def bench_keccak(batch: int = 131072, iters: int = 128,
     f = jax.jit(lambda s: keccak_f1600_pallas(s, iters=iters, tile=tile,
                                               interpret=False))
     int(np.asarray(f(st))[0, 0, 0])
-    t0 = time.time()
-    int(np.asarray(f(st))[0, 0, 0])
-    return batch * iters / (time.time() - t0)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        int(np.asarray(f(st))[0, 0, 0])
+        best = min(best, time.time() - t0)
+    return batch * iters / best
 
 
 def bench_sha256(batch: int = 65536, iters: int = 32) -> float:
@@ -603,7 +630,9 @@ def child_main(result_path: str, argv: list[str]) -> None:
     _secondary("witness-traced (jnp)",
                lambda: bench(batch, n_cycles, witness=True, repeats=1,
                              engine="jnp"))
-    _secondary("keccak-f[1600] Mperms/s", lambda: bench_keccak() / 1e6)
+    _secondary("keccak-f[1600] bitsliced Mperms/s", lambda: bench_keccak() / 1e6)
+    _secondary("keccak-f[1600] u32-pair Mperms/s",
+               lambda: bench_keccak_u32pair() / 1e6)
     _secondary("sha256 Mrounds/s", lambda: bench_sha256() / 1e6)
 
     def _workload(name, fn):

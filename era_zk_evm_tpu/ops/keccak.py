@@ -177,8 +177,157 @@ def keccak256_batched(blocks: jax.Array) -> jax.Array:
     return absorb_blocks(blocks)
 
 
+# ---------------------------------------------------------------------------
+# Bit-sliced formulation: 32 sponge states per u32 bit-plane.
+#
+# Round-4 audit result (tools/probe_keccak.py, PERF.md): the u32-pair Pallas
+# kernel is register-file/spill bound at 12-22M perms/s; the bit-sliced form
+# turns rho/pi and the theta rot1 into PLANE RENAMINGS (zero ops) and its
+# linear ref-streaming dataflow pipelines on the VPU without a register
+# working set — measured >100M perms/s (7x) on one v5e chip at G8=256.
+# Plane index p = (x + 5y)*64 + z; z<32 -> bit z of the lo u32, z>=32 ->
+# bit z-32 of the hi u32 (matching the (lo, hi) pair convention above).
+# ---------------------------------------------------------------------------
+
+def _bit_transpose_32(x: jax.Array) -> jax.Array:
+    """Transpose 32x32 bit matrices: u32[..., 32] -> u32[..., 32] where
+    out[..., i] bit j == in[..., j] bit i.  5-stage butterfly, jnp ops."""
+    masks = (jnp.uint32(0x55555555), jnp.uint32(0x33333333),
+             jnp.uint32(0x0F0F0F0F), jnp.uint32(0x00FF00FF),
+             jnp.uint32(0x0000FFFF))
+    for stage in range(5):
+        w = 1 << stage
+        # pair rows i (bit w clear) with rows i + w (bit w set)
+        xs = x.reshape(x.shape[:-1] + (32 // (2 * w), 2, w))
+        a, b = xs[..., 0, :], xs[..., 1, :]
+        m = masks[stage]
+        t = (a >> w ^ b) & m
+        a, b = a ^ (t << w), b ^ t
+        x = jnp.stack([a, b], axis=-2).reshape(x.shape)
+    return x
+
+
+def states_to_planes(state: jax.Array) -> jax.Array:
+    """u32[B, 25, 2] packed states -> bit planes u32[1600, 8, B//256].
+
+    B must be a multiple of 256 (32 states per u32 slot x (8, B/256) dense
+    rows).  Inverse of planes_to_states."""
+    B = state.shape[0]
+    assert B % 256 == 0, B
+    w = state.reshape(B // 32, 32, 50)            # [G, s, word]
+    w = jnp.transpose(w, (0, 2, 1))               # [G, word, s]
+    p = _bit_transpose_32(w)                      # [G, word, bit] -> plane
+    # plane index (word, bit) -> 64*(word//2) + 32*(word%2) + bit == flat
+    # (word, bit) order already: word-major pairs (lo bits 0..31, hi 32..63)
+    p = p.reshape(B // 32, 1600)                  # [G, plane]
+    p = jnp.transpose(p, (1, 0))                  # [plane, G]
+    return p.reshape(1600, 8, B // 256)
+
+
+def planes_to_states(planes: jax.Array) -> jax.Array:
+    """Inverse of states_to_planes: u32[1600, 8, G8] -> u32[32*8*G8, 25, 2]."""
+    G = planes.shape[1] * planes.shape[2]
+    p = planes.reshape(1600, G)
+    p = jnp.transpose(p, (1, 0)).reshape(G, 50, 32)
+    w = _bit_transpose_32(p)                      # [G, word, s]
+    w = jnp.transpose(w, (0, 2, 1)).reshape(G * 32, 25, 2)
+    return w
+
+
+def keccak_f1600_bitsliced(planes: jax.Array, iters: int = 1,
+                           interpret: bool | None = None) -> jax.Array:
+    """Chained permutations on bit-plane state u32[1600, 8, G8].
+
+    State double-buffers between the output ref and one VMEM scratch, two
+    rounds per fori body (EMPTY carries — the Mosaic rule), round-constant
+    0/0xFFFFFFFF masks in SMEM indexed by the dynamic round number.
+    Semantics pinned by tests vs keccak_f1600_array / golden."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    chi_src = _chi_source_planes()
+    import numpy as np
+
+    rc_planes = np.zeros((24, 64), dtype=np.uint32)
+    for r in range(24):
+        for z in range(64):
+            if (KECCAK_RC[r] >> z) & 1:
+                rc_planes[r, z] = 0xFFFFFFFF
+    G8 = planes.shape[2]
+
+    def _round_refs(a_ref, b_ref, rc_ref, r):
+        c = [[None] * 64 for _ in range(5)]
+        for x in range(5):
+            for z in range(64):
+                v = a_ref[x * 64 + z]
+                for y in range(1, 5):
+                    v = v ^ a_ref[(x + 5 * y) * 64 + z]
+                c[x][z] = v
+        for x in range(5):
+            for z in range(64):
+                d = c[(x - 1) % 5][z] ^ c[(x + 1) % 5][(z - 1) % 64]
+                for y in range(5):
+                    idx = (x + 5 * y) * 64 + z
+                    a_ref[idx] = a_ref[idx] ^ d
+        for i, (s1, s2, s3) in enumerate(chi_src):
+            b_ref[i] = a_ref[s1] ^ (~a_ref[s2] & a_ref[s3])
+        for z in range(64):
+            b_ref[z] = b_ref[z] ^ rc_ref[r, z]
+
+    def kernel(rc_ref, s_ref, o_ref, scratch_ref):
+        o_ref[...] = s_ref[...]
+
+        def body(j, _):
+            r = 2 * (j % 12)
+            _round_refs(o_ref, scratch_ref, rc_ref, r)
+            _round_refs(scratch_ref, o_ref, rc_ref, r + 1)
+            return 0
+
+        jax.lax.fori_loop(0, 12 * iters, body, 0)
+
+    spec = pl.BlockSpec((1600, 8, G8), lambda: (0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel, grid=(),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(planes.shape, jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((1600, 8, G8), jnp.uint32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+    )(jnp.asarray(rc_planes), planes)
+
+
+def _chi_source_planes() -> list:
+    """Static chi source-plane triples for the bit-sliced round.
+
+    For each output plane (x, y, z): the three post-theta planes feeding
+    out = B[x,y,z] ^ (~B[x+1,y,z] & B[x+2,y,z]) where B is the post-rho/pi
+    state: B[x', y'] = rot(A[x, y], rho) with pi (x', y') = (y, (2x+3y)%5),
+    inverted here to source-plane indices."""
+    def p(x, y, z):
+        return (x % 5 + 5 * (y % 5)) * 64 + (z % 64)
+
+    def pre(xx, yy, zz):
+        xx, yy = xx % 5, yy % 5
+        y_src = xx
+        x_src = (yy - 3 * xx) * 3 % 5  # inverse of y'=(2x+3y): 2^-1=3 mod 5
+        r = KECCAK_ROTATIONS[x_src + 5 * y_src]
+        return p(x_src, y_src, zz - r)
+
+    out = []
+    for y in range(5):
+        for x in range(5):
+            for z in range(64):
+                out.append((pre(x, y, z), pre(x + 1, y, z), pre(x + 2, y, z)))
+    return out
+
+
 def keccak_f1600_pallas(state: jax.Array, iters: int = 1,
-                        tile: int = 1024,
+                        tile: int = 4096,
                         interpret: bool | None = None) -> jax.Array:
     """Chained keccak-f[1600] permutations as a VMEM-resident Pallas kernel.
 
@@ -186,6 +335,15 @@ def keccak_f1600_pallas(state: jax.Array, iters: int = 1,
     form streams every round's 50 u32[B] lanes through HBM (measured ~5M
     perms/s on one v5e chip); here a batch tile's whole state stays in
     VMEM across all iterations, so HBM sees it twice total.
+
+    Layout (round-4 probe, tools/probe_keccak.py): each of the 50 lane-half
+    rows rides as a dense 2D (8, tile/8) value — rank-1 [TB] rows cost ~1.7x
+    (Mosaic gives 1D vectors a sublane-sparse layout).  tile=4096 measured
+    fastest (22.4M perms/s vs 12-15M for the rank-1 form; t1024 13.1M,
+    t2048 20.7M, t8192 19.6M).  The kernel is register-file/spill bound,
+    not VPU-issue bound — see PERF.md for the audit.  Falls back to the
+    rank-1 layout when tile is too small for dense (8, 128k) rows (unit
+    tests run tiny tiles in interpret mode).
     """
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -195,15 +353,18 @@ def keccak_f1600_pallas(state: jax.Array, iters: int = 1,
     assert B % tile == 0, (B, tile)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    bl = jnp.transpose(state, (1, 2, 0))        # [25, 2, B]
+    rows2d = tile % 1024 == 0
+    if rows2d:
+        bl = jnp.transpose(state, (1, 2, 0)).reshape(25, 2, 8, B // 8)
+    else:
+        bl = jnp.transpose(state, (1, 2, 0))    # [25, 2, B]
 
     def kernel(s_ref, o_ref):
         st = s_ref[...]
-        # the fori carry is ONE [50, TB] array (rank-1 carries crash
-        # Mosaic's layout inference; [1, TB] rows waste 7/8 of each
-        # vreg's sublanes); inside the round the rows ride as rank-1
-        # [TB] values, which pack vregs densely
-        st50 = jnp.concatenate([st[:, 0, :], st[:, 1, :]], axis=0)
+        # the fori carry is ONE array (rank-1 tuple carries crash Mosaic's
+        # layout inference): [50, 8, TB/8] dense rows, or [50, TB] in the
+        # small-tile fallback
+        st50 = jnp.concatenate([st[:, 0], st[:, 1]], axis=0)
 
         def perm(i, st50):
             lo = [st50[j] for j in range(25)]
@@ -242,17 +403,25 @@ def keccak_f1600_pallas(state: jax.Array, iters: int = 1,
         st50 = jax.lax.fori_loop(0, iters, perm, st50)
         o_ref[...] = jnp.stack([st50[:25], st50[25:]], axis=1)
 
-    spec = pl.BlockSpec((25, 2, tile), lambda i: (0, 0, i),
-                        memory_space=pltpu.VMEM)
+    if rows2d:
+        spec = pl.BlockSpec((25, 2, 8, tile // 8), lambda i: (0, 0, 0, i),
+                            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((25, 2, 8, B // 8), jnp.uint32)
+    else:
+        spec = pl.BlockSpec((25, 2, tile), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((25, 2, B), jnp.uint32)
     out = pl.pallas_call(
         kernel,
         grid=(B // tile,),
         in_specs=[spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((25, 2, B), jnp.uint32),
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 2**20),
     )(bl)
+    if rows2d:
+        out = out.reshape(25, 2, B)
     return jnp.transpose(out, (2, 0, 1))

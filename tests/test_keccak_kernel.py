@@ -2,10 +2,12 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from era_zk_evm_tpu.golden.precompiles import keccak256, keccak_f1600
 from era_zk_evm_tpu.ops.keccak import (
     absorb_blocks, digest_from_state, keccak_f1600_array, pad_messages,
+    keccak_f1600_bitsliced, planes_to_states, states_to_planes,
 )
 
 
@@ -41,6 +43,40 @@ class TestPermutation:
         for _ in range(3):
             want = keccak_f1600_array(want)
         got = keccak_f1600_pallas(st, iters=3, tile=8)
+        assert (np.asarray(got) == np.asarray(want)).all()
+
+
+class TestBitSliced:
+    """The bit-plane formulation (32 states per u32; >100M perms/s on chip,
+    see PERF.md keccak audit)."""
+
+    def test_transpose_roundtrip(self):
+        rng = np.random.default_rng(11)
+        st = jnp.asarray(rng.integers(0, 1 << 32, size=(512, 25, 2),
+                                      dtype=np.uint32))
+        planes = states_to_planes(st)
+        assert planes.shape == (1600, 8, 2)
+        rt = planes_to_states(planes)
+        assert (np.asarray(rt) == np.asarray(st)).all()
+
+    def test_transpose_places_plane_bits(self):
+        # state s=3, lane 7 (x=2,y=1), hi bit 5 -> plane (2+5)*64+32+5,
+        # group g = s//32 = 0, bit position s%32 = 3
+        st = np.zeros((256, 25, 2), dtype=np.uint32)
+        st[3, 7, 1] = 1 << 5
+        planes = np.asarray(states_to_planes(jnp.asarray(st)))
+        flat = planes.reshape(1600, 8)
+        assert flat[7 * 64 + 32 + 5, 0] == 1 << 3
+        assert flat.sum() == 1 << 3
+
+    @pytest.mark.slow  # interpret-mode run of the 16k-op kernel body
+    def test_matches_array_form(self):
+        rng = np.random.default_rng(12)
+        st = jnp.asarray(rng.integers(0, 1 << 32, size=(256, 25, 2),
+                                      dtype=np.uint32))
+        want = keccak_f1600_array(st)
+        got = planes_to_states(
+            keccak_f1600_bitsliced(states_to_planes(st), iters=1))
         assert (np.asarray(got) == np.asarray(want)).all()
 
 
