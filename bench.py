@@ -458,7 +458,8 @@ def bench_refill(batch: int = 8192, engine: str = "fused",
     rng = np.random.RandomState(7)
     lengths = rng.choice([8, 16, 24, 64], size=batch * n_txs_factor,
                          p=[0.5, 0.25, 0.15, 0.1])
-    txs = [TxSpec(program=prog(int(n)), ergs=(1 << 31) - 1)
+    txs = [TxSpec(program=prog(int(n)), ergs=(1 << 31) - 1,
+                  cost_hint=int(n))
            for n in lengths]
 
     # template refill: all txs share everything but the loop-count code
@@ -477,22 +478,31 @@ def bench_refill(batch: int = 8192, engine: str = "fused",
         # per-round device copies
         return dataclasses.replace(template, code=code)
 
+    # refill runs the full product policy (speculative depth, longest-first
+    # dispatch, tail chunk escalation); waves is the frozen-lane baseline
+    modes = {
+        "refill": dict(refill=True, refill_frac=0.25, order="cost_desc",
+                       tail_chunk_mult=4),
+        "waves": dict(refill=False),
+    }
     # warm both modes first (compiles + persistent-cache loads): the r3
     # numbers counted ~80 s of fused-kernel compile inside the refill
     # timing, which is why refill "lost" to waves (VERDICT r3 weak #2)
-    for mode in (True, False):
-        run_block_refill(config, txs, run_fn, chunk, refill=mode,
-                         fresh_builder=fast_builder)
+    for kw in modes.values():
+        run_block_refill(config, txs, run_fn, chunk,
+                         fresh_builder=fast_builder, **kw)
 
     out = {}
-    for mode in ("refill", "waves"):
-        t0 = time.time()
-        results, stats = run_block_refill(
-            config, txs, run_fn, chunk, refill=(mode == "refill"),
-            fresh_builder=fast_builder)
-        wall = time.time() - t0
-        assert all(r.status == "ok" for r in results)
-        out[f"txs_per_sec_{mode}"] = len(txs) / wall
+    for mode, kw in modes.items():
+        best, stats = float("inf"), None
+        for _ in range(3):   # min-of-3: the tunnel has multi-second
+            t0 = time.time()  # contention windows (PERF.md)
+            results, stats = run_block_refill(
+                config, txs, run_fn, chunk,
+                fresh_builder=fast_builder, **kw)
+            best = min(best, time.time() - t0)
+            assert all(r.status == "ok" for r in results)
+        out[f"txs_per_sec_{mode}"] = len(txs) / best
         out[f"utilization_{mode}"] = round(stats["utilization"], 4)
     out["speedup"] = out["txs_per_sec_refill"] / out["txs_per_sec_waves"]
     return out

@@ -30,10 +30,13 @@ Round protocol (host-overhead-minimized — the round-3 shape left the chip
      its registers/counters/queue contents wait unchanged until the next
      action round, and attribution stays exact because the lane's occupant
      doesn't change between drains;
-  4. action rounds drain the witness queues (attributing each per-lane
-     stream to the tx occupying that lane — exact, see 3), finalize
-     finished lanes' TxResults via a bucketed fixed-shape gather, and
+  4. action rounds drain the witness queues and enqueue a bucketed
+     fixed-shape finalize gather — ENQUEUE-ONLY in packed mode: the drain
+     records (tagged with a lane->tx snapshot) and the gather results are
+     parked with host copies started and resolved once AFTER the last
+     round (nothing a TxResult needs feeds back into scheduling), then
      where() fresh entry states into the refilled lanes (merge_lanes).
+     Objects mode keeps synchronous drains (the conformance form).
   5. queue-capacity pressure forces a drain even without refill: the drain
      clock is tracked on host (cycles since last rewind vs. each enabled
      family's capacity), costing no readback.
@@ -77,6 +80,9 @@ class TxSpec:
     storage: tuple = ()                     # [(shard, address, key, value)]
     contracts: tuple = ()                   # [(stored_hash, code_words)]
     context_u128: int = 0                   # entry frame's context_u128_value
+    #: optional relative cost estimate (any unit) consumed by the
+    #: scheduler's order="cost_desc" policy; 0 = unknown
+    cost_hint: int = 0
 
 
 @dataclasses.dataclass
@@ -232,7 +238,10 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
                      chunk: int, max_rounds: int = 100_000,
                      refill: bool = True, fresh_builder=None,
                      refill_frac: float = 0.125,
-                     collect: str = "objects"
+                     collect: str = "objects",
+                     spec_depth: int = 2,
+                     tail_chunk_mult: int = 1,
+                     order: str = "arrival",
                      ) -> tuple[list[TxResult], dict]:
     """Run a block of transactions over `config.batch` lanes with
     continuous refill.  `run_cycles_fn(state, config, n)` is either
@@ -255,6 +264,22 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
     Rounds in between do NO host work beyond one packed flags readback
     (see the module docstring's round protocol).
 
+    `spec_depth`: speculative launch depth — how many chunks ride ahead of
+    the status being acted on, so the ~20 ms tunnel round-trip per round
+    hides behind device compute (sound for any depth: finished lanes are
+    frozen, and statuses are tagged with their launch index so a status
+    that predates a lane's refill is never trusted for that lane).
+
+    `tail_chunk_mult`: once the pending-tx queue is empty, launch chunks
+    this many times longer — the drain-out tail pays the per-round fixed
+    cost far fewer times (a second compiled kernel variant; warm runs
+    cover it).  1 = off (the default keeps test-tier compiles down).
+
+    `order`: "arrival" dispenses txs in list order; "cost_desc" dispenses
+    by descending TxSpec.cost_hint (longest-first — the classic makespan
+    heuristic: the tail is made of cheap txs).  TxResult.tx always indexes
+    the ORIGINAL list.
+
     `collect` picks the witness-stream representation in TxResult.streams:
     "objects" (reference-shaped query structs, the conformance form) or
     "packed" (u32 record arrays in the pinned serialization layouts,
@@ -272,10 +297,18 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
     next_tx = 0
     lane_tx = np.full((B,), -1, dtype=np.int64)
     specs: list[TxSpec | None] = [None] * B
+    if order == "cost_desc":
+        dispatch = list(np.argsort(
+            -np.asarray([t.cost_hint for t in txs], dtype=np.int64),
+            kind="stable"))
+    elif order == "arrival":
+        dispatch = list(range(len(txs)))
+    else:
+        raise ValueError(f"unknown order {order!r}")
     for lane in range(B):
         if next_tx < len(txs):
-            lane_tx[lane] = next_tx
-            specs[lane] = txs[next_tx]
+            lane_tx[lane] = dispatch[next_tx]
+            specs[lane] = txs[dispatch[next_tx]]
             next_tx += 1
     state = _copy_state_jit(fresh_builder(specs))
     streams_acc: list[dict] = [dict() for _ in range(B)]
@@ -289,9 +322,9 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
     want_ev = config.event_slots > 0
     refill_threshold = max(1, int(refill_frac * B))
 
-    def _launch(st):
-        """Enqueue one chunk + its status computation; nothing blocks."""
-        st = run_cycles_fn(st, config, chunk)
+    def _launch(st, n):
+        """Enqueue one n-cycle chunk + its status; nothing blocks."""
+        st = run_cycles_fn(st, config, n)
         return st, _round_status(st)
 
     # Speculative pipeline: the chunk AFTER the one whose status we are
@@ -300,22 +333,25 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
     # with it.  Sound because a finished lane is frozen: running one more
     # chunk leaves its registers/counters/queue contents bit-identical,
     # so acting on a one-chunk-old status produces the same TxResults.
-    def _drain_and_attribute(st):
-        """Drain the queues (either representation) and append each lane's
-        records to its occupying tx's accumulator."""
-        if collect == "packed":
-            from ..witness.packed import (
-                drain_witness_queues_packed, split_records_by_lane,
-            )
+    # Deferred finalization: nothing a TxResult needs ever feeds back into
+    # scheduling, so drains and finalize gathers are ENQUEUED during the
+    # round loop (device arrays with host copies started) and resolved
+    # once after the last round.  The round-3/round-4a shape blocked on a
+    # device_get per action round (~2 tunnel round-trips + O(records)
+    # Python), which is why refill lost to its own waves baseline
+    # (BENCH speedup 0.37 then 0.66) despite 2x the lane utilization.
+    pending_drains: list = []      # (packed_device, lane_tx snapshot)
+    pending_final: list = []       # per action round finalize payloads
 
-            st, packed = drain_witness_queues_packed(st, config)
-            for name, (words, valid) in packed.items():
-                if not valid.any():
-                    continue
-                per_lane = split_records_by_lane(words, valid)
-                for b, recs in enumerate(per_lane):
-                    if recs.shape[0] and lane_tx[b] >= 0:
-                        streams_acc[b].setdefault(name, []).append(recs)
+    def _drain_and_attribute(st):
+        """Drain the queues.  Packed mode: enqueue only (resolved at block
+        end).  Objects mode: the reference-shaped conformance form — keeps
+        the synchronous per-round attribution."""
+        if collect == "packed":
+            from ..witness.packed import drain_witness_queues_packed_async
+
+            st, packed = drain_witness_queues_packed_async(st, config)
+            pending_drains.append((packed, lane_tx.copy()))
         else:
             st, streams = drain_witness_queues(st, config)
             for name, lanes in streams.items():
@@ -324,30 +360,54 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
                         streams_acc[b].setdefault(name, []).extend(lane_stream)
         return st
 
-    state, sdev = _launch(state)
-    cycles_since_drain = chunk
-    rounds = 1
+    import time as _time
+    from collections import deque
+
+    prof = {"status_read": 0.0, "drain": 0.0, "finalize_enqueue": 0.0,
+            "refill_python": 0.0, "builder": 0.0, "merge": 0.0,
+            "launch": 0.0, "resolve": 0.0, "action_rounds": 0}
+
+    #: launch index of the last chunk that preceded each lane's refill —
+    #: a status tagged <= last_refill[lane] describes the FORMER occupant
+    #: and is never trusted for done/error bits on that lane
+    last_refill = np.zeros((B,), dtype=np.int64)
+    statuses: deque = deque()       # (status device array, launch tag)
+    launched = 0
+    lane_cycles_total = 0
+    rounds = 0
+    can_escalate = tail_chunk_mult > 1 and (
+        drain_budget is None or chunk * tail_chunk_mult <= drain_budget)
     while rounds <= max_rounds:
-        # capacity pressure: the speculative chunk about to launch must fit
-        # the smallest enabled queue family, so the forced drain runs
-        # BEFORE the launch (this is the one case that serializes on the
-        # in-flight chunk; lane occupancy is unchanged, so attribution is
-        # unaffected)
-        if (drain_budget is not None
-                and cycles_since_drain + chunk > drain_budget):
-            state = _drain_and_attribute(state)
-            # the drain rewound the uniform queue clocks; the pending
-            # status predates it only in queue fields it does not read
-            cycles_since_drain = 0
-        sready = sdev
-        state, sdev = _launch(state)
-        rounds += 1
-        cycles_since_drain += chunk
-        status_mono = np.asarray(sready)     # overlaps the in-flight chunk
+        # keep `spec_depth` chunks in flight ahead of the status we pop
+        while len(statuses) < max(1, spec_depth):
+            n_next = (chunk * tail_chunk_mult
+                      if (can_escalate and next_tx >= len(txs)) else chunk)
+            # capacity pressure: the chunk about to launch must fit the
+            # smallest enabled queue family, so the forced drain runs
+            # BEFORE the launch (lane occupancy is unchanged, so
+            # attribution is unaffected)
+            if (drain_budget is not None
+                    and cycles_since_drain + n_next > drain_budget):
+                state = _drain_and_attribute(state)
+                cycles_since_drain = 0
+            t0 = _time.perf_counter()
+            state, sd = _launch(state, n_next)
+            prof["launch"] += _time.perf_counter() - t0
+            launched += 1
+            rounds += 1
+            cycles_since_drain += n_next
+            lane_cycles_total += n_next * B
+            statuses.append((sd, launched))
+        sready, tag = statuses.popleft()
+        t1 = _time.perf_counter()
+        status_mono = np.asarray(sready)     # overlaps the in-flight chunks
+        prof["status_read"] += _time.perf_counter() - t1
         status, mono = status_mono[0], status_mono[1]
         occupied = lane_tx >= 0
-        fin_mask = (status != 0) & occupied
-        any_running = bool((occupied & (status == 0)).any())
+        fresh_lane = last_refill >= tag      # refilled after this snapshot
+        fin_mask = (status != 0) & occupied & ~fresh_lane
+        any_running = bool((occupied
+                            & ((status == 0) | fresh_lane)).any())
         if refill:
             free_after = B - int(occupied.sum()) + int(fin_mask.sum())
             act = ((next_tx < len(txs) and free_after >= refill_threshold)
@@ -357,24 +417,43 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
         if not act:
             continue
 
+        prof["action_rounds"] += 1
+        t0 = _time.perf_counter()
         state = _drain_and_attribute(state)
         cycles_since_drain = 0
+        t1 = _time.perf_counter()
+        prof["drain"] += t1 - t0
 
-        # order of operations hides latency: the finalize gather is
-        # ENQUEUED first, the refill build/merge/status-refresh are
-        # enqueued behind it, and only then does the host block on the
-        # gather — one device round-trip per action round instead of three
+        # every device consumer here is enqueue-only: the finalize gather
+        # result is parked in pending_final (host copies started) and the
+        # refill build/merge/status-refresh are enqueued behind it — an
+        # action round never blocks on anything but the one status read
         finished = np.nonzero(fin_mask)[0]
-        gather_fut = None
         if finished.size:
             pad = _bucket(finished.size, B)
             idx = np.zeros((pad,), dtype=np.int32)
             idx[:finished.size] = finished
             gather_fut = _finalize_gather(state, jnp.asarray(idx),
                                           want_st, want_ev)
+            for leaf in jax.tree.leaves(gather_fut):
+                try:
+                    leaf.copy_to_host_async()
+                except AttributeError:  # pragma: no cover
+                    pass
             fin_tx = lane_tx[finished].copy()   # before refill rewrites it
+            pending_final.append({
+                "gather": gather_fut, "finished": finished,
+                "fin_tx": fin_tx, "status": status, "mono": mono,
+                # objects mode: the outgoing occupants' streams, popped so
+                # the next occupant of the lane starts a fresh accumulator
+                "streams": {int(l): streams_acc[l] for l in finished}
+                if collect != "packed" else None,
+            })
             for lane in finished:
                 lane_tx[lane] = -1
+                streams_acc[lane] = {}
+        t2 = _time.perf_counter()
+        prof["finalize_enqueue"] += t2 - t1
 
         if next_tx < len(txs):
             rspecs: list[TxSpec | None] = [None] * B
@@ -384,70 +463,99 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
             for lane in lanes:
                 if next_tx >= len(txs):
                     break
-                rspecs[lane] = txs[next_tx]
-                lane_tx[lane] = next_tx
+                rspecs[lane] = txs[dispatch[next_tx]]
+                lane_tx[lane] = dispatch[next_tx]
                 rmask[lane] = True
                 next_tx += 1
+            t3 = _time.perf_counter()
+            prof["refill_python"] += t3 - t2
             if rmask.any():
                 fresh = fresh_builder(rspecs)
+                t4 = _time.perf_counter()
+                prof["builder"] += t4 - t3
                 state = _merge_lanes_jit(state, fresh,
                                          jnp.asarray(rmask))
-                # the pending speculative status predates the merge; the
-                # refilled lanes' flags in it describe the FORMER occupant
-                sdev = _round_status(state)
-
-        if gather_fut is not None:
-            g = jax.device_get(gather_fut)
-            for i, lane in enumerate(finished):
-                if collect == "packed":
-                    tx_streams = {
-                        name: (np.concatenate(chunks, axis=0)
-                               if len(chunks) > 1 else chunks[0])
-                        for name, chunks in streams_acc[lane].items()}
-                else:
-                    tx_streams = streams_acc[lane]
-                net = None
-                if want_st or want_ev:
-                    entries = (event_entries_of(
-                        g["ev_meta"], g["ev_key"], g["ev_val"],
-                        g["ev_cancelled"], g["ev_count"], i)
-                        if want_ev else [])
-                    if collect == "packed":
-                        from ..witness.packed import (
-                            RECORD_WORDS, log_join_columns,
-                        )
-
-                        lw = tx_streams.get(
-                            "log", np.zeros((0, RECORD_WORDS["log"]),
-                                            np.uint32))
-                        ts_c, addr_c, shard_c = log_join_columns(lw)
-                        ev, l1 = messages_from_join(
-                            entries,
-                            dict(zip(ts_c.tolist(),
-                                     zip(addr_c.tolist(),
-                                         shard_c.tolist()))))
-                    else:
-                        ev, l1 = messages_from_entries(
-                            entries, tx_streams.get("log", []))
-                    net = {"final_storage":
-                           (storage_map_of(g["st_key"], g["st_val"],
-                                           g["st_used"], i)
-                            if want_st else {}),
-                           "events": ev, "l1_messages": l1}
-                results[fin_tx[i]] = TxResult(
-                    tx=int(fin_tx[i]),
-                    status="error" if (status[lane] & 2) else "ok",
-                    cycles=int(mono[lane]), registers=g["regs"][i],
-                    streams=tx_streams, net_states=net)
-                streams_acc[lane] = {}
+                # every status still in flight (tag <= launched) predates
+                # this merge; the tag guard keeps those snapshots from
+                # being trusted for the refilled lanes
+                last_refill[rmask] = launched
+                prof["merge"] += _time.perf_counter() - t4
 
         if next_tx >= len(txs) and not (lane_tx >= 0).any():
             break
     else:
         raise RuntimeError("run_block_refill: max_rounds exhausted")
+
+    # ------------------------------------------------------------------
+    # Resolve everything deferred — the only blocking readbacks of the
+    # whole block beyond the per-round status words.
+    # ------------------------------------------------------------------
+    t0 = _time.perf_counter()
+    tx_packed: dict[int, dict[str, list]] = {}
+    if collect == "packed":
+        from ..witness.packed import split_records_by_lane
+
+        for packed_dev, ltx in pending_drains:
+            for name, (words, valid) in jax.device_get(packed_dev).items():
+                if not valid.any():
+                    continue
+                per_lane = split_records_by_lane(words, valid)
+                for b, recs in enumerate(per_lane):
+                    if recs.shape[0] and ltx[b] >= 0:
+                        tx_packed.setdefault(int(ltx[b]), {}) \
+                            .setdefault(name, []).append(recs)
+
+    for ent in pending_final:
+        g = jax.device_get(ent["gather"])
+        status, mono = ent["status"], ent["mono"]
+        for i, lane in enumerate(ent["finished"]):
+            tx_i = int(ent["fin_tx"][i])
+            if collect == "packed":
+                tx_streams = {
+                    name: (np.concatenate(chunks, axis=0)
+                           if len(chunks) > 1 else chunks[0])
+                    for name, chunks in tx_packed.get(tx_i, {}).items()}
+            else:
+                tx_streams = ent["streams"][int(lane)]
+            net = None
+            if want_st or want_ev:
+                entries = (event_entries_of(
+                    g["ev_meta"], g["ev_key"], g["ev_val"],
+                    g["ev_cancelled"], g["ev_count"], i)
+                    if want_ev else [])
+                if collect == "packed":
+                    from ..witness.packed import (
+                        RECORD_WORDS, log_join_columns,
+                    )
+
+                    lw = tx_streams.get(
+                        "log", np.zeros((0, RECORD_WORDS["log"]),
+                                        np.uint32))
+                    ts_c, addr_c, shard_c = log_join_columns(lw)
+                    ev, l1 = messages_from_join(
+                        entries,
+                        dict(zip(ts_c.tolist(),
+                                 zip(addr_c.tolist(),
+                                     shard_c.tolist()))))
+                else:
+                    ev, l1 = messages_from_entries(
+                        entries, tx_streams.get("log", []))
+                net = {"final_storage":
+                       (storage_map_of(g["st_key"], g["st_val"],
+                                       g["st_used"], i)
+                        if want_st else {}),
+                       "events": ev, "l1_messages": l1}
+            results[tx_i] = TxResult(
+                tx=tx_i,
+                status="error" if (status[lane] & 2) else "ok",
+                cycles=int(mono[lane]), registers=g["regs"][i],
+                streams=tx_streams, net_states=net)
+    prof["resolve"] = _time.perf_counter() - t0
     assert all(r is not None for r in results)
     useful = sum(r.cycles for r in results)
     return results, {"rounds": rounds,
-                     "lane_cycles": rounds * chunk * B,
+                     "lane_cycles": lane_cycles_total,
                      "useful_cycles": useful,
-                     "utilization": useful / max(1, rounds * chunk * B)}
+                     "utilization": useful / max(1, lane_cycles_total),
+                     "profile": {k: (round(v, 4) if isinstance(v, float)
+                                     else v) for k, v in prof.items()}}

@@ -135,10 +135,12 @@ def _serialize_all(state, families: tuple):
     return out
 
 
-def drain_witness_queues_packed(state, config):
-    """The packed drain: (state, {family: (words u32[B, Q, W], valid
-    bool[B, Q]) as numpy}) with the queues rewound — the array counterpart
-    of models/spill.drain_witness_queues (same families, same rewind)."""
+def drain_witness_queues_packed_async(state, config):
+    """Non-blocking packed drain: (state, {family: (words, valid) as DEVICE
+    arrays with host copies started}) and the queues rewound.  The caller
+    resolves the arrays later (np.asarray) — the scheduler's deferred-
+    finalization path enqueues drains without ever stalling the round
+    loop on a tunnel round-trip."""
     from ..models.spill import _rewind_queues_jit
 
     families = []
@@ -150,8 +152,21 @@ def drain_witness_queues_packed(state, config):
         families.append("decommit")
     if config.precompile_queue_capacity > 0:
         families.append("precompile")
-    packed = jax.device_get(_serialize_all(state, tuple(families)))
+    packed = _serialize_all(state, tuple(families))
+    for leaf in jax.tree.leaves(packed):
+        try:
+            leaf.copy_to_host_async()
+        except AttributeError:  # pragma: no cover — older jax.Array impls
+            pass
     return _rewind_queues_jit(state), packed
+
+
+def drain_witness_queues_packed(state, config):
+    """The packed drain: (state, {family: (words u32[B, Q, W], valid
+    bool[B, Q]) as numpy}) with the queues rewound — the array counterpart
+    of models/spill.drain_witness_queues (same families, same rewind)."""
+    state, packed = drain_witness_queues_packed_async(state, config)
+    return state, jax.device_get(packed)
 
 
 def split_records_by_lane(words: np.ndarray, valid: np.ndarray) -> list:

@@ -154,3 +154,23 @@ def test_refill_beats_frozen_waves_on_rounds():
     assert s_refill["useful_cycles"] == s_waves["useful_cycles"]
     assert s_refill["rounds"] < s_waves["rounds"]
     assert s_refill["utilization"] > s_waves["utilization"]
+
+
+def test_scheduling_policies_preserve_semantics():
+    """spec_depth > 2, tail chunk escalation, and longest-first dispatch
+    are pure scheduling policies: every TxResult must be bit-identical to
+    the default-policy run (same registers, cycles, status, streams)."""
+    chunk = 16
+    cfg = _config(batch=4)
+    txs = [TxSpec(program=_prog(n), ergs=(1 << 26), cost_hint=n)
+           for n in LENGTHS]
+    base, _ = run_block_refill(cfg, txs, run_cycles, chunk)
+    fancy, stats = run_block_refill(
+        cfg, txs, run_cycles, chunk, spec_depth=3, tail_chunk_mult=2,
+        order="cost_desc", refill_frac=0.5)
+    for b, f in zip(base, fancy):
+        assert (b.tx, b.status, b.cycles) == (f.tx, f.status, f.cycles)
+        assert np.array_equal(b.registers, f.registers)
+        assert b.streams.get("memory", []) == f.streams.get("memory", [])
+    # escalated tail chunks are accounted in lane_cycles, not rounds*chunk
+    assert stats["lane_cycles"] >= stats["rounds"] * chunk * cfg.batch

@@ -272,15 +272,18 @@ def keccak_pallas_bitslice(planes, iters, interpret=False):
 
 
 def probe_vpu_rate(op: str = "xor", rows: int = 8, tile: int = 1024,
-                   inner: int = 512, iters: int = 65536) -> float:
+                   inner: int = 512, iters: int = 65536,
+                   rank1: bool = False) -> float:
     """Empirical VPU u32 issue rate: a dependency-limited-but-wide chain of
-    `rows` independent streams of `op` on dense (8, tile/8) row values.
-    Returns achieved vreg-ops/s (1 vreg = 1024 u32 lanes)."""
+    `rows` independent streams of `op` on dense (8, tile/8) row values
+    (or rank-1 [tile] rows when rank1 — the fused cycle kernel's lane-
+    scalar shape).  Returns achieved vreg-ops/s assuming dense packing
+    (1 vreg = 1024 u32 lanes), so a sparse layout shows up as a LOW rate."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     def kernel(s_ref, o_ref):
-        st = s_ref[...]  # [rows, 8, tile//8]
+        st = s_ref[...]  # [rows, 8, tile//8] (or [rows, tile] rank-1)
 
         def body(i, st):
             rs = [st[j] for j in range(rows)]
@@ -298,9 +301,10 @@ def probe_vpu_rate(op: str = "xor", rows: int = 8, tile: int = 1024,
         st = jax.lax.fori_loop(0, iters, body, st)
         o_ref[...] = st
 
-    spec = pl.BlockSpec((rows, 8, tile // 8), lambda: (0, 0, 0),
+    shape = (rows, tile) if rank1 else (rows, 8, tile // 8)
+    spec = pl.BlockSpec(shape, lambda: (0,) * len(shape),
                         memory_space=pltpu.VMEM)
-    st = jnp.ones((rows, 8, tile // 8), jnp.uint32)
+    st = jnp.ones(shape, jnp.uint32)
     f = jax.jit(lambda s: pl.pallas_call(
         kernel, grid=(), in_specs=[spec], out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(st.shape, jnp.uint32),
@@ -385,8 +389,16 @@ def main(argv):
             print(f"{v}: {rate / 1e6:.1f}M perm-equiv/s per tile")
             continue
         elif v.startswith("vpu_"):
-            rate = probe_vpu_rate(op=v[4:])
-            print(f"{v}: {rate / 1e9:.2f}G vreg-ops/s")
+            rest = v[4:]
+            tile = 1024
+            if "_t" in rest:
+                rest, _, t = rest.partition("_t")
+                tile = int(t)
+            rank1 = rest.endswith("_r1")
+            if rank1:
+                rest = rest[:-3]
+            rate = probe_vpu_rate(op=rest, rank1=rank1, tile=tile)
+            print(f"{v}: {rate / 1e9:.2f}G dense-equivalent vreg-ops/s")
             continue
         elif v.startswith("bitslice"):
             g8 = int(v[len("bitslice_g"):]) if "_g" in v else 128
