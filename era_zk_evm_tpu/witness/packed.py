@@ -258,10 +258,21 @@ def fold_digests_device(digests: list[bytes]) -> bytes:
 # Per-tx grand products from packed log records
 # ---------------------------------------------------------------------------
 
+#: record count from which the bit-sliced keccak kernel beats the jnp
+#: HBM-streamed form (needs >=32 states per u32 slot x a dense (8, G8)
+#: plane row; 32768 = G8 128, the kernel's efficient floor)
+_BITSLICE_MIN_RECORDS = 32768
+
+
 @partial(jax.jit, static_argnames=())
 def _fingerprints_device(records):
     """[N, 32] packed log records -> Goldilocks fingerprints (lo, hi) u32[N]
-    (keccak of the 128-byte record, first 8 digest bytes LE, reduced)."""
+    (keccak of the 128-byte record, first 8 digest bytes LE, reduced).
+
+    One single-block sponge absorb per record.  Production-size blocks
+    (N >= 32768, a multiple of 256) take the bit-sliced kernel (~27x the
+    jnp form, PERF.md keccak audit); small batches stay on the jnp path
+    (the bit-plane transposes don't amortize under 32 states/slot)."""
     from ..ops.goldilocks import gl_reduce64
 
     n = records.shape[0]
@@ -270,7 +281,15 @@ def _fingerprints_device(records):
     blocks = jnp.concatenate([records, pad01, pad80], axis=1)
     lanes = jnp.concatenate(
         [blocks.reshape(n, 17, 2), jnp.zeros((n, 8, 2), U32)], axis=1)
-    st = keccak_f1600_array(lanes)
+    if n >= _BITSLICE_MIN_RECORDS and n % 256 == 0:
+        from ..ops.keccak import (
+            keccak_f1600_bitsliced, planes_to_states, states_to_planes,
+        )
+
+        st = planes_to_states(
+            keccak_f1600_bitsliced(states_to_planes(lanes), iters=1))
+    else:
+        st = keccak_f1600_array(lanes)
     return gl_reduce64(st[:, 0, 0], st[:, 0, 1])
 
 

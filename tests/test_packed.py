@@ -9,6 +9,7 @@ object path proven equal to the golden oracle elsewhere."""
 import dataclasses
 
 import numpy as np
+import pytest
 
 from era_zk_evm_tpu.isa import params
 from era_zk_evm_tpu.isa.abi import PrecompileCallABI, code_hash_for_bytecode
@@ -231,3 +232,25 @@ class TestPackedBlockPipeline:
                     fam, rb.streams.get(
                         name, np.zeros((0, RECORD_WORDS[name]), np.uint32))) \
                     == obj_stream, name
+
+
+@pytest.mark.slow  # interpret-mode run of the bit-sliced keccak kernel
+def test_bitsliced_fingerprints_match_jnp_path(monkeypatch):
+    """The large-stream fingerprint pass switches to the bit-sliced keccak
+    kernel (witness/packed._BITSLICE_MIN_RECORDS); its fingerprints must be
+    bit-identical to the jnp sponge path.  Threshold patched down so the
+    CPU interpret run stays tractable."""
+    import jax
+    import jax.numpy as jnp
+
+    from era_zk_evm_tpu.witness import packed as P
+
+    rng = np.random.default_rng(17)
+    recs = rng.integers(0, 1 << 32, size=(256, 32), dtype=np.uint32)
+    want = jax.device_get(P._fingerprints_device(jnp.asarray(recs)))
+    monkeypatch.setattr(P, "_BITSLICE_MIN_RECORDS", 256)
+    # the module-level jit may hold the old-threshold trace for this
+    # shape; call the unjitted function so the patched branch is taken
+    got = jax.device_get(
+        P._fingerprints_device.__wrapped__(jnp.asarray(recs)))
+    assert (want[0] == got[0]).all() and (want[1] == got[1]).all()
