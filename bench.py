@@ -512,7 +512,8 @@ def bench_keccak(g8: int = 256, iters: int = 2048) -> float:
     """Chained batched Keccak-f[1600] permutations/sec (bit-sliced kernel).
 
     ops/keccak.keccak_f1600_bitsliced: 32 states per u32 bit-plane, rho/pi
-    as free plane renamings — 136M perms/s measured at G8=256 (65536
+    as free plane renamings, theta fused into the chi reads — 212M perms/s
+    measured at G8=256 (65536
     states in flight, 13 MB VMEM/buffer), vs 12-22M for the u32-pair
     Pallas kernel (register-file/spill bound) and ~5M for the jnp form.
     The round-3 claim that 15M was "VPU speed-of-light" was wrong — see

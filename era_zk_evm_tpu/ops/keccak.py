@@ -265,14 +265,17 @@ def keccak_f1600_bitsliced(planes: jax.Array, iters: int = 1,
                 for y in range(1, 5):
                     v = v ^ a_ref[(x + 5 * y) * 64 + z]
                 c[x][z] = v
-        for x in range(5):
-            for z in range(64):
-                d = c[(x - 1) % 5][z] ^ c[(x + 1) % 5][(z - 1) % 64]
-                for y in range(5):
-                    idx = (x + 5 * y) * 64 + z
-                    a_ref[idx] = a_ref[idx] ^ d
+        d = [[c[(x - 1) % 5][z] ^ c[(x + 1) % 5][(z - 1) % 64]
+              for z in range(64)] for x in range(5)]
+
+        # theta fused into the chi reads: no in-place theta pass (saves
+        # 1600 ld + 1600 st per round for +3200 co-issued xors) — measured
+        # 190M vs 110M perms/s same-run A/B (tools/probe_keccak.py)
+        def th(p):
+            return a_ref[p] ^ d[(p // 64) % 5][p % 64]
+
         for i, (s1, s2, s3) in enumerate(chi_src):
-            b_ref[i] = a_ref[s1] ^ (~a_ref[s2] & a_ref[s3])
+            b_ref[i] = th(s1) ^ (~th(s2) & th(s3))
         for z in range(64):
             b_ref[z] = b_ref[z] ^ rc_ref[r, z]
 
