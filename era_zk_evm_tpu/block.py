@@ -117,7 +117,7 @@ def execute_block(config: VmConfig, txs: list[TxSpec], engine: str = "auto",
                   chunk: int = 64, tile: int | None = None,
                   k_inner: int = 128, refill: bool = True,
                   fresh_builder=None,
-                  streams: str = "packed") -> BlockResult:
+                  streams: str = "packed", **sched_kwargs) -> BlockResult:
     """Run a block of transactions end to end; see the module docstring.
 
     `engine` picks the device interpreter ("fused" = the flagship Pallas
@@ -126,14 +126,16 @@ def execute_block(config: VmConfig, txs: list[TxSpec], engine: str = "auto",
     drains + lane refills happen at chunk boundaries).  `streams` picks
     the witness representation + commitment path ("packed" = device
     commitments over packed record arrays — the hot path; "objects" =
-    query structs + host folds).  The remaining args pass through to the
-    engine/scheduler.
+    query structs + host folds).  Scheduling-policy knobs (`refill_frac`,
+    `spec_depth`, `tail_chunk_mult`, `order` — see
+    models/scheduler.run_block_refill; all pure policies, bit-identical
+    TxResults) and any remaining args pass through to the scheduler.
     """
     run_fn = _engine_fn(engine, tile, k_inner, config)
     results, stats = run_block_refill(config, txs, run_fn, chunk,
                                       refill=refill,
                                       fresh_builder=fresh_builder,
-                                      collect=streams)
+                                      collect=streams, **sched_kwargs)
     families = _families(config)
 
     if streams == "packed":

@@ -323,9 +323,17 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
     refill_threshold = max(1, int(refill_frac * B))
 
     def _launch(st, n):
-        """Enqueue one n-cycle chunk + its status; nothing blocks."""
+        """Enqueue one n-cycle chunk + its status; nothing blocks.  The
+        status host copy starts immediately so the later np.asarray finds
+        the bytes already in flight instead of paying a fresh tunnel
+        round-trip behind the queued chunks."""
         st = run_cycles_fn(st, config, n)
-        return st, _round_status(st)
+        sd = _round_status(st)
+        try:
+            sd.copy_to_host_async()
+        except AttributeError:  # pragma: no cover
+            pass
+        return st, sd
 
     # Speculative pipeline: the chunk AFTER the one whose status we are
     # about to read is already launched, so the ~20 ms status round-trip

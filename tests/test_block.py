@@ -193,3 +193,20 @@ def test_block_engines_agree():
         assert ra.cycles == rb.cycles
         assert np.array_equal(ra.registers, rb.registers)
         assert ra.net_states == rb.net_states
+
+
+def test_block_scheduling_policies_passthrough():
+    """execute_block forwards scheduling-policy knobs to the scheduler;
+    policies are pure (bit-identical BlockResults)."""
+    txs, _, _ = _block_txs()
+    for t, hint in zip(txs, (3, 1, 2)):
+        t.cost_hint = hint
+    a = execute_block(_config(2), txs, engine="jnp", chunk=CHUNK)
+    b = execute_block(_config(2), txs, engine="jnp", chunk=CHUNK,
+                      spec_depth=3, tail_chunk_mult=2, order="cost_desc",
+                      refill_frac=0.5)
+    assert a.commitments == b.commitments
+    assert a.block_log_product == b.block_log_product
+    for ra, rb in zip(a.txs, b.txs):
+        assert (ra.tx, ra.status, ra.cycles) == (rb.tx, rb.status, rb.cycles)
+        assert ra.net_states == rb.net_states
