@@ -508,6 +508,71 @@ def bench_refill(batch: int = 8192, engine: str = "fused",
     return out
 
 
+def bench_block(batch: int = 4096, n_txs_factor: int = 2,
+                chunk: int = 64) -> dict:
+    """End-to-end product path: execute_block with witness queues ON,
+    packed streams, device commitments + grand products — the full
+    BlockResult a reference user consumes (txs/s includes scheduling,
+    drains, per-tx digests, block folds).  Storage/event/heap workload
+    with a skewed length mix."""
+    import time as _t
+
+    import numpy as np
+
+    from era_zk_evm_tpu.block import execute_block
+    from era_zk_evm_tpu.isa.assembler import assemble_to_code_words
+    from era_zk_evm_tpu.models import TxSpec, VmConfig
+
+    config = VmConfig(batch=batch, code_words=16, stack_words=256,
+                      sweep_gating=False, stack_abs_words=64,
+                      stack_sp_base=960, heap_words=32, aux_heap_words=16,
+                      max_depth=8, queue_capacity=chunk * 8,
+                      storage_slots=8, journal_slots=64, event_slots=64,
+                      log_queue_capacity=chunk)
+
+    def prog(iters):
+        return assemble_to_code_words(f"""
+            add 1, r0, r10
+            add code[@n], r0, r1
+            add 0, r0, r2
+            loop:
+            and r1, r10, r3
+            add r3, r10, r3
+            log.swrite r3, r1
+            log.sread r3, r4
+            log.event r3, r4
+            st.h 0, r4
+            add r4, r2, r2
+            sub! r1, r10, r1
+            jump.if_ne @loop
+            ret r0
+            n: .word {iters}
+        """)
+
+    rng = np.random.RandomState(11)
+    lengths = rng.choice([4, 8, 16, 32], size=batch * n_txs_factor,
+                         p=[0.5, 0.25, 0.15, 0.1])
+    progs = {n: prog(int(n)) for n in np.unique(lengths)}
+    txs = [TxSpec(program=progs[n], ergs=(1 << 31) - 1, cost_hint=int(n))
+           for n in lengths]
+
+    # drain compaction: the dense drain ships ~7x padding on this fill
+    # ratio and the tunnel is the binding resource (PERF.md)
+    kw = dict(chunk=chunk, refill_frac=0.25, order="cost_desc",
+              tail_chunk_mult=4, drain_compact_frac=0.5)
+    execute_block(config, txs, **kw)          # warm compiles
+    t0 = _t.time()
+    blk = execute_block(config, txs, **kw)
+    wall = _t.time() - t0
+    assert blk.all_ok
+    n_queries = sum(sum(s.shape[0] for s in r.streams.values())
+                    for r in blk.txs)
+    return {"txs_per_sec": len(txs) / wall,
+            "queries_per_sec": n_queries / wall,
+            "utilization": round(blk.stats["utilization"], 4),
+            "families": sorted(blk.commitments)}
+
+
 def bench_keccak(g8: int = 256, iters: int = 2048) -> float:
     """Chained batched Keccak-f[1600] permutations/sec (bit-sliced kernel).
 
@@ -660,6 +725,8 @@ def child_main(result_path: str, argv: list[str]) -> None:
     _workload("storage/event workload",
               lambda e: bench_storage(batch, n_cycles, engine=e))
     _secondary("block-refill scheduler", lambda: bench_refill())
+    _secondary("execute-block e2e (queues+commitments)",
+               lambda: bench_block())
     _workload("rolling-commitment mode",
               lambda e: bench_rolling(batch, n_cycles, engine=e))
     _workload("far-call/decommit workload",

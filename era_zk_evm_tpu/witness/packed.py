@@ -135,24 +135,62 @@ def _serialize_all(state, families: tuple):
     return out
 
 
-def drain_witness_queues_packed_async(state, config):
-    """Non-blocking packed drain: (state, {family: (words, valid) as DEVICE
-    arrays with host copies started}) and the queues rewound.  The caller
-    resolves the arrays later (np.asarray) — the scheduler's deferred-
-    finalization path enqueues drains without ever stalling the round
-    loop on a tunnel round-trip."""
+@partial(jax.jit, static_argnames=("families", "budget_frac"))
+def _serialize_all_compact(state, families: tuple, budget_frac: float):
+    """Like _serialize_all, but each family's dense [B, Q, W] record block
+    is COMPACTED on device to (rows u32[budget, W], lane_counts i32[B],
+    count i32): valid rows scattered to the front in (lane, slot) order.
+
+    Why: the dense drain ships mostly invalid padding — measured 175 MB/
+    round against ~25 MB of real records on the storage/event block
+    workload, and the host link (a tunnel here, PCIe in production) is
+    the block pipeline's binding resource.  `budget = ceil(B*Q*
+    budget_frac)` rows are transferred; `count` must be checked against
+    the budget by the caller (an overflow means dropped records — same
+    caller-sized-capacity contract as the queues themselves)."""
+    dense = _serialize_all(state, families)
+    out = {}
+    for name, (words, valid) in dense.items():
+        B, Q, W = words.shape
+        budget = max(1, int(B * Q * budget_frac))
+        flat_w = words.reshape(B * Q, W)
+        flat_v = valid.reshape(B * Q)
+        pos = jnp.cumsum(flat_v) - 1                    # stable, lane-major
+        pos = jnp.where(flat_v, pos, budget)            # invalid -> dropped
+        rows = jnp.zeros((budget + 1, W), U32).at[pos].set(
+            flat_w, mode="drop")
+        out[name] = (rows[:budget],
+                     valid.sum(axis=1).astype(jnp.int32),
+                     flat_v.sum().astype(jnp.int32))
+    return out
+
+
+def _queue_families(config) -> tuple:
+    return tuple(name for name, cap in (
+        ("memory", config.queue_capacity),
+        ("log", config.log_queue_capacity),
+        ("decommit", config.decommit_queue_capacity),
+        ("precompile", config.precompile_queue_capacity)) if cap > 0)
+
+
+def drain_witness_queues_packed_async(state, config, compact_frac=None):
+    """Non-blocking packed drain: (state, packed) with host copies started
+    and the queues rewound; the caller resolves the arrays later
+    (np.asarray) — the scheduler's deferred-finalization path enqueues
+    drains without ever stalling the round loop on a tunnel round-trip.
+
+    packed is {family: (words [B, Q, W], valid [B, Q])}, or with
+    `compact_frac` set, {family: (rows [budget, W], lane_counts [B],
+    count)} — device-compacted to cut the host-link volume by the queue
+    fill ratio (see _serialize_all_compact; resolve with
+    split_compacted_by_lane, which also enforces the budget)."""
     from ..models.spill import _rewind_queues_jit
 
-    families = []
-    if config.queue_capacity > 0:
-        families.append("memory")
-    if config.log_queue_capacity > 0:
-        families.append("log")
-    if config.decommit_queue_capacity > 0:
-        families.append("decommit")
-    if config.precompile_queue_capacity > 0:
-        families.append("precompile")
-    packed = _serialize_all(state, tuple(families))
+    families = _queue_families(config)
+    if compact_frac is None:
+        packed = _serialize_all(state, families)
+    else:
+        packed = _serialize_all_compact(state, families, compact_frac)
     for leaf in jax.tree.leaves(packed):
         try:
             leaf.copy_to_host_async()
@@ -175,6 +213,19 @@ def split_records_by_lane(words: np.ndarray, valid: np.ndarray) -> list:
     counts = valid.sum(axis=1)
     rows = words[valid]                      # ordered by (lane, slot)
     return np.split(rows, np.cumsum(counts)[:-1])
+
+
+def split_compacted_by_lane(rows: np.ndarray, lane_counts: np.ndarray,
+                            count: int) -> list:
+    """Compacted-drain counterpart of split_records_by_lane.  Raises if the
+    drain's row budget overflowed (records were dropped on device — the
+    caller must raise compact_frac, exactly like sizing queue capacity)."""
+    if count > rows.shape[0]:
+        raise RuntimeError(
+            f"compacted drain overflow: {count} valid records vs a "
+            f"{rows.shape[0]}-row transfer budget — raise compact_frac")
+    assert int(lane_counts.sum()) == count
+    return np.split(rows[:count], np.cumsum(lane_counts)[:-1])
 
 
 # ---------------------------------------------------------------------------

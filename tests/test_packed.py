@@ -254,3 +254,36 @@ def test_bitsliced_fingerprints_match_jnp_path(monkeypatch):
     got = jax.device_get(
         P._fingerprints_device.__wrapped__(jnp.asarray(recs)))
     assert (want[0] == got[0]).all() and (want[1] == got[1]).all()
+
+
+def test_compacted_drain_equals_dense_drain():
+    """The device-compacted drain (witness/packed._serialize_all_compact)
+    must reproduce the dense drain's per-lane record streams exactly."""
+    import jax
+
+    from era_zk_evm_tpu.witness.packed import (
+        drain_witness_queues_packed_async, split_compacted_by_lane,
+        split_records_by_lane,
+    )
+
+    state, config = _rich_state()
+    _, dense = drain_witness_queues_packed_async(state, config)
+    _, compact = drain_witness_queues_packed_async(state, config,
+                                                   compact_frac=0.5)
+    dense = jax.device_get(dense)
+    compact = jax.device_get(compact)
+    assert set(dense) == set(compact)
+    for name in dense:
+        want = split_records_by_lane(*dense[name])
+        rows, lane_counts, count = compact[name]
+        got = split_compacted_by_lane(rows, lane_counts, int(count))
+        assert len(want) == len(got)
+        for w, g in zip(want, got):
+            assert np.array_equal(w, g), name
+
+    # overflow is detected, not silent
+    _, tiny = drain_witness_queues_packed_async(state, config,
+                                                compact_frac=0.001)
+    rows, lane_counts, count = jax.device_get(tiny)["memory"]
+    with pytest.raises(RuntimeError, match="overflow"):
+        split_compacted_by_lane(rows, lane_counts, int(count))
