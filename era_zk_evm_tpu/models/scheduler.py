@@ -507,29 +507,45 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
     # whole block beyond the per-round status words.
     # ------------------------------------------------------------------
     t0 = _time.perf_counter()
-    tx_packed: dict[int, dict[str, list]] = {}
+    # Packed-stream attribution, fully vectorized: concatenate every
+    # drain's valid rows (chronological: drain-major, lane-major, slot)
+    # with a per-row tx id from the drain-time lane->tx snapshot, one
+    # stable argsort by tx id per family, one split — no per-lane or
+    # per-tx Python loops (the O(lanes x drains) resolve was the e2e
+    # block pipeline's host floor).
+    tx_packed: dict[int, dict[str, np.ndarray]] = {}
     if collect == "packed":
-        from ..witness.packed import (
-            split_compacted_by_lane, split_records_by_lane,
-        )
-
+        fam_rows: dict[str, list] = {}
+        fam_txid: dict[str, list] = {}
         for packed_dev, ltx in pending_drains:
             for name, fam in jax.device_get(packed_dev).items():
                 if drain_compact_frac is None:
                     words, valid = fam
-                    if not valid.any():
-                        continue
-                    per_lane = split_records_by_lane(words, valid)
+                    counts = valid.sum(axis=1)
+                    rows = words[valid]          # (lane, slot) order
                 else:
-                    rows, lane_counts, count = fam
-                    if not count:
-                        continue
-                    per_lane = split_compacted_by_lane(
-                        rows, lane_counts, int(count))
-                for b, recs in enumerate(per_lane):
-                    if recs.shape[0] and ltx[b] >= 0:
-                        tx_packed.setdefault(int(ltx[b]), {}) \
-                            .setdefault(name, []).append(recs)
+                    rows_b, counts, count = fam
+                    count = int(count)
+                    if count > rows_b.shape[0]:
+                        raise RuntimeError(
+                            f"compacted drain overflow: {count} valid "
+                            f"records vs a {rows_b.shape[0]}-row transfer "
+                            "budget — raise drain_compact_frac")
+                    rows = rows_b[:count]
+                if not rows.shape[0]:
+                    continue
+                fam_rows.setdefault(name, []).append(rows)
+                fam_txid.setdefault(name, []).append(np.repeat(ltx, counts))
+        for name in fam_rows:
+            rows = np.concatenate(fam_rows[name], axis=0)
+            txid = np.concatenate(fam_txid[name])
+            keep = txid >= 0
+            rows, txid = rows[keep], txid[keep]
+            order = np.argsort(txid, kind="stable")
+            rows, txid = rows[order], txid[order]
+            uniq, starts = np.unique(txid, return_index=True)
+            for t, arr in zip(uniq, np.split(rows, starts[1:])):
+                tx_packed.setdefault(int(t), {})[name] = arr
 
     for ent in pending_final:
         g = jax.device_get(ent["gather"])
@@ -537,10 +553,7 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
         for i, lane in enumerate(ent["finished"]):
             tx_i = int(ent["fin_tx"][i])
             if collect == "packed":
-                tx_streams = {
-                    name: (np.concatenate(chunks, axis=0)
-                           if len(chunks) > 1 else chunks[0])
-                    for name, chunks in tx_packed.get(tx_i, {}).items()}
+                tx_streams = tx_packed.get(tx_i, {})
             else:
                 tx_streams = ent["streams"][int(lane)]
             net = None
