@@ -1696,9 +1696,12 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
                 wq_value, jnp.transpose(value_b, (0, 2, 1)), (base, 0, 0))
             wq_flags = jax.lax.dynamic_update_slice(wq_flags, flag_b, (base, 0))
 
-    # ---- rolling memory-queue commitment (witness/commitment.py spec):
-    # absorb each valid query record into the per-lane sponge, one
-    # permutation per query, gated per slot on batch-wide occupancy
+    # ---- rolling memory-queue commitment (witness/commitment.py spec v2,
+    # rate-packed): record 2i is XORed into sponge lanes 0..7, record 2i+1
+    # into lanes 8..15 followed by one permutation — the per-lane record
+    # parity (wc_count & 1) picks the destination half, and a lane only
+    # permutes when its odd record lands.  Permutations are gated per slot
+    # on batch-wide wrap occupancy.
     wc_state, wc_count = state.wc_state, state.wc_count
     if config.rolling_commitment:
         from ..ops.keccak import keccak_f1600 as _wc_perm
@@ -1730,21 +1733,28 @@ def cycle_step(state: BatchedVmState, config: VmConfig,
             for k in range(4):
                 rec_lo[4 + k] = _bswap(mval[:, 7 - 2 * k])
                 rec_hi[4 + k] = _bswap(mval[:, 6 - 2 * k])
-            ab_lo = [jnp.where(valid, wlo[i] ^ rec_lo[i], wlo[i])
+            par1 = (wc_count & 1) != 0
+            ab_even = valid & ~par1            # -> lanes 0..7
+            wrap = valid & par1                # -> lanes 8..15, then permute
+            ab_lo = [wlo[i] ^ jnp.where(ab_even, rec_lo[i], 0)
                      if i < 8 else wlo[i] for i in range(25)]
-            ab_hi = [jnp.where(valid, whi[i] ^ rec_hi[i], whi[i])
+            ab_hi = [whi[i] ^ jnp.where(ab_even, rec_hi[i], 0)
                      if i < 8 else whi[i] for i in range(25)]
+            ab_lo = [ab_lo[i] ^ jnp.where(wrap, rec_lo[i - 8], 0)
+                     if 8 <= i < 16 else ab_lo[i] for i in range(25)]
+            ab_hi = [ab_hi[i] ^ jnp.where(wrap, rec_hi[i - 8], 0)
+                     if 8 <= i < 16 else ab_hi[i] for i in range(25)]
 
             def absorb(_, _lo=tuple(ab_lo), _hi=tuple(ab_hi)):
                 plo, phi = _wc_perm(list(_lo), list(_hi), unroll=False)
                 return tuple(plo), tuple(phi)
 
             plo, phi = jax.lax.cond(
-                jnp.any(valid), absorb,
+                jnp.any(wrap), absorb,
                 lambda _, _lo=tuple(ab_lo), _hi=tuple(ab_hi): (_lo, _hi),
                 None)
-            wlo = [jnp.where(valid, plo[i], wlo[i]) for i in range(25)]
-            whi = [jnp.where(valid, phi[i], whi[i]) for i in range(25)]
+            wlo = [jnp.where(wrap, plo[i], ab_lo[i]) for i in range(25)]
+            whi = [jnp.where(wrap, phi[i], ab_hi[i]) for i in range(25)]
             wc_count = wc_count + valid.astype(U32)
         wc_state = jnp.stack(
             [jnp.stack(wlo, axis=1), jnp.stack(whi, axis=1)], axis=2)

@@ -3076,8 +3076,9 @@ def _rolling_fold_call(config: VmConfig, k_cycles: int, tile: int,
     rolling unit, in its own small program — no Mosaic resource ceiling).
 
     Bit-exact with the jnp engine's per-slot absorbs: the slot blocks
-    carry the same masked records in the same order, and absorbs gate on
-    the same validity bits."""
+    carry the same masked records in the same order, absorbs gate on the
+    same validity bits, and the v2 rate-packing parity (wc_count & 1)
+    picks the destination half exactly as the jnp path does."""
     from ..golden.precompiles import KECCAK_RC  # noqa: F401 (via _round)
 
     B = config.batch
@@ -3120,33 +3121,46 @@ def _rolling_fold_call(config: VmConfig, k_cycles: int, tile: int,
             for k_ in range(4):
                 rec_lo[4 + k_] = _bswap(mval[7 - 2 * k_])
                 rec_hi[4 + k_] = _bswap(mval[6 - 2 * k_])
-            # the cond carries ONE rank-2 [50, TB] operand: tuples of
-            # rank-1 rows through lax.cond crash Mosaic's layout
-            # inference (the same VectorLayout::join failure as rank-1
-            # fori carries — this was also why the former IN-KERNEL
-            # rolling unit SIGABRTed at tile>=128)
+            # spec v2 rate packing: even-parity records land in u64 lanes
+            # 0..7 (rows 0..7 lo / 25..32 hi), odd-parity in lanes 8..15
+            # (rows 8..15 / 33..40); only odd records trigger the
+            # permutation.  Parity masks ride as u32 0/1 rows — boolean
+            # rank-1 vectors through ~ / & SIGABRT Mosaic's layout
+            # inference (VectorLayout::join, the same class as rank-1
+            # fori carries); i1 appears only in the two proven patterns
+            # (jnp.any reduction, [None, :]-broadcast where select).
+            wrap_b = ((flg >> 2) & st51[50] & 1) != 0
             zrow = jnp.zeros_like(st51[:1])
-            rec50 = jnp.concatenate(
-                [jnp.stack(rec_lo, axis=0),
-                 jnp.broadcast_to(zrow, (17,) + zrow.shape[1:]),
-                 jnp.stack(rec_hi, axis=0),
-                 jnp.broadcast_to(zrow, (17,) + zrow.shape[1:])], axis=0)
+            z8 = jnp.broadcast_to(zrow, (8,) + zrow.shape[1:])
+            z9 = jnp.broadcast_to(zrow, (9,) + zrow.shape[1:])
+            z17 = jnp.broadcast_to(zrow, (17,) + zrow.shape[1:])
+            lo8 = jnp.stack(rec_lo, axis=0)
+            hi8 = jnp.stack(rec_hi, axis=0)
+            rec_even = jnp.concatenate([lo8, z17, hi8, z17], axis=0)
+            rec_odd = jnp.concatenate([z8, lo8, z9, z8, hi8, z9], axis=0)
+            rec50 = jnp.where(wrap_b[None, :], rec_odd, rec_even)
             ab50 = jnp.where(valid[None, :], st51[:50] ^ rec50, st51[:50])
+            ncount = st51[50] + valid.astype(U32)
 
             # pl.when, not value-form lax.cond: a runtime-false cond does
             # NOT skip its branch on Mosaic (measured, ablate_fused `rt`
-            # group) — with ~8 slots/cycle and most invalid, the gated
-            # form drops the dead permutations that dominated this kernel
+            # group) — the gated form drops the dead permutations that
+            # dominated this kernel
             @pl.when(jnp.any(valid))
             def _absorb():
-                lo = [ab50[i] for i in range(25)]
-                hi = [ab50[25 + i] for i in range(25)]
+                st_scr[...] = jnp.concatenate(
+                    [ab50, ncount[None, :]], axis=0)
+
+            @pl.when(jnp.any(wrap_b))
+            def _perm():
+                st51b = st_scr[...]
+                lo = [st51b[i] for i in range(25)]
+                hi = [st51b[25 + i] for i in range(25)]
                 plo, phi = _keccak_f1600_kernel(lo, hi)
                 out50 = jnp.stack(plo + phi, axis=0)
-                new50 = jnp.where(valid[None, :], out50, st51[:50])
-                ncount = st51[50] + valid.astype(U32)
+                new50 = jnp.where(wrap_b[None, :], out50, st51b[:50])
                 st_scr[...] = jnp.concatenate(
-                    [new50, ncount[None, :]], axis=0)
+                    [new50, st51b[50:51]], axis=0)
             return carry
 
         jax.lax.fori_loop(0, kq, slot_body, 0)
@@ -3181,6 +3195,165 @@ def _rolling_fold_call(config: VmConfig, k_cycles: int, tile: int,
 
 
 
+#: record-word -> base plane index of the 12 nonzero 64-byte-record words
+#: (u64 lane L, half h) -> planes L*64 + 32*h .. +31; lanes 2,3 are the
+#: record's zero padding (bytes 16..32) and absorb nothing
+_REC_DEST_BASE = (0, 32, 64, 96,            # lanes 0,1 lo/hi
+                  256, 288, 320, 352,       # lanes 4,5 lo/hi
+                  384, 416, 448, 480)       # lanes 6,7 lo/hi
+
+
+def _rolling_fold_bitsliced(config: VmConfig, k_cycles: int,
+                            interpret: bool):
+    """Bit-sliced companion fold (spec v2): absorb one chunk's witness-slot
+    blocks into the per-lane rolling sponges with the sponge state held as
+    1600 u32 bit-planes (32 lanes per u32 — ops/keccak bit-sliced layout).
+
+    Why: the u32-pair fold kernel is register-spill bound — measured
+    645us per batch-permutation at B=32k vs ~155us bit-sliced (PERF.md
+    round-4 keccak audit; round-5 probe_rolling) — and the rate-packed
+    spec v2 halves the permutation count on top.  Pipeline per chunk:
+
+      XLA: slot validity -> per-lane running parity (wc_count & 1),
+           record words (valid-masked), 5-stage butterfly bit-transpose to
+           record planes [KQ, 384, 8, G8], wrap bit-masks [KQ, 8, G8],
+           state -> planes;
+      Pallas (grid = (G8 tiles, KQ slots), state block revisited across
+           the slot axis): per active slot XOR the record planes into the
+           parity-selected rate half; per wrapping slot run one
+           keccak-f[1600] over three VMEM buffers (canonical state must
+           survive the permutation for the per-lane wrap select);
+      XLA: planes -> state, wc_count += per-lane valid counts.
+
+    Bit-exact vs the jnp engine's per-slot absorbs (same records, same
+    order, same parity discipline) — tests/test_fused_cycle.py."""
+    from ..ops.keccak import (
+        _bit_transpose_32, _chi_source_planes, _g8_tile,
+        bitsliced_round_refs, planes_to_states, rc_planes_np,
+        states_to_planes,
+    )
+
+    B = config.batch
+    assert B % 256 == 0, B
+    G8 = B // 256
+    g8t = _g8_tile(G8)
+    kq = k_cycles * SLOTS_PER_CYCLE
+    chi_src = _chi_source_planes()
+    rc_tab = rc_planes_np()
+
+    def kernel(rc_ref, any_ref, wrap_ref, rec_ref, wm_ref, s_ref, o_ref,
+               buf_b, buf_c):
+        s = pl.program_id(1)
+
+        @pl.when(s == 0)
+        def _init():
+            o_ref[...] = s_ref[...]
+
+        @pl.when(any_ref[s] != 0)
+        def _absorb():
+            wm = wm_ref[0]
+            for w, base in enumerate(_REC_DEST_BASE):
+                for z in range(32):
+                    rec = rec_ref[0, w * 32 + z]
+                    o_ref[base + z] = o_ref[base + z] ^ (rec & ~wm)
+                    p1 = 512 + base + z
+                    o_ref[p1] = o_ref[p1] ^ (rec & wm)
+
+        @pl.when(wrap_ref[s] != 0)
+        def _perm():
+            # 24 rounds over three buffers: o (canonical, preserved),
+            # b, c — r0: o->b, then 11 fori bodies of (b->c, c->b) for
+            # rounds 1..22, r23: b->c; per-lane select c back into o.
+            bitsliced_round_refs(o_ref, buf_b, rc_ref, 0, chi_src)
+
+            def body(j, _):
+                r = 2 * j + 1
+                bitsliced_round_refs(buf_b, buf_c, rc_ref, r, chi_src)
+                bitsliced_round_refs(buf_c, buf_b, rc_ref, r + 1, chi_src)
+                return 0
+
+            jax.lax.fori_loop(0, 11, body, 0)
+            bitsliced_round_refs(buf_b, buf_c, rc_ref, 23, chi_src)
+            wm = wm_ref[0]
+            for p in range(1600):
+                o_ref[p] = (buf_c[p] & wm) | (o_ref[p] & ~wm)
+
+    grid = (G8 // g8t, kq)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # rc [24, 64]
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # slot_any [kq]
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # slot_wrap [kq]
+            pl.BlockSpec((1, 384, 8, g8t), lambda g, s: (s, 0, 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, g8t), lambda g, s: (s, 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1600, 8, g8t), lambda g, s: (0, 0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1600, 8, g8t), lambda g, s: (0, 0, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1600, 8, G8), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((1600, 8, g8t), jnp.uint32),
+                        pltpu.VMEM((1600, 8, g8t), jnp.uint32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
+    )
+
+    def _bswap(x):
+        x = x.astype(U32)
+        return ((x & 0xFF) << 24) | ((x & 0xFF00) << 8) \
+            | ((x >> 8) & 0xFF00) | (x >> 24)
+
+    def fold(meta_blk, val_blk, flg_blk, wc_state, cnt):
+        # --- XLA prep: validity, parity, record words, bit transposes
+        valid = (flg_blk & 4) != 0                       # [KQ, B]
+        vm = valid.astype(U32)
+        cnt0 = cnt[0]                                    # [B]
+        before = cnt0[None, :] + jnp.cumsum(vm, axis=0) - vm
+        wrap_m = vm * (before & 1)                       # 1 where odd dest
+        ts, mtype = meta_blk[:, 0], meta_blk[:, 1]
+        mpage, midx = meta_blk[:, 2], meta_blk[:, 3]
+        fl = (flg_blk & 1) | (flg_blk & 2)
+        words = [
+            _bswap(ts),
+            (mtype & 0xFF) | (((mpage >> 24) & 0xFF) << 8)
+            | (((mpage >> 16) & 0xFF) << 16) | (((mpage >> 8) & 0xFF) << 24),
+            (mpage & 0xFF) | (((midx >> 24) & 0xFF) << 8)
+            | (((midx >> 16) & 0xFF) << 16) | (((midx >> 8) & 0xFF) << 24),
+            (midx & 0xFF) | (fl << 8),
+        ]
+        for k in range(4):
+            words.append(_bswap(val_blk[:, 7 - 2 * k]))
+            words.append(_bswap(val_blk[:, 6 - 2 * k]))
+        # reorder to _REC_DEST_BASE order: (l0.lo, l0.hi, l1.lo, l1.hi,
+        # l4.lo, l4.hi, ...) — words above are (l0.lo, l0.hi, l1.lo,
+        # l1.hi) then (l4.lo, l4.hi, l5.lo, ...) already
+        recw = jnp.stack([w * vm for w in words], axis=1)  # [KQ, 12, B]
+        g = recw.reshape(kq, 12, B // 32, 32)
+        p = _bit_transpose_32(g)                         # [KQ, 12, G, 32z]
+        p = jnp.transpose(p, (0, 1, 3, 2))               # [KQ, 12, z, G]
+        rec_planes = p.reshape(kq, 384, 8, G8)
+        shifts = jnp.arange(32, dtype=U32)
+        wm_bits = (wrap_m.reshape(kq, B // 32, 32)
+                   << shifts[None, None, :]).sum(axis=2, dtype=U32)
+        wm_planes = wm_bits.reshape(kq, 8, G8)
+        slot_any = jnp.any(valid, axis=1).astype(jnp.int32)
+        slot_wrap = jnp.any(wrap_m != 0, axis=1).astype(jnp.int32)
+        st_planes = states_to_planes(jnp.transpose(wc_state, (2, 0, 1)))
+        out_planes = call(jnp.asarray(rc_tab), slot_any, slot_wrap,
+                          rec_planes, wm_planes, st_planes)
+        wc_new = jnp.transpose(planes_to_states(out_planes), (1, 2, 0))
+        cnt_new = cnt + vm.sum(axis=0, dtype=U32)[None, :]
+        return wc_new, cnt_new
+
+    return fold
+
+
 def _run_chunk(config, tile, interpret, k_cycles, k_stop,
                bufs, wq, lq, dq, pq):
     """One fused-kernel chunk + queue-block splices (shared by the
@@ -3196,7 +3369,14 @@ def _run_chunk(config, tile, interpret, k_cycles, k_stop,
     step0 = jnp.min(bufs["scal"][_SROW["global_step"]]).astype(I32)
     bufs, blocks = call(step0, k_stop, bufs)
     if config.rolling_commitment:
-        fold = _rolling_fold_call(config, k_cycles, tile, interpret)
+        # bit-sliced fold whenever the plane layout fits (B % 256); the
+        # u32-pair fallback covers small batches (unit tests, tiny-shard
+        # meshes).  ERAVM_ROLLING_BITSLICED=0 forces the fallback for A/B.
+        if (config.batch % 256 == 0
+                and os.environ.get("ERAVM_ROLLING_BITSLICED", "1") == "1"):
+            fold = _rolling_fold_bitsliced(config, k_cycles, interpret)
+        else:
+            fold = _rolling_fold_call(config, k_cycles, tile, interpret)
         wc_new, cnt_new = fold(
             blocks["wq_meta_blk"], blocks["wq_value_blk"],
             blocks["wq_flags_blk"], bufs["wc_state"],

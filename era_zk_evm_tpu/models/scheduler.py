@@ -293,8 +293,9 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
     witness/packed.py — zero per-query host work; the block pipeline's
     device-commitment form).
 
-    Returns (results, stats): stats["rounds"] counts chunks launched,
-    so utilization = useful tx cycles / (rounds * chunk * batch)."""
+    Returns (results, stats): stats["lane_cycles"] counts every launched
+    lane-cycle (tail-escalated chunks included), so utilization =
+    stats["useful_cycles"] / stats["lane_cycles"]."""
     B = config.batch
     rounds = 0
     if fresh_builder is None:
@@ -355,19 +356,35 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
     # device_get per action round (~2 tunnel round-trips + O(records)
     # Python), which is why refill lost to its own waves baseline
     # (BENCH speedup 0.37 then 0.66) despite 2x the lane utilization.
-    pending_drains: list = []      # (packed_device, lane_tx snapshot)
+    # Deferred drains are bounded: only the newest _MAX_DEVICE_DRAINS
+    # entries keep device references; older ones are resolved to host
+    # numpy (their async copies have been in flight for >= that many
+    # action rounds, so the device_get is a near-no-op) — an unbounded
+    # queue held every drain's full record block in HBM until block end
+    # (~80-256 MB each at bench_block shapes: device OOM risk on long
+    # blocks; advisor round-4 finding).
+    pending_drains: list = []      # [packed (device or host), lane_tx]
+    drains_on_host = 0             # prefix of pending_drains already host
     pending_final: list = []       # per action round finalize payloads
+
+    _MAX_DEVICE_DRAINS = 4
 
     def _drain_and_attribute(st):
         """Drain the queues.  Packed mode: enqueue only (resolved at block
-        end).  Objects mode: the reference-shaped conformance form — keeps
-        the synchronous per-round attribution."""
+        end; device refs bounded — see pending_drains above).  Objects
+        mode: the reference-shaped conformance form — keeps the
+        synchronous per-round attribution."""
+        nonlocal drains_on_host
         if collect == "packed":
             from ..witness.packed import drain_witness_queues_packed_async
 
             st, packed = drain_witness_queues_packed_async(
                 st, config, compact_frac=drain_compact_frac)
-            pending_drains.append((packed, lane_tx.copy()))
+            pending_drains.append([packed, lane_tx.copy()])
+            while len(pending_drains) - drains_on_host > _MAX_DEVICE_DRAINS:
+                ent = pending_drains[drains_on_host]
+                ent[0] = jax.device_get(ent[0])
+                drains_on_host += 1
         else:
             st, streams = drain_witness_queues(st, config)
             for name, lanes in streams.items():
@@ -393,6 +410,14 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
     rounds = 0
     can_escalate = tail_chunk_mult > 1 and (
         drain_budget is None or chunk * tail_chunk_mult <= drain_budget)
+    if tail_chunk_mult > 1 and not can_escalate:
+        import warnings
+
+        warnings.warn(
+            f"tail_chunk_mult={tail_chunk_mult} requested but the smallest "
+            f"queue family only holds {drain_budget} cycles (chunk={chunk})"
+            " — tail escalation disabled; size queue capacities to "
+            "chunk*tail_chunk_mult to engage it", stacklevel=2)
     while rounds <= max_rounds:
         # keep `spec_depth` chunks in flight ahead of the status we pop
         while len(statuses) < max(1, spec_depth):
@@ -541,8 +566,8 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
             txid = np.concatenate(fam_txid[name])
             keep = txid >= 0
             rows, txid = rows[keep], txid[keep]
-            order = np.argsort(txid, kind="stable")
-            rows, txid = rows[order], txid[order]
+            perm = np.argsort(txid, kind="stable")
+            rows, txid = rows[perm], txid[perm]
             uniq, starts = np.unique(txid, return_index=True)
             for t, arr in zip(uniq, np.split(rows, starts[1:])):
                 tx_packed.setdefault(int(t), {})[name] = arr

@@ -234,6 +234,61 @@ def planes_to_states(planes: jax.Array) -> jax.Array:
     return w
 
 
+def rc_planes_np():
+    """Round-constant 0/0xFFFFFFFF bit-plane masks u32[24, 64] (SMEM table
+    for the bit-sliced kernels)."""
+    import numpy as np
+
+    rc = np.zeros((24, 64), dtype=np.uint32)
+    for r in range(24):
+        for z in range(64):
+            if (KECCAK_RC[r] >> z) & 1:
+                rc[r, z] = 0xFFFFFFFF
+    return rc
+
+
+def bitsliced_round_refs(a_ref, b_ref, rc_ref, r, chi_src=None):
+    """One keccak-f round on bit-plane refs: reads a_ref (pre-theta state),
+    writes b_ref.  Refs are [1600, ...] plane-major; rc_ref is the SMEM
+    rc_planes_np table, r the dynamic round index.  Shared by
+    keccak_f1600_bitsliced and the rolling-commitment fold kernel
+    (models/fused_cycle)."""
+    if chi_src is None:
+        chi_src = _chi_source_planes()
+    c = [[None] * 64 for _ in range(5)]
+    for x in range(5):
+        for z in range(64):
+            v = a_ref[x * 64 + z]
+            for y in range(1, 5):
+                v = v ^ a_ref[(x + 5 * y) * 64 + z]
+            c[x][z] = v
+    d = [[c[(x - 1) % 5][z] ^ c[(x + 1) % 5][(z - 1) % 64]
+          for z in range(64)] for x in range(5)]
+
+    # theta fused into the chi reads: no in-place theta pass (saves
+    # 1600 ld + 1600 st per round for +3200 co-issued xors) — measured
+    # 190M vs 110M perms/s same-run A/B (tools/probe_keccak.py)
+    def th(p):
+        return a_ref[p] ^ d[(p // 64) % 5][p % 64]
+
+    for i, (s1, s2, s3) in enumerate(chi_src):
+        b_ref[i] = th(s1) ^ (~th(s2) & th(s3))
+    for z in range(64):
+        b_ref[z] = b_ref[z] ^ rc_ref[r, z]
+
+
+def _g8_tile(G8: int) -> int:
+    """Largest divisor of G8 that is <= 256 (the measured throughput
+    optimum; an untiled large G8 blows the VMEM budget — one [1600, 8, G8]
+    buffer is G8/4 MB and the kernels hold 2-3 of them)."""
+    if G8 <= 256:
+        return G8
+    for t in range(256, 0, -1):
+        if G8 % t == 0:
+            return t
+    return G8
+
+
 def keccak_f1600_bitsliced(planes: jax.Array, iters: int = 1,
                            interpret: bool | None = None) -> jax.Array:
     """Chained permutations on bit-plane state u32[1600, 8, G8].
@@ -248,36 +303,11 @@ def keccak_f1600_bitsliced(planes: jax.Array, iters: int = 1,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     chi_src = _chi_source_planes()
-    import numpy as np
-
-    rc_planes = np.zeros((24, 64), dtype=np.uint32)
-    for r in range(24):
-        for z in range(64):
-            if (KECCAK_RC[r] >> z) & 1:
-                rc_planes[r, z] = 0xFFFFFFFF
+    rc_planes = rc_planes_np()
     G8 = planes.shape[2]
 
     def _round_refs(a_ref, b_ref, rc_ref, r):
-        c = [[None] * 64 for _ in range(5)]
-        for x in range(5):
-            for z in range(64):
-                v = a_ref[x * 64 + z]
-                for y in range(1, 5):
-                    v = v ^ a_ref[(x + 5 * y) * 64 + z]
-                c[x][z] = v
-        d = [[c[(x - 1) % 5][z] ^ c[(x + 1) % 5][(z - 1) % 64]
-              for z in range(64)] for x in range(5)]
-
-        # theta fused into the chi reads: no in-place theta pass (saves
-        # 1600 ld + 1600 st per round for +3200 co-issued xors) — measured
-        # 190M vs 110M perms/s same-run A/B (tools/probe_keccak.py)
-        def th(p):
-            return a_ref[p] ^ d[(p // 64) % 5][p % 64]
-
-        for i, (s1, s2, s3) in enumerate(chi_src):
-            b_ref[i] = th(s1) ^ (~th(s2) & th(s3))
-        for z in range(64):
-            b_ref[z] = b_ref[z] ^ rc_ref[r, z]
+        bitsliced_round_refs(a_ref, b_ref, rc_ref, r, chi_src)
 
     def kernel(rc_ref, s_ref, o_ref, scratch_ref):
         o_ref[...] = s_ref[...]
@@ -294,8 +324,10 @@ def keccak_f1600_bitsliced(planes: jax.Array, iters: int = 1,
     # and one [1600, 8, G8] block costs G8/4 MB of VMEM x3 (in/out/scratch)
     # — an untiled G8=2048 call (a 512k-record fingerprint batch) blew the
     # 128 MB VMEM budget (measured).  G8=256 per block is the measured
-    # throughput optimum (212-245M perms/s).
-    g8_tile = G8 if G8 <= 256 or G8 % 256 != 0 else 256
+    # throughput optimum (212-245M perms/s); non-power-of-two G8 takes the
+    # largest divisor <= 256 (an untiled G8=1000 fingerprint batch would
+    # need ~154 MB of VMEM and fail to compile — advisor round-4 finding).
+    g8_tile = _g8_tile(G8)
     spec = pl.BlockSpec((1600, 8, g8_tile), lambda i: (0, 0, i),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(

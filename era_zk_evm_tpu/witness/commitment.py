@@ -84,33 +84,40 @@ def commit_decommitter_queue(queries) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# Rolling (streaming) commitment — the device-native form
+# Rolling (streaming) commitment — the device-native form (spec v2,
+# rate-packed)
 # ---------------------------------------------------------------------------
-# One Keccak-f[1600] permutation per query: the 64-byte record is XORed into
-# sponge lanes 0..7 (little-endian u64 lanes) and the state permuted.
-# Finalization XORs the query count into lane 0 and 0x80<<56 into lane 7,
-# permutes once more, and takes the first 32 bytes.  Unlike the dense
-# keccak256 form above, this absorbs queries as they are emitted, so the
-# device can commit unbounded streams with O(1) memory (no queue arrays).
-
-def _absorb_record(state: list[int], record: bytes) -> list[int]:
-    from ..golden.precompiles import keccak_f1600
-
-    st = list(state)
-    for k in range(8):
-        st[k] ^= int.from_bytes(record[8 * k:8 * k + 8], "little")
-    return keccak_f1600(st)
-
+# Records are absorbed at the standard keccak256 rate (1088 bits / 136
+# bytes): each permutation covers TWO 64-byte records — record 2i into
+# little-endian u64 lanes 0..7, record 2i+1 into lanes 8..15, then one
+# keccak-f[1600] permutation (equivalently: 128-byte rate blocks with the
+# final 8 rate bytes reserved).  An odd trailing record waits (already
+# XORed in) until finalization.  Finalization XORs `count | 0x80<<56` into
+# rate lane 16 — outside the record region, so (records..., count) encode
+# injectively — permutes once, and takes the first 32 bytes.  Unlike the
+# dense keccak256 form above, this absorbs queries as they are emitted, so
+# the device can commit unbounded streams with O(1) memory (no queue
+# arrays).
+#
+# v1 of this spec permuted once PER record (half the rate wasted); the
+# permutation count is the dominant cost of committed-mode execution
+# (PERF.md round-5), and the reference pins no serialization, so the
+# framework's pinned spec uses the full rate.
 
 def rolling_commit(queries: list[MemoryQuery]) -> bytes:
     """Host reference for the streaming commitment (device: models layer)."""
     from ..golden.precompiles import keccak_f1600
 
     state = [0] * 25
-    for q in queries:
-        state = _absorb_record(state, serialize_memory_query(q))
-    state[0] ^= len(queries)
-    state[7] ^= 0x80 << 56
+    for r, q in enumerate(queries):
+        record = serialize_memory_query(q)
+        base = 0 if r % 2 == 0 else 8
+        for k in range(8):
+            state[base + k] ^= int.from_bytes(record[8 * k:8 * k + 8],
+                                              "little")
+        if r % 2 == 1:
+            state = keccak_f1600(state)
+    state[16] ^= len(queries) | (0x80 << 56)
     state = keccak_f1600(state)
     return b"".join(state[k].to_bytes(8, "little") for k in range(4))
 
@@ -124,8 +131,7 @@ def device_rolling_commitments(state) -> list[bytes]:
     out = []
     for b in range(wc.shape[0]):
         st = [int(wc[b, k, 0]) | (int(wc[b, k, 1]) << 32) for k in range(25)]
-        st[0] ^= int(counts[b])
-        st[7] ^= 0x80 << 56
+        st[16] ^= int(counts[b]) | (0x80 << 56)
         st = keccak_f1600(st)
         out.append(b"".join(st[k].to_bytes(8, "little") for k in range(4)))
     return out

@@ -51,13 +51,13 @@ def finalize_rolling_device(wc_state: jax.Array,
     """Finalize per-lane rolling sponges: u32[B, 25, 2], u32[B] -> u32[B, 8].
 
     Mirrors commitment.device_rolling_commitments / rolling_commit
-    (count XORed into lane 0, 0x80<<56 into lane 7, one permutation);
+    (spec v2: count | 0x80<<56 XORed into rate lane 16, one permutation);
     output rows are the 32-byte digests as 8 little-endian u32 words
     [lane0.lo, lane0.hi, ..., lane3.hi].
     """
     st = wc_state
-    st = st.at[:, 0, 0].set(st[:, 0, 0] ^ wc_count.astype(U32))
-    st = st.at[:, 7, 1].set(st[:, 7, 1] ^ U32(0x80000000))
+    st = st.at[:, 16, 0].set(st[:, 16, 0] ^ wc_count.astype(U32))
+    st = st.at[:, 16, 1].set(st[:, 16, 1] ^ U32(0x80000000))
     st = keccak_f1600_array(st)
     return st[:, :4, :].reshape(st.shape[0], 8)
 

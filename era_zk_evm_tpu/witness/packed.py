@@ -147,7 +147,14 @@ def _serialize_all_compact(state, families: tuple, budget_frac: float):
     the block pipeline's binding resource.  `budget = ceil(B*Q*
     budget_frac)` rows are transferred; `count` must be checked against
     the budget by the caller (an overflow means dropped records — same
-    caller-sized-capacity contract as the queues themselves)."""
+    caller-sized-capacity contract as the queues themselves).
+
+    SINGLE-DEVICE ONLY: the cumsum-position `.at[pos].set` scatter over
+    the B-flattened block silently miscompiles under the GSPMD
+    partitioner on a batch-SHARDED state (the CLAUDE.md `.at[].set`
+    gotcha, observed on the block-commitment fold) — the dp-mesh drain
+    path must use the dense `_serialize_all` form (asserted in
+    drain_witness_queues_packed_async)."""
     dense = _serialize_all(state, families)
     out = {}
     for name, (words, valid) in dense.items():
@@ -190,6 +197,11 @@ def drain_witness_queues_packed_async(state, config, compact_frac=None):
     if compact_frac is None:
         packed = _serialize_all(state, families)
     else:
+        sharding = getattr(state.wq_meta, "sharding", None)
+        assert sharding is None or len(sharding.device_set) == 1, (
+            "compact_frac on a batch-sharded state: the compaction "
+            "scatter miscompiles under GSPMD (see _serialize_all_compact)"
+        )
         packed = _serialize_all_compact(state, families, compact_frac)
     for leaf in jax.tree.leaves(packed):
         try:

@@ -573,6 +573,85 @@ class TestFusedRollingCommitment:
             assert (a == b).all(), f.name
         assert np.asarray(fus.wc_count).all()
 
+    @pytest.mark.slow  # ~10 min of interpret-mode XLA:CPU kernel compiles
+    def test_bitsliced_fold_matches_fallback_and_spec(self):
+        """The bit-sliced rolling fold (B % 256 == 0 path) against BOTH the
+        u32-pair fallback kernel and an independent numpy model of the
+        rate-packed spec v2, on random slot blocks with mixed validity,
+        parities, and nonzero initial sponge states."""
+        import jax
+        import jax.numpy as jnp
+
+        from era_zk_evm_tpu.golden.precompiles import keccak_f1600
+        from era_zk_evm_tpu.models.fused_cycle import (
+            _rolling_fold_bitsliced, _rolling_fold_call,
+        )
+
+        B, k_cycles = 256, 2
+        kq = k_cycles * 8
+        rng = np.random.RandomState(3)
+        meta = rng.randint(0, 1 << 32, size=(kq, 4, B), dtype=np.uint64) \
+            .astype(np.uint32)
+        val = rng.randint(0, 1 << 32, size=(kq, 8, B), dtype=np.uint64) \
+            .astype(np.uint32)
+        # ~60% valid slots; random rw/ptr bits; zero out invalid rows the
+        # way the engine does (validity gates absorbs either way)
+        valid = rng.rand(kq, B) < 0.6
+        flg = (rng.randint(0, 4, size=(kq, B)).astype(np.uint32) | 4) \
+            * valid.astype(np.uint32)
+        meta *= valid[:, None, :].astype(np.uint32)
+        val *= valid[:, None, :].astype(np.uint32)
+        wc0 = rng.randint(0, 1 << 32, size=(25, 2, B), dtype=np.uint64) \
+            .astype(np.uint32)
+        cnt0 = rng.randint(0, 7, size=(1, B)).astype(np.uint32)
+
+        config = VmConfig(batch=B, code_words=32, stack_words=256,
+                          sweep_gating=False, stack_abs_words=64,
+                          stack_sp_base=960, heap_words=32, aux_heap_words=8,
+                          max_depth=8, queue_capacity=0,
+                          rolling_commitment=True)
+        bs = _rolling_fold_bitsliced(config, k_cycles, interpret=True)
+        wc_bs, cnt_bs = jax.jit(bs)(jnp.asarray(meta), jnp.asarray(val),
+                                    jnp.asarray(flg), jnp.asarray(wc0),
+                                    jnp.asarray(cnt0))
+        fb = _rolling_fold_call(config, k_cycles, tile=B, interpret=True)
+        wc_fb, cnt_fb = jax.jit(fb)(jnp.asarray(meta), jnp.asarray(val),
+                                    jnp.asarray(flg), jnp.asarray(wc0),
+                                    jnp.asarray(cnt0))
+        assert (np.asarray(cnt_bs) == np.asarray(cnt_fb)).all()
+        assert (np.asarray(wc_bs) == np.asarray(wc_fb)).all()
+
+        # independent numpy model of spec v2 (one random lane per parity)
+        def bswap32(x):
+            return int.from_bytes(int(x).to_bytes(4, "little"), "big")
+
+        for lane in (0, 1, 77, 255):
+            st = [int(wc0[k, 0, lane]) | (int(wc0[k, 1, lane]) << 32)
+                  for k in range(25)]
+            count = int(cnt0[0, lane])
+            for s in range(kq):
+                if not (flg[s, lane] & 4):
+                    continue
+                ts, mt, pg, ix = (int(meta[s, i, lane]) for i in range(4))
+                fl = int(flg[s, lane]) & 3
+                rec = (ts.to_bytes(4, "big") + bytes([mt & 0xFF])
+                       + pg.to_bytes(4, "big") + ix.to_bytes(4, "big")
+                       + bytes([fl]) + bytes(18)
+                       + b"".join(int(val[s, 7 - i, lane]).to_bytes(4, "big")
+                                  for i in range(8)))
+                base = 0 if count % 2 == 0 else 8
+                for k in range(8):
+                    st[base + k] ^= int.from_bytes(rec[8 * k:8 * k + 8],
+                                                   "little")
+                if count % 2 == 1:
+                    st = keccak_f1600(st)
+                count += 1
+            got = np.asarray(wc_bs)[:, :, lane]
+            want = np.array([[w & 0xFFFFFFFF, w >> 32]
+                             for w in st], dtype=np.uint32)
+            assert (got == want).all(), lane
+            assert int(np.asarray(cnt_bs)[0, lane]) == count
+
 
 class TestFusedSharded:
     def test_run_block_fused_on_cpu_mesh(self):
