@@ -528,12 +528,24 @@ def bench_refill(batch: int = 8192, engine: str = "fused",
 
 
 def bench_block(batch: int = 4096, n_txs_factor: int = 2,
-                chunk: int = 64) -> dict:
+                chunk: int = 64, mix: str = "tiny") -> dict:
     """End-to-end product path: execute_block with witness queues ON,
     packed streams, device commitments + grand products — the full
     BlockResult a reference user consumes (txs/s includes scheduling,
-    drains, per-tx digests, block folds).  Storage/event/heap workload
-    with a skewed length mix."""
+    drains, per-tx digests, block folds).  Storage/event/heap workload.
+
+    `mix` picks the tx-length distribution:
+      "tiny"      — the round-4 shape (40-320 cycle txs, 8:1 skew): a
+                    stress test of per-round overhead, NOT the regime the
+                    scheduler's amortization claims apply to;
+      "realistic" — log-normal loop counts clipped to ~1k-60k cycles/tx
+                    (the regime of real blocks).  The round-4 verdict
+                    asked for the "within 3x of engine-ideal" criterion
+                    to be proven or retired HERE, where the per-round
+                    fixed costs actually amortize: reported
+                    `vs_engine_ideal` = txs/s / (engine cycles/s measured
+                    in the same run / mean tx cycles).
+    """
     import time as _t
 
     import numpy as np
@@ -573,8 +585,24 @@ def bench_block(batch: int = 4096, n_txs_factor: int = 2,
         """)
 
     rng = np.random.RandomState(11)
-    lengths = rng.choice([4, 8, 16, 32], size=batch * n_txs_factor,
-                         p=[0.5, 0.25, 0.15, 0.1])
+    n_txs = batch * n_txs_factor
+    if mix == "tiny":
+        lengths = rng.choice([4, 8, 16, 32], size=n_txs,
+                             p=[0.5, 0.25, 0.15, 0.1])
+    elif mix == "realistic":
+        # ~10 cycles per loop iteration: median ~2.5k cycles, tail to 60k
+        lengths = np.clip(rng.lognormal(mean=5.5, sigma=1.0, size=n_txs),
+                          100, 6000).astype(np.int64)
+        # bucket to 32 distinct programs (code-bank reuse, like real
+        # blocks reusing contracts); keeps host-side build costs honest
+        buckets = np.unique(np.clip(
+            np.exp(np.linspace(np.log(100), np.log(6000), 32)), 100,
+            6000).astype(np.int64))
+        lengths = buckets[np.searchsorted(buckets, lengths,
+                                          side="left").clip(0,
+                                                            len(buckets) - 1)]
+    else:
+        raise ValueError(mix)
     progs = {n: prog(int(n)) for n in np.unique(lengths)}
     txs = [TxSpec(program=progs[n], ergs=(1 << 31) - 1, cost_hint=int(n))
            for n in lengths]
@@ -590,10 +618,21 @@ def bench_block(batch: int = 4096, n_txs_factor: int = 2,
     assert blk.all_ok
     n_queries = sum(sum(s.shape[0] for s in r.streams.values())
                     for r in blk.txs)
-    return {"txs_per_sec": len(txs) / wall,
-            "queries_per_sec": n_queries / wall,
-            "utilization": round(blk.stats["utilization"], 4),
-            "families": sorted(blk.commitments)}
+    mean_tx_cycles = float(np.mean([r.cycles for r in blk.txs]))
+    out = {"txs_per_sec": len(txs) / wall,
+           "queries_per_sec": n_queries / wall,
+           "utilization": round(blk.stats["utilization"], 4),
+           "mean_tx_cycles": round(mean_tx_cycles, 1),
+           "mix": mix,
+           "families": sorted(blk.commitments)}
+    if mix == "realistic":
+        # engine-ideal: the same-run storage/event engine rate divided by
+        # mean tx length; the scheduler's claim is txs/s within 3x of it
+        engine_rate = bench_storage(batch, 128)
+        ideal = engine_rate / mean_tx_cycles
+        out["engine_cycles_per_sec"] = engine_rate
+        out["vs_engine_ideal"] = round((len(txs) / wall) / ideal, 4)
+    return out
 
 
 def bench_keccak(g8: int = 256, iters: int = 2048) -> float:
@@ -750,6 +789,8 @@ def child_main(result_path: str, argv: list[str]) -> None:
     _secondary("block-refill scheduler", lambda: bench_refill())
     _secondary("execute-block e2e (queues+commitments)",
                lambda: bench_block())
+    _secondary("execute-block e2e REALISTIC mix (1k-60k cycle txs)",
+               lambda: bench_block(mix="realistic"))
     _secondary("rolling-commitment mode (committed path)",
                lambda: bench_rolling(batch, n_cycles))
     _workload("far-call/decommit workload",

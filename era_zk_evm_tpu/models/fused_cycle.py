@@ -3142,25 +3142,24 @@ def _rolling_fold_call(config: VmConfig, k_cycles: int, tile: int,
             ab50 = jnp.where(valid[None, :], st51[:50] ^ rec50, st51[:50])
             ncount = st51[50] + valid.astype(U32)
 
-            # pl.when, not value-form lax.cond: a runtime-false cond does
-            # NOT skip its branch on Mosaic (measured, ablate_fused `rt`
-            # group) — the gated form drops the dead permutations that
-            # dominated this kernel
+            # ONE pl.when (not value-form lax.cond: a runtime-false cond
+            # does NOT skip its branch on Mosaic — measured, ablate_fused
+            # `rt` group; and not TWO sequential whens: an absorb-when
+            # followed by a perm-when SIGABRTs Mosaic layout inference —
+            # round-5 bisect, tools/bisect_fold.py `two` variant).  The
+            # permutation runs for any valid slot and the wrap select
+            # keeps absorb-only lanes on their absorbed state; the
+            # bit-sliced fold (the production path) gates permutations on
+            # wrap occupancy properly via scalar SMEM flags.
             @pl.when(jnp.any(valid))
             def _absorb():
-                st_scr[...] = jnp.concatenate(
-                    [ab50, ncount[None, :]], axis=0)
-
-            @pl.when(jnp.any(wrap_b))
-            def _perm():
-                st51b = st_scr[...]
-                lo = [st51b[i] for i in range(25)]
-                hi = [st51b[25 + i] for i in range(25)]
+                lo = [ab50[i] for i in range(25)]
+                hi = [ab50[25 + i] for i in range(25)]
                 plo, phi = _keccak_f1600_kernel(lo, hi)
                 out50 = jnp.stack(plo + phi, axis=0)
-                new50 = jnp.where(wrap_b[None, :], out50, st51b[:50])
+                new50 = jnp.where(wrap_b[None, :], out50, ab50)
                 st_scr[...] = jnp.concatenate(
-                    [new50, st51b[50:51]], axis=0)
+                    [new50, ncount[None, :]], axis=0)
             return carry
 
         jax.lax.fori_loop(0, kq, slot_body, 0)
@@ -3207,30 +3206,45 @@ def _rolling_fold_bitsliced(config: VmConfig, k_cycles: int,
                             interpret: bool):
     """Bit-sliced companion fold (spec v2): absorb one chunk's witness-slot
     blocks into the per-lane rolling sponges with the sponge state held as
-    1600 u32 bit-planes (32 lanes per u32 — ops/keccak bit-sliced layout).
+    1600 u32 bit-planes (32 lanes per u32).
 
     Why: the u32-pair fold kernel is register-spill bound — measured
-    645us per batch-permutation at B=32k vs ~155us bit-sliced (PERF.md
-    round-4 keccak audit; round-5 probe_rolling) — and the rate-packed
-    spec v2 halves the permutation count on top.  Pipeline per chunk:
+    645us per batch-permutation at B=32k vs ~56us bit-sliced (PERF.md
+    round-4 keccak audit; round-5 probe_rolling/probe_perm) — and the
+    rate-packed spec v2 halves the permutation count on top.
 
-      XLA: slot validity -> per-lane running parity (wc_count & 1),
-           record words (valid-masked), 5-stage butterfly bit-transpose to
-           record planes [KQ, 384, 8, G8], wrap bit-masks [KQ, 8, G8],
-           state -> planes;
-      Pallas (grid = (G8 tiles, KQ slots), state block revisited across
-           the slot axis): per active slot XOR the record planes into the
-           parity-selected rate half; per wrapping slot run one
-           keccak-f[1600] over three VMEM buffers (canonical state must
-           survive the permutation for the per-lane wrap select);
-      XLA: planes -> state, wc_count += per-lane valid counts.
+    Two pallas kernels per chunk (round-5 measurements drove every piece
+    of this shape — tools/probe_bsparts.py / probe_foldparts.py /
+    probe_fold_split.py):
+
+      1. MASK kernel: streams the flag blocks once and carries a per-lane
+         parity bitmask in VMEM scratch across the slot grid, emitting the
+         packed even/wrap destination masks [KQ, 2, 8, G8] and per-lane
+         valid-count planes.  (The same computation as XLA ops — cumsum,
+         bit-packs, reduces — measured 27 ms/chunk of pass-structure
+         overhead; this kernel does it in one 128 MB stream.)
+      2. FOLD kernel: per active slot, builds the 12 record words from
+         the raw meta/value blocks and bit-transposes them in-register
+         (an XLA-side butterfly materializing [KQ, 384, 8, G8] record
+         planes measured 127 ms/chunk); per wrapping slot runs one
+         keccak-f[1600] over three VMEM buffers (the canonical state must
+         survive the permutation for the per-lane wrap select).
+
+    The lane->bit-plane GROUP MAPPING is chosen so transposed outputs
+    align with plane slices with no in-kernel shuffles: lane
+    b = G8*(32*s + j) + r  ->  group (s, r), bit j.  A slot's record word
+    rides as [8, 32, G8] (sublane s, j, r); the 5-stage butterfly pairs
+    along axis 1 (aligned slices + u32 position masks — no i1 vectors),
+    and its output's [:, z, :] slice IS plane z of that word: absorb is
+    pure [8, g8t]-slice XORs into the state ref.  Slot gating rides SMEM
+    scalar flags (jnp.any-gated sequential pl.whens SIGABRT Mosaic —
+    tools/bisect_fold.py).
 
     Bit-exact vs the jnp engine's per-slot absorbs (same records, same
     order, same parity discipline) — tests/test_fused_cycle.py."""
     from ..ops.keccak import (
         _bit_transpose_32, _chi_source_planes, _g8_tile,
-        bitsliced_round_refs, planes_to_states, rc_planes_np,
-        states_to_planes,
+        bitsliced_round_refs, rc_planes_np,
     )
 
     B = config.batch
@@ -3240,9 +3254,93 @@ def _rolling_fold_bitsliced(config: VmConfig, k_cycles: int,
     kq = k_cycles * SLOTS_PER_CYCLE
     chi_src = _chi_source_planes()
     rc_tab = rc_planes_np()
+    _T_MASKS = (np.uint32(0x55555555), np.uint32(0x33333333),
+                np.uint32(0x0F0F0F0F), np.uint32(0x00FF00FF),
+                np.uint32(0x0000FFFF))
 
-    def kernel(rc_ref, any_ref, wrap_ref, rec_ref, wm_ref, s_ref, o_ref,
-               buf_b, buf_c):
+    def _bswap(x):
+        x = x.astype(U32)
+        return ((x & 0xFF) << 24) | ((x & 0xFF00) << 8) \
+            | ((x >> 8) & 0xFF00) | (x >> 24)
+
+    def _transpose32(x):
+        """32x32 bit transpose of [8, 32, g8t] (j on axis 1): same
+        butterfly as ops.keccak._bit_transpose_32, expressed with aligned
+        axis-1 slice-rolls and u32 position masks (kernel-safe: no
+        reshapes, no i1 vectors, no unaligned slices)."""
+        iota_j = jax.lax.broadcasted_iota(U32, x.shape, 1)
+        for k in range(5):
+            w = 1 << k
+            m = _T_MASKS[k]
+            down = jnp.concatenate([x[:, w:], x[:, :w]], axis=1)
+            up = jnp.concatenate([x[:, 32 - w:], x[:, :32 - w]], axis=1)
+            upper_u = U32(0) - ((iota_j >> k) & 1)   # all-ones where j&w
+            t_low = ((x >> w) ^ down) & m
+            t_up = ((up >> w) ^ x) & m
+            xl = x ^ (t_low << w)
+            xu = x ^ t_up
+            x = (xl & ~upper_u) | (xu & upper_u)
+        return x
+
+    # ------------------------------------------------------------------
+    # Kernel 1: per-slot destination masks + count planes from the flag
+    # blocks, with the running parity bitmask carried in VMEM scratch.
+    # ------------------------------------------------------------------
+    def mask_kernel(flg_ref, par0_ref, emwm_ref, cntp_ref, par_scr):
+        s = pl.program_id(1)
+
+        @pl.when(s == 0)
+        def _init():
+            par_scr[...] = par0_ref[0]
+            cntp_ref[...] = jnp.zeros((32, 8, cntp_ref.shape[2]), U32)
+
+        flg = flg_ref[0]                              # [8, 32, g8t]
+        vfull = U32(0) - ((flg >> 2) & 1)             # all-ones where valid
+        vt = _transpose32(vfull)                      # every z-slice = mask
+        vmask = vt[:, 0]                              # [8, g8t] lane bits
+        par = par_scr[...]
+        em = vmask & ~par
+        wm = vmask & par
+        par_scr[...] = par ^ vmask
+        emwm_ref[0, 0] = em
+        emwm_ref[0, 1] = wm
+        for j in range(32):
+            cntp_ref[j] = cntp_ref[j] + ((vmask >> j) & 1)
+
+    def mask_spec(shape_mid):
+        nd = len(shape_mid)
+        return pl.BlockSpec(
+            (1,) + tuple(shape_mid) + (g8t,),
+            (lambda g, s, _nd=nd: (s,) + (0,) * _nd + (g,)),
+            memory_space=pltpu.VMEM)
+
+    mask_call = pl.pallas_call(
+        mask_kernel,
+        grid=(G8 // g8t, kq),
+        in_specs=[
+            mask_spec((8, 32)),                       # flags
+            pl.BlockSpec((1, 8, g8t), lambda g, s: (0, 0, g),
+                         memory_space=pltpu.VMEM),    # parity0
+        ],
+        out_specs=[
+            mask_spec((2, 8)),                        # even|wrap masks
+            pl.BlockSpec((32, 8, g8t), lambda g, s: (0, 0, g),
+                         memory_space=pltpu.VMEM),    # count planes
+        ],
+        out_shape=[jax.ShapeDtypeStruct((kq, 2, 8, G8), jnp.uint32),
+                   jax.ShapeDtypeStruct((32, 8, G8), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((8, g8t), jnp.uint32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
+    )
+
+    # ------------------------------------------------------------------
+    # Kernel 2: the fold proper (absorbs + gated permutations).
+    # ------------------------------------------------------------------
+    def kernel(rc_ref, any_ref, wrap_ref, meta_ref, val_ref, flg_ref,
+               emwm_ref, s_ref, o_ref, buf_b, buf_c):
         s = pl.program_id(1)
 
         @pl.when(s == 0)
@@ -3251,13 +3349,31 @@ def _rolling_fold_bitsliced(config: VmConfig, k_cycles: int,
 
         @pl.when(any_ref[s] != 0)
         def _absorb():
-            wm = wm_ref[0]
-            for w, base in enumerate(_REC_DEST_BASE):
+            em = emwm_ref[0, 0]                      # [8, g8t]
+            wm = emwm_ref[0, 1]
+            ts, mtype, mpage, midx = (meta_ref[0, i] for i in range(4))
+            flg = flg_ref[0]                         # [8, 32, g8t]
+            fl = (flg & 1) | (flg & 2)
+            words = [
+                _bswap(ts),
+                (mtype & 0xFF) | (((mpage >> 24) & 0xFF) << 8)
+                | (((mpage >> 16) & 0xFF) << 16)
+                | (((mpage >> 8) & 0xFF) << 24),
+                (mpage & 0xFF) | (((midx >> 24) & 0xFF) << 8)
+                | (((midx >> 16) & 0xFF) << 16)
+                | (((midx >> 8) & 0xFF) << 24),
+                (midx & 0xFF) | (fl << 8),
+            ]
+            for k_ in range(4):
+                words.append(_bswap(val_ref[0, 7 - 2 * k_]))
+                words.append(_bswap(val_ref[0, 6 - 2 * k_]))
+            for word, base in zip(words, _REC_DEST_BASE):
+                t = _transpose32(word)               # [8, 32, g8t]
                 for z in range(32):
-                    rec = rec_ref[0, w * 32 + z]
-                    o_ref[base + z] = o_ref[base + z] ^ (rec & ~wm)
+                    sl = t[:, z]                     # [8, g8t]: plane z
+                    o_ref[base + z] = o_ref[base + z] ^ (sl & em)
                     p1 = 512 + base + z
-                    o_ref[p1] = o_ref[p1] ^ (rec & wm)
+                    o_ref[p1] = o_ref[p1] ^ (sl & wm)
 
         @pl.when(wrap_ref[s] != 0)
         def _perm():
@@ -3274,27 +3390,26 @@ def _rolling_fold_bitsliced(config: VmConfig, k_cycles: int,
 
             jax.lax.fori_loop(0, 11, body, 0)
             bitsliced_round_refs(buf_b, buf_c, rc_ref, 23, chi_src)
-            wm = wm_ref[0]
+            wm = emwm_ref[0, 1]
             for p in range(1600):
                 o_ref[p] = (buf_c[p] & wm) | (o_ref[p] & ~wm)
 
-    grid = (G8 // g8t, kq)
+    state_spec = pl.BlockSpec((1600, 8, g8t), lambda g, s: (0, 0, g),
+                              memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(G8 // g8t, kq),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # rc [24, 64]
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # slot_any [kq]
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # slot_wrap [kq]
-            pl.BlockSpec((1, 384, 8, g8t), lambda g, s: (s, 0, 0, g),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, g8t), lambda g, s: (s, 0, g),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1600, 8, g8t), lambda g, s: (0, 0, g),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # rc [24, 64]
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # slot_any [kq]
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # slot_wrap [kq]
+            mask_spec((4, 8, 32)),                    # meta
+            mask_spec((8, 8, 32)),                    # value
+            mask_spec((8, 32)),                       # flags
+            mask_spec((2, 8)),                        # even|wrap masks
+            state_spec,
         ],
-        out_specs=pl.BlockSpec((1600, 8, g8t), lambda g, s: (0, 0, g),
-                               memory_space=pltpu.VMEM),
+        out_specs=state_spec,
         out_shape=jax.ShapeDtypeStruct((1600, 8, G8), jnp.uint32),
         scratch_shapes=[pltpu.VMEM((1600, 8, g8t), jnp.uint32),
                         pltpu.VMEM((1600, 8, g8t), jnp.uint32)],
@@ -3304,53 +3419,56 @@ def _rolling_fold_bitsliced(config: VmConfig, k_cycles: int,
             vmem_limit_bytes=_VMEM_LIMIT_BYTES),
     )
 
-    def _bswap(x):
-        x = x.astype(U32)
-        return ((x & 0xFF) << 24) | ((x & 0xFF00) << 8) \
-            | ((x >> 8) & 0xFF00) | (x >> 24)
+    def _state_to_planes(wc_state):
+        """[25, 2, B] -> [1600, 8, G8] under the fold's lane mapping
+        (lane G8*(32s + j) + r -> group (s, r), bit j)."""
+        w = jnp.transpose(wc_state.reshape(50, B), (1, 0))   # [B, 50]
+        w = w.reshape(8, 32, G8, 50)                         # s, j, r, W
+        w = jnp.transpose(w, (0, 2, 3, 1))                   # s, r, W, j
+        p = _bit_transpose_32(w)                             # s, r, W, z
+        p = jnp.transpose(p, (2, 3, 0, 1))                   # W, z, s, r
+        return p.reshape(1600, 8, G8)
+
+    def _planes_to_state(planes):
+        p = planes.reshape(50, 32, 8, G8)                    # W, z, s, r
+        p = jnp.transpose(p, (2, 3, 0, 1))                   # s, r, W, z
+        w = _bit_transpose_32(p)                             # s, r, W, j
+        w = jnp.transpose(w, (0, 3, 1, 2))                   # s, j, r, W
+        return jnp.transpose(w.reshape(B, 50), (1, 0)).reshape(25, 2, B)
+
+    def _pack_lane_bits(m):
+        """[B] u32 0/1 -> [8, G8] packed bitmask under the lane mapping."""
+        g = m.reshape(8, 32, G8)
+        shifts = jnp.arange(32, dtype=U32)
+        return (g << shifts[None, :, None]).sum(axis=1, dtype=U32)
 
     def fold(meta_blk, val_blk, flg_blk, wc_state, cnt):
-        # --- XLA prep: validity, parity, record words, bit transposes
-        valid = (flg_blk & 4) != 0                       # [KQ, B]
-        vm = valid.astype(U32)
-        cnt0 = cnt[0]                                    # [B]
-        before = cnt0[None, :] + jnp.cumsum(vm, axis=0) - vm
-        wrap_m = vm * (before & 1)                       # 1 where odd dest
-        ts, mtype = meta_blk[:, 0], meta_blk[:, 1]
-        mpage, midx = meta_blk[:, 2], meta_blk[:, 3]
-        fl = (flg_blk & 1) | (flg_blk & 2)
-        words = [
-            _bswap(ts),
-            (mtype & 0xFF) | (((mpage >> 24) & 0xFF) << 8)
-            | (((mpage >> 16) & 0xFF) << 16) | (((mpage >> 8) & 0xFF) << 24),
-            (mpage & 0xFF) | (((midx >> 24) & 0xFF) << 8)
-            | (((midx >> 16) & 0xFF) << 16) | (((midx >> 8) & 0xFF) << 24),
-            (midx & 0xFF) | (fl << 8),
-        ]
-        for k in range(4):
-            words.append(_bswap(val_blk[:, 7 - 2 * k]))
-            words.append(_bswap(val_blk[:, 6 - 2 * k]))
-        # reorder to _REC_DEST_BASE order: (l0.lo, l0.hi, l1.lo, l1.hi,
-        # l4.lo, l4.hi, ...) — words above are (l0.lo, l0.hi, l1.lo,
-        # l1.hi) then (l4.lo, l4.hi, l5.lo, ...) already
-        recw = jnp.stack([w * vm for w in words], axis=1)  # [KQ, 12, B]
-        g = recw.reshape(kq, 12, B // 32, 32)
-        p = _bit_transpose_32(g)                         # [KQ, 12, G, 32z]
-        p = jnp.transpose(p, (0, 1, 3, 2))               # [KQ, 12, z, G]
-        rec_planes = p.reshape(kq, 384, 8, G8)
-        shifts = jnp.arange(32, dtype=U32)
-        wm_bits = (wrap_m.reshape(kq, B // 32, 32)
-                   << shifts[None, None, :]).sum(axis=2, dtype=U32)
-        wm_planes = wm_bits.reshape(kq, 8, G8)
-        slot_any = jnp.any(valid, axis=1).astype(jnp.int32)
-        slot_wrap = jnp.any(wrap_m != 0, axis=1).astype(jnp.int32)
-        st_planes = states_to_planes(jnp.transpose(wc_state, (2, 0, 1)))
+        flg5 = flg_blk.reshape(kq, 1, 8, 32, G8)[:, 0]
+        par0 = _pack_lane_bits(cnt[0] & 1)[None]
+        emwm, cntp = mask_call(flg5, par0)
+        # slot flags from the 8 MB mask array (not the 128 MB flag
+        # blocks): the XLA reduces here are two orders of magnitude off
+        # the fold's critical path
+        union = emwm[:, 0] | emwm[:, 1]
+        slot_any = jnp.any(union != 0, axis=(1, 2)).astype(jnp.int32)
+        slot_wrap = jnp.any(emwm[:, 1] != 0, axis=(1, 2)).astype(jnp.int32)
+        meta5 = meta_blk.reshape(kq, 4, 8, 32, G8)
+        val5 = val_blk.reshape(kq, 8, 8, 32, G8)
+        st_planes = _state_to_planes(wc_state)
         out_planes = call(jnp.asarray(rc_tab), slot_any, slot_wrap,
-                          rec_planes, wm_planes, st_planes)
-        wc_new = jnp.transpose(planes_to_states(out_planes), (1, 2, 0))
-        cnt_new = cnt + vm.sum(axis=0, dtype=U32)[None, :]
+                          meta5, val5, flg5, emwm, st_planes)
+        wc_new = _planes_to_state(out_planes)
+        # count planes (j, s, r) -> per-lane counts [B]
+        dcnt = jnp.transpose(cntp, (1, 0, 2)).reshape(B)
+        cnt_new = cnt + dcnt[None, :]
         return wc_new, cnt_new
 
+    # internals exposed for the perf tooling (tools/probe_fold_split.py)
+    fold._mask_call = mask_call
+    fold._call = call
+    fold._state_to_planes = _state_to_planes
+    fold._planes_to_state = _planes_to_state
+    fold._rc_tab = rc_tab
     return fold
 
 
