@@ -460,14 +460,21 @@ def bench_refill(batch: int = 8192, engine: str = "fused",
                       heap_words=64, aux_heap_words=16, max_depth=8,
                       queue_capacity=0)
     if engine == "fused":
-        from era_zk_evm_tpu.models.fused_cycle import run_cycles_fused
+        from era_zk_evm_tpu.models.fused_cycle import (
+            run_chunk_fused_dyn, run_cycles_fused,
+        )
 
         tile = 512 if batch % 512 == 0 else 256
         def run_fn(st, cfg, n):
             return run_cycles_fused(st, cfg, n, tile=tile,
                                     k_inner=min(128, n))
+
+        def run_dyn(st, cfg, n):
+            return run_chunk_fused_dyn(st, n, cfg, tile=tile,
+                                       k_inner=chunk)
     else:
         run_fn = run_cycles
+        run_dyn = run_cycles
 
     # the headline workload parameterized by iteration count; ~10 cyc/iter
     def prog(iters):
@@ -498,10 +505,14 @@ def bench_refill(batch: int = 8192, engine: str = "fused",
         return dataclasses.replace(template, code=code)
 
     # refill runs the full product policy (speculative depth, longest-first
-    # dispatch, tail chunk escalation); waves is the frozen-lane baseline
+    # dispatch, tail chunk escalation); adaptive adds shrink-to-horizon
+    # chunk sizing (run_chunk_fused_dyn); waves is the frozen-lane baseline
     modes = {
         "refill": dict(refill=True, refill_frac=0.25, order="cost_desc",
                        tail_chunk_mult=4),
+        "adaptive": dict(refill=True, refill_frac=0.25, order="cost_desc",
+                         tail_chunk_mult=4, adaptive_chunk=True,
+                         run_dyn_fn=run_dyn, min_chunk=8),
         "waves": dict(refill=False),
     }
     # warm both modes first (compiles + persistent-cache loads): the r3
@@ -524,6 +535,8 @@ def bench_refill(batch: int = 8192, engine: str = "fused",
         out[f"txs_per_sec_{mode}"] = len(txs) / best
         out[f"utilization_{mode}"] = round(stats["utilization"], 4)
     out["speedup"] = out["txs_per_sec_refill"] / out["txs_per_sec_waves"]
+    out["speedup_adaptive"] = (out["txs_per_sec_adaptive"]
+                               / out["txs_per_sec_waves"])
     return out
 
 
@@ -608,9 +621,13 @@ def bench_block(batch: int = 4096, n_txs_factor: int = 2,
            for n in lengths]
 
     # drain compaction: the dense drain ships ~7x padding on this fill
-    # ratio and the tunnel is the binding resource (PERF.md)
-    kw = dict(chunk=chunk, refill_frac=0.25, order="cost_desc",
-              tail_chunk_mult=tail_mult, drain_compact_frac=0.125)
+    # ratio and the tunnel is the binding resource (PERF.md).  k_inner is
+    # pinned to the chunk: with the escalation-sized queue capacities the
+    # default 128 would double the witness-block VMEM windows past the
+    # Mosaic budget at tile=512 (measured: 133.6M vs the 112M limit).
+    kw = dict(chunk=chunk, k_inner=chunk, refill_frac=0.25,
+              order="cost_desc", tail_chunk_mult=tail_mult,
+              drain_compact_frac=0.25, adaptive_chunk=True)
     execute_block(config, txs, **kw)          # warm compiles
     t0 = _t.time()
     blk = execute_block(config, txs, **kw)

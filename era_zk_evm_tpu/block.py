@@ -104,6 +104,22 @@ def _engine_fn(engine: str, tile: int | None, k_inner: int,
     return run_fn
 
 
+def _engine_dyn_fn(tile: int | None, k_inner: int, config: VmConfig):
+    """Dynamic-cycle-count single-chunk driver for the adaptive-chunk
+    scheduler policy (fused engine only): one compiled program covers
+    every requested length n <= k_inner."""
+    from .models.fused_cycle import run_chunk_fused_dyn
+
+    def run_dyn(state, config, n):
+        t = tile
+        if t is None:
+            t = next((c for c in (512, 256, 128, 64)
+                      if config.batch % c == 0), None)
+        return run_chunk_fused_dyn(state, n, config, tile=t,
+                                   k_inner=k_inner)
+    return run_dyn
+
+
 def _families(config: VmConfig) -> list[str]:
     return [name for name, cap in (
         ("memory", config.queue_capacity),
@@ -132,6 +148,13 @@ def execute_block(config: VmConfig, txs: list[TxSpec], engine: str = "auto",
     TxResults) and any remaining args pass through to the scheduler.
     """
     run_fn = _engine_fn(engine, tile, k_inner, config)
+    if sched_kwargs.get("adaptive_chunk") \
+            and "run_dyn_fn" not in sched_kwargs:
+        if run_fn is run_cycles:
+            raise ValueError("adaptive_chunk needs the fused engine "
+                             "(run_chunk_fused_dyn) or an explicit "
+                             "run_dyn_fn")
+        sched_kwargs["run_dyn_fn"] = _engine_dyn_fn(tile, chunk, config)
     results, stats = run_block_refill(config, txs, run_fn, chunk,
                                       refill=refill,
                                       fresh_builder=fresh_builder,

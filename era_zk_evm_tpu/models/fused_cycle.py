@@ -3672,6 +3672,52 @@ def _run_cycles_fused_jit(state: BatchedVmState, config: VmConfig,
         state.pq_meta, state.pq_value, state.pq_flags = pq
     return state
 
+@partial(jax.jit, static_argnames=("config", "tile", "k_inner", "interpret"),
+         donate_argnames=("state",))
+def run_chunk_fused_dyn(state: BatchedVmState, k_stop, config: VmConfig,
+                        tile: int = 128, k_inner: int = 64,
+                        interpret: bool | None = None) -> BatchedVmState:
+    """One fused chunk of min(k_stop, k_inner) cycles with a DYNAMIC cycle
+    count: ONE compiled program covers every chunk length the adaptive
+    scheduler requests (a static n_cycles would recompile the multi-minute
+    TPU kernel per distinct length).  Queue semantics under an early stop
+    match the ec-detour path: the splice writes the full k_inner-cycle
+    block extent (the unexecuted tail rows are zero with no validity
+    bits), so callers tracking drain budgets must reserve k_inner cycles
+    of queue headroom per call, not k_stop (models/scheduler.py does)."""
+    assert supported(config), "config outside the fused-kernel subset"
+    assert not config.precompile_ecrecover, "ec configs use the detour path"
+    assert not config.sweep_gating, "fused path requires sweep_gating=False"
+    assert config.batch % tile == 0, (config.batch, tile)
+    if config.queue_capacity:
+        assert config.queue_capacity >= k_inner * 8
+    if config.storage_slots > 0 and config.log_queue_capacity:
+        assert config.log_queue_capacity >= k_inner
+    if config.storage_slots > 0 and config.decommit_queue_capacity:
+        assert config.decommit_queue_capacity >= k_inner
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bufs = _pack(state, config)
+    wq = (state.wq_meta, state.wq_value, state.wq_flags)
+    lq = (state.lq_meta, state.lq_addr, state.lq_key, state.lq_read,
+          state.lq_written)
+    dq = (state.dq_hash, state.dq_meta)
+    pq = (state.pq_meta, state.pq_value, state.pq_flags)
+    bufs, wq, lq, dq, pq, _ = _run_chunk(
+        config, tile, interpret, k_inner, k_stop, bufs, wq, lq, dq, pq)
+    state = _unpack(bufs, state, config)
+    if config.queue_capacity:
+        state.wq_meta, state.wq_value, state.wq_flags = wq
+    if config.storage_slots > 0 and config.log_queue_capacity > 0:
+        (state.lq_meta, state.lq_addr, state.lq_key, state.lq_read,
+         state.lq_written) = lq
+    if config.storage_slots > 0 and config.decommit_queue_capacity > 0:
+        state.dq_hash, state.dq_meta = dq
+    if config.precompile_queue_capacity > 0:
+        state.pq_meta, state.pq_value, state.pq_flags = pq
+    return state
+
+
 # ===========================================================================
 # ecrecover detour: optimistic chunks + single-cycle jnp execution
 # ===========================================================================

@@ -243,6 +243,9 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
                      tail_chunk_mult: int = 1,
                      order: str = "arrival",
                      drain_compact_frac: float | None = None,
+                     adaptive_chunk: bool = False,
+                     run_dyn_fn=None,
+                     min_chunk: int = 8,
                      ) -> tuple[list[TxResult], dict]:
     """Run a block of transactions over `config.batch` lanes with
     continuous refill.  `run_cycles_fn(state, config, n)` is either
@@ -287,6 +290,26 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
     block pipeline's binding resource.  Overflow (more valid records than
     the budget) raises at resolve time; size it like queue capacity.
 
+    `adaptive_chunk`: shrink-to-horizon chunk sizing — while txs are
+    pending, the next chunk's length is the refill_frac-quantile of the
+    per-lane REMAINING-cycle estimates (cost_hint scaled by the running
+    cycles/hint calibration from finished txs, minus cycles run since
+    dispatch), clipped to [min_chunk, chunk].  A lane finishing mid-chunk
+    wastes the rest of the chunk; on short-tx mixes that residual is the
+    dominant utilization loss, and sizing the chunk to the predicted next
+    finish-wave removes it without any per-length recompiles — the
+    shrunk launches go through `run_dyn_fn(state, config, n)`, which must
+    execute n cycles from ONE compiled program with a dynamic cycle count
+    (models/fused_cycle.run_chunk_fused_dyn; a static-n engine would
+    recompile per distinct length).  Chunk-length variation cannot change
+    per-tx semantics (finished lanes are frozen, per-lane timestamps and
+    queue order depend only on executed cycles), so TxResults are
+    bit-identical — asserted by tests/test_scheduler.py.  Inert until
+    the first tx with cost_hint > 0 finishes (no calibration), and during
+    the tail (escalation takes over).  Drain-budget note: a dynamic chunk
+    splices the full compiled `chunk` extent of queue rows, so the drain
+    clock reserves `chunk` cycles for it regardless of n.
+
     `collect` picks the witness-stream representation in TxResult.streams:
     "objects" (reference-shaped query structs, the conformance form) or
     "packed" (u32 record arrays in the pinned serialization layouts,
@@ -313,10 +336,19 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
         dispatch = list(range(len(txs)))
     else:
         raise ValueError(f"unknown order {order!r}")
+    if adaptive_chunk:
+        assert run_dyn_fn is not None, "adaptive_chunk needs run_dyn_fn"
+    #: adaptive-chunk bookkeeping: per-lane dispatched cost hint, cycles
+    #: run since dispatch, and the cycles/hint calibration accumulators
+    lane_hint = np.zeros((B,), dtype=np.float64)
+    lane_run = np.zeros((B,), dtype=np.float64)
+    calib_num = 0.0
+    calib_den = 0.0
     for lane in range(B):
         if next_tx < len(txs):
             lane_tx[lane] = dispatch[next_tx]
             specs[lane] = txs[dispatch[next_tx]]
+            lane_hint[lane] = txs[dispatch[next_tx]].cost_hint
             next_tx += 1
     state = _copy_state_jit(fresh_builder(specs))
     streams_acc: list[dict] = [dict() for _ in range(B)]
@@ -330,12 +362,12 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
     want_ev = config.event_slots > 0
     refill_threshold = max(1, int(refill_frac * B))
 
-    def _launch(st, n):
+    def _launch(st, n, dyn=False):
         """Enqueue one n-cycle chunk + its status; nothing blocks.  The
         status host copy starts immediately so the later np.asarray finds
         the bytes already in flight instead of paying a fresh tunnel
         round-trip behind the queued chunks."""
-        st = run_cycles_fn(st, config, n)
+        st = (run_dyn_fn if dyn else run_cycles_fn)(st, config, n)
         sd = _round_status(st)
         try:
             sd.copy_to_host_async()
@@ -418,25 +450,46 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
             f"queue family only holds {drain_budget} cycles (chunk={chunk})"
             " — tail escalation disabled; size queue capacities to "
             "chunk*tail_chunk_mult to engage it", stacklevel=2)
+    adaptive_launches = 0
     while rounds <= max_rounds:
         # keep `spec_depth` chunks in flight ahead of the status we pop
         while len(statuses) < max(1, spec_depth):
             n_next = (chunk * tail_chunk_mult
                       if (can_escalate and next_tx >= len(txs)) else chunk)
+            use_dyn = False
+            if (adaptive_chunk and next_tx < len(txs) and calib_den > 0):
+                est = lane_hint * (calib_num / calib_den) - lane_run
+                running = (lane_tx >= 0) & (est > 0)
+                if running.any():
+                    horizon = np.quantile(est[running],
+                                          min(refill_frac, 0.5))
+                    # quantized to min_chunk multiples: bounds the set of
+                    # distinct lengths (finitely many programs even for a
+                    # static-n run_dyn_fn) without hurting the policy
+                    n_dyn = int(np.clip(
+                        -(-np.ceil(horizon) // min_chunk) * min_chunk,
+                        min_chunk, chunk))
+                    if n_dyn < chunk:
+                        n_next, use_dyn = n_dyn, True
             # capacity pressure: the chunk about to launch must fit the
             # smallest enabled queue family, so the forced drain runs
             # BEFORE the launch (lane occupancy is unchanged, so
-            # attribution is unaffected)
+            # attribution is unaffected).  A dynamic chunk splices the
+            # full compiled `chunk` extent of queue rows (zero tail),
+            # so it reserves `chunk` cycles regardless of n_next.
             if (drain_budget is not None
-                    and cycles_since_drain + n_next > drain_budget):
+                    and cycles_since_drain
+                    + (chunk if use_dyn else n_next) > drain_budget):
                 state = _drain_and_attribute(state)
                 cycles_since_drain = 0
             t0 = _time.perf_counter()
-            state, sd = _launch(state, n_next)
+            state, sd = _launch(state, n_next, dyn=use_dyn)
             prof["launch"] += _time.perf_counter() - t0
             launched += 1
             rounds += 1
+            adaptive_launches += use_dyn
             cycles_since_drain += n_next
+            lane_run[lane_tx >= 0] += n_next
             lane_cycles_total += n_next * B
             statuses.append((sd, launched))
         sready, tag = statuses.popleft()
@@ -482,6 +535,14 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
                 except AttributeError:  # pragma: no cover
                     pass
             fin_tx = lane_tx[finished].copy()   # before refill rewrites it
+            # cycles/hint calibration for the adaptive-chunk policy (mono
+            # is each finished tx's final cycle count: lanes reset to 0
+            # at refill and freeze at done)
+            fin_hints = np.array([txs[t].cost_hint for t in fin_tx],
+                                 dtype=np.float64)
+            hinted = fin_hints > 0
+            calib_num += float(mono[finished][hinted].sum())
+            calib_den += float(fin_hints[hinted].sum())
             pending_final.append({
                 "gather": gather_fut, "finished": finished,
                 "fin_tx": fin_tx, "status": status, "mono": mono,
@@ -506,6 +567,8 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
                     break
                 rspecs[lane] = txs[dispatch[next_tx]]
                 lane_tx[lane] = dispatch[next_tx]
+                lane_hint[lane] = txs[dispatch[next_tx]].cost_hint
+                lane_run[lane] = 0.0
                 rmask[lane] = True
                 next_tx += 1
             t3 = _time.perf_counter()
@@ -620,6 +683,7 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
     return results, {"rounds": rounds,
                      "lane_cycles": lane_cycles_total,
                      "useful_cycles": useful,
+                     "adaptive_launches": adaptive_launches,
                      "utilization": useful / max(1, lane_cycles_total),
                      "profile": {k: (round(v, 4) if isinstance(v, float)
                                      else v) for k, v in prof.items()}}

@@ -174,3 +174,25 @@ def test_scheduling_policies_preserve_semantics():
         assert b.streams.get("memory", []) == f.streams.get("memory", [])
     # escalated tail chunks are accounted in lane_cycles, not rounds*chunk
     assert stats["lane_cycles"] >= stats["rounds"] * chunk * cfg.batch
+
+
+def test_adaptive_chunk_preserves_semantics():
+    """Shrink-to-horizon chunk sizing is a pure scheduling policy: every
+    TxResult must be bit-identical to the fixed-chunk run, and the
+    adaptive run must actually launch shrunk chunks (the policy engages
+    once the first hinted tx finishes)."""
+    chunk = 16
+    cfg = _config(batch=4)
+    # a longer block than the other tests: the policy calibrates off the
+    # first finished hinted tx, so pending txs must outlast that
+    txs = [TxSpec(program=_prog(n), ergs=(1 << 26), cost_hint=n)
+           for n in LENGTHS * 4]
+    base, _ = run_block_refill(cfg, txs, run_cycles, chunk)
+    adap, stats = run_block_refill(
+        cfg, txs, run_cycles, chunk, adaptive_chunk=True,
+        run_dyn_fn=run_cycles, min_chunk=8, refill_frac=0.5)
+    assert stats["adaptive_launches"] > 0, stats
+    for b, f in zip(base, adap):
+        assert (b.tx, b.status, b.cycles) == (f.tx, f.status, f.cycles)
+        assert np.array_equal(b.registers, f.registers)
+        assert b.streams.get("memory", []) == f.streams.get("memory", [])
