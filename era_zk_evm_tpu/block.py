@@ -154,7 +154,8 @@ def execute_block(config: VmConfig, txs: list[TxSpec], engine: str = "auto",
             raise ValueError("adaptive_chunk needs the fused engine "
                              "(run_chunk_fused_dyn) or an explicit "
                              "run_dyn_fn")
-        sched_kwargs["run_dyn_fn"] = _engine_dyn_fn(tile, chunk, config)
+        sched_kwargs["run_dyn_fn"] = _engine_dyn_fn(
+            tile, min(k_inner, chunk), config)
     results, stats = run_block_refill(config, txs, run_fn, chunk,
                                       refill=refill,
                                       fresh_builder=fresh_builder,

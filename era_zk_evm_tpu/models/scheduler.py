@@ -401,6 +401,18 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
 
     _MAX_DEVICE_DRAINS = 4
 
+    def _drain_to_host(packed):
+        """Device drain -> host numpy.  Compacted drains transfer only
+        rows[:count] (power-of-two bucketed) — the fixed budget array is
+        mostly padding and the host link is the binding resource
+        (witness/packed.fetch_compacted_rows; measured: the full-budget
+        transfer put the realistic-mix block bench at 99% link time)."""
+        if drain_compact_frac is None:
+            return jax.device_get(packed)
+        from ..witness.packed import fetch_compacted_rows
+
+        return fetch_compacted_rows(packed)
+
     def _drain_and_attribute(st):
         """Drain the queues.  Packed mode: enqueue only (resolved at block
         end; device refs bounded — see pending_drains above).  Objects
@@ -415,7 +427,7 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
             pending_drains.append([packed, lane_tx.copy()])
             while len(pending_drains) - drains_on_host > _MAX_DEVICE_DRAINS:
                 ent = pending_drains[drains_on_host]
-                ent[0] = jax.device_get(ent[0])
+                ent[0] = _drain_to_host(ent[0])
                 drains_on_host += 1
         else:
             st, streams = drain_witness_queues(st, config)
@@ -605,8 +617,10 @@ def run_block_refill(config: VmConfig, txs: list[TxSpec], run_cycles_fn,
     if collect == "packed":
         fam_rows: dict[str, list] = {}
         fam_txid: dict[str, list] = {}
-        for packed_dev, ltx in pending_drains:
-            for name, fam in jax.device_get(packed_dev).items():
+        for i, (packed_dev, ltx) in enumerate(pending_drains):
+            host = (packed_dev if i < drains_on_host
+                    else _drain_to_host(packed_dev))
+            for name, fam in host.items():
                 if drain_compact_frac is None:
                     words, valid = fam
                     counts = valid.sum(axis=1)

@@ -156,10 +156,12 @@ def _serialize_all_compact(state, families: tuple, budget_frac: float):
     path must use the dense `_serialize_all` form (asserted in
     drain_witness_queues_packed_async)."""
     dense = _serialize_all(state, families)
+    fracs = dict(budget_frac) if isinstance(budget_frac, tuple) \
+        else {name: budget_frac for name in dense}
     out = {}
     for name, (words, valid) in dense.items():
         B, Q, W = words.shape
-        budget = max(1, int(B * Q * budget_frac))
+        budget = max(1, int(B * Q * fracs[name]))
         flat_w = words.reshape(B * Q, W)
         flat_v = valid.reshape(B * Q)
         pos = jnp.cumsum(flat_v) - 1                    # stable, lane-major
@@ -190,25 +192,70 @@ def drain_witness_queues_packed_async(state, config, compact_frac=None):
     `compact_frac` set, {family: (rows [budget, W], lane_counts [B],
     count)} — device-compacted to cut the host-link volume by the queue
     fill ratio (see _serialize_all_compact; resolve with
-    split_compacted_by_lane, which also enforces the budget)."""
+    split_compacted_by_lane, which also enforces the budget).
+    `compact_frac` may be a float (all families) or a {family: frac}
+    dict — families fill at very different rates (a log-heavy workload
+    measured ~33% log fill vs ~5% memory fill per drain), and one budget
+    either overflows the hot family or ships pure padding for the
+    cold ones."""
     from ..models.spill import _rewind_queues_jit
 
     families = _queue_families(config)
     if compact_frac is None:
         packed = _serialize_all(state, families)
     else:
+        if isinstance(compact_frac, dict):
+            compact_frac = tuple(sorted(
+                (name, float(compact_frac[name])) for name in families))
         sharding = getattr(state.wq_meta, "sharding", None)
         assert sharding is None or len(sharding.device_set) == 1, (
             "compact_frac on a batch-sharded state: the compaction "
             "scatter miscompiles under GSPMD (see _serialize_all_compact)"
         )
         packed = _serialize_all_compact(state, families, compact_frac)
+        # compact mode: DON'T start the rows transfer — the budget array
+        # is mostly padding, and the caller can slice rows[:count] once
+        # the (tiny, async-copied) count arrives, shipping only real
+        # records (fetch_compacted_rows).  Async-copy the counts only.
+        for _rows, lane_counts, count in packed.values():
+            for leaf in (lane_counts, count):
+                try:
+                    leaf.copy_to_host_async()
+                except AttributeError:  # pragma: no cover
+                    pass
+        return _rewind_queues_jit(state), packed
     for leaf in jax.tree.leaves(packed):
         try:
             leaf.copy_to_host_async()
         except AttributeError:  # pragma: no cover — older jax.Array impls
             pass
     return _rewind_queues_jit(state), packed
+
+
+def fetch_compacted_rows(packed: dict) -> dict:
+    """Resolve a compacted drain to host numpy, transferring only the
+    valid rows: {family: (rows [>=count, W], lane_counts [B], count)}.
+
+    The row count is bucketed to the next power of two (a bounded set of
+    sliced-shape programs instead of one per distinct count) and clipped
+    to the budget; overflow (count > budget: records were dropped on
+    device) raises HERE — earlier than the end-of-block resolve."""
+    out = {}
+    for name, (rows, lane_counts, count) in packed.items():
+        c = int(np.asarray(count))
+        budget = rows.shape[0]
+        if c > budget:
+            raise RuntimeError(
+                f"compacted drain overflow ({name}): {c} valid records "
+                f"vs a {budget}-row transfer budget — raise "
+                "drain_compact_frac")
+        n = 1
+        while n < max(c, 1):
+            n *= 2
+        n = min(n, budget)
+        out[name] = (np.asarray(rows[:n]), np.asarray(lane_counts),
+                     np.int32(c))
+    return out
 
 
 def drain_witness_queues_packed(state, config):

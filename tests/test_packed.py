@@ -287,3 +287,37 @@ def test_compacted_drain_equals_dense_drain():
     rows, lane_counts, count = jax.device_get(tiny)["memory"]
     with pytest.raises(RuntimeError, match="overflow"):
         split_compacted_by_lane(rows, lane_counts, int(count))
+
+
+def test_fetch_compacted_rows_slices_and_checks():
+    """fetch_compacted_rows ships only rows[:count] (power-of-two
+    bucketed), per-family fracs apply, and overflow raises at fetch."""
+    from era_zk_evm_tpu.witness.packed import (
+        drain_witness_queues_packed_async, fetch_compacted_rows,
+        split_compacted_by_lane, split_records_by_lane,
+    )
+
+    state, config = _rich_state()
+    _, dense = drain_witness_queues_packed_async(state, config)
+    _, compact = drain_witness_queues_packed_async(
+        state, config,
+        compact_frac={name: 0.5 for name in dense})
+    fetched = fetch_compacted_rows(compact)
+    import jax
+
+    dense = jax.device_get(dense)
+    for name in dense:
+        want = split_records_by_lane(*dense[name])
+        rows, lane_counts, count = fetched[name]
+        c = int(count)
+        assert rows.shape[0] >= c
+        budget = compact[name][0].shape[0]
+        assert rows.shape[0] <= budget
+        got = split_compacted_by_lane(rows, lane_counts, c)
+        for w, g in zip(want, got):
+            assert np.array_equal(w, g), name
+
+    _, tiny = drain_witness_queues_packed_async(state, config,
+                                                compact_frac=0.001)
+    with pytest.raises(RuntimeError, match="overflow"):
+        fetch_compacted_rows(tiny)
