@@ -690,7 +690,7 @@ def bench_block(batch: int = 4096, n_txs_factor: int = 2,
 
         def estep(s):
             s = run_cycles_fused(s, config, chunk * tail_mult,
-                                 tile=tile, k_inner=chunk)
+                                 tile=tile, k_inner=min(chunk, 64))
             return _rewind_queues_jit(s)
 
         st = estep(st)
