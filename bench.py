@@ -781,6 +781,14 @@ def _init_backend(attempts: int = 4) -> None:
     """Bring up the JAX backend, retrying transient tunnel flakes in-process."""
     import jax
 
+    # persistent compile cache for the TPU executables: kernel compiles
+    # ride the remote helper at 2-6 min each and the bench compiles
+    # several geometries — a cold driver run otherwise spends most of its
+    # child budget compiling (same-chip entries are safe to reuse; the
+    # host-keyed CPU cache caveat in tests/conftest.py doesn't apply)
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/jax_cache_tpu_chip")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     for i in range(attempts):
         try:
             devs = jax.devices()
@@ -837,6 +845,11 @@ def child_main(result_path: str, argv: list[str]) -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"{name} failed: {exc}", file=sys.stderr)
 
+    # rolling first: the committed-path/headline ratio is the round-5
+    # flagship figure — it must land even if the child budget truncates
+    # the later secondaries
+    _secondary("rolling-commitment mode (committed path)",
+               lambda: bench_rolling(batch, n_cycles))
     _secondary("no-witness (fused)",
                lambda: bench(batch, n_cycles, witness=False, repeats=1))
     _secondary("witness-traced (jnp)",
@@ -863,13 +876,13 @@ def child_main(result_path: str, argv: list[str]) -> None:
     _secondary("block-refill scheduler", lambda: bench_refill())
     _secondary("execute-block e2e (queues+commitments)",
                lambda: bench_block())
+    _workload("far-call/decommit workload",
+              lambda e: bench_farcall(engine=e))
+    # last: the realistic mix alone runs ~10 min (link-bound — PERF.md);
+    # a child-budget timeout here costs only this line
     _secondary("execute-block e2e REALISTIC mix (1k-60k cycle txs)",
                lambda: bench_block(mix="realistic", chunk=128,
                                    n_txs_factor=4))
-    _secondary("rolling-commitment mode (committed path)",
-               lambda: bench_rolling(batch, n_cycles))
-    _workload("far-call/decommit workload",
-              lambda e: bench_farcall(engine=e))
 
 
 if __name__ == "__main__":
